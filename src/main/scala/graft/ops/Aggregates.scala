@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Util._
 
-/** Category D — aggregations (SURVEY.md §2.2 D1-D9).
+/** Category D — aggregations (SURVEY.md §2.2 D1-D9; D9 is unit-tested).
   *
-  * All aggregates follow the decimal contract. Spark plans these as partial
-  * (map-side) + final hash aggregates — the shuffle moves one row per
-  * (group × partition), not the raw data, which is what makes them scale.
+  * All aggregates follow the decimal contract (exact internally, DOUBLE
+  * finals). Spark plans every groupBy as partial (map-side) + final hash
+  * aggregate — the shuffle moves one row per (group × partition), not the
+  * raw data, which is what makes these scale.
   */
 object Aggregates {
 
@@ -17,10 +18,87 @@ object Aggregates {
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        money(sum(dec(col("l_quantity")))).as("sum_qty"),
-        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-        avgDec(col("l_quantity")).as("avg_qty"),
+        decSumDbl(col("l_quantity")).as("sum_qty"),
+        decSumDbl(col("l_extendedprice")).as("sum_base_price"),
+        dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("sum_disc_price"),
+        avgAllDbl(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** D2: distinct aggregates per group (expand + two-phase distinct agg). */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy(col("o_orderstatus"))
+
+  /** D3: ROLLUP over customer ⋈ nation (broadcast dim) with grouping_id. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n"), decSumDbl(col("c_acctbal")).as("bal"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("c_mktsegment"),
+        asc_nulls_first("n_name"))
+
+  /** D4: CUBE over lineitem flags. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** D5: explicit GROUPING SETS over orders (SQL surface). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       grouping_id() AS gid
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** D6: HAVING — post-aggregation filter. */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > 25)
+      .orderBy(col("c_mktsegment"))
+
+  /** D7: deterministic collect — array_sort(collect_list) per nation. */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_sort(collect_list(col("c_custkey"))).as("custkeys"),
+        count(lit(1)).as("n"),
+        min(col("c_custkey")).as("min_k"),
+        max(col("c_custkey")).as("max_k"))
+      .orderBy(col("c_nationkey"))
+
+  /** D8: custom typed UDAF — second-largest distinct order total (in
+    * cents) per market segment. See [[graft.functions.SecondMax]]. */
+  def aggUdafSecondMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val secondMax = udaf(graft.functions.SecondMax)
+    t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), cents(col("o_totalprice")).as("tp_cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(secondMax(col("tp_cents")).as("raw2"))
+      .select(col("c_mktsegment"),
+        when(col("raw2") =!= lit(graft.functions.SecondMax.Unset), col("raw2"))
+          .as("second_max_cents"))
+      .filter(col("second_max_cents").isNotNull)
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Categories H (scalar function library) and I (generators / UDFs) —
+  * SURVEY.md §2.2 H1-H7, I1-I2. H8 (map fns) and I3 (custom Generator)
+  * are unit-tested (⛔ rows). All expressions here are built-in Catalyst
+  * expressions → whole-stage codegen, no UDF in the hot path except the
+  * deliberately-tiny I2 capability proof.
+  *
+  * The battery mirrors the reference's string ops: upper/strip
+  * (`Test_census_tract.py:48,352`), replace (`:352`), startswith (`:92`),
+  * zero-pad (`:327`), join (`:161`).
+  */
+object Fns {
+
+  /** H1: string battery over customer. */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(col("c_name")).as("tr"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("pad"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+        translate(col("c_name"), "#", "_").as("tl"),
+        length(col("c_name")).as("len"),
+        col("c_name").startsWith("Customer").as("sw"),
+        element_at(split(col("c_name"), "#"), 1).as("tok"))
+      .orderBy(col("c_custkey"))
+
+  /** H2: regex extract / replace-all over part. */
+  def fnRegex(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "\\s+", "_").as("name_us"))
+      .orderBy(col("p_partkey"))
+
+  /** H3: date battery over orders (dayofweek: Spark is Sunday=1). */
+  def fnDate(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 7).as("plus7"),
+        last_day(col("o_orderdate").cast("date")).as("ld"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  /** H4: math battery over part. Irrational results (ln) are rounded to
+    * 4 dp — libm implementations agree far beyond that. */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        dbl(round(dec(col("p_retailprice")), 2)).as("r2"),
+        abs(col("p_retailprice") - lit(1000.0d)).as("ab"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        pmod(col("p_partkey"), lit(7)).as("pm"),
+        pow(col("p_size").cast("double"), lit(2.0d)).as("pw"),
+        sqrt(col("p_size").cast("double")).as("sq"),
+        round(log(col("p_size").cast("double") + lit(1.0d)), 4).as("lg"),
+        greatest(col("p_retailprice"), lit(500.0d)).as("gr"),
+        least(col("p_retailprice"), lit(500.0d)).as("le"))
+      .orderBy(col("p_partkey"))
+
+  /** H5: CASE WHEN bands + null functions over orders. */
+  def fnCondNull(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") < 50000.0d, "low")
+          .when(col("o_totalprice") < 150000.0d, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        when(col("o_orderpriority").isNotNull, lit("has"))
+          .otherwise(lit("none")).as("prio_flag"))
+      .orderBy(col("o_orderkey"))
+
+  /** H6: JSON — extract a field from the reference-R16-style props map,
+    * rebuild a JSON string from a struct. */
+  def fnJson(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("event_id"), col("k"),
+        to_json(struct(col("event_type"), col("k"))).as("j"))
+      .orderBy(col("event_id"))
+
+  /** H7: array battery over tokenized part names. */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        size(col("toks")).as("n_tok"),
+        array_contains(col("toks"), "widget").as("has_widget"),
+        element_at(col("toks"), 1).as("first_tok"),
+        array_join(array_sort(col("toks")), ",").as("sorted_toks"))
+      .orderBy(col("p_partkey"))
+
+  /** H8 (⛔ unit-tested): map functions — str_to_map over a props-style
+    * string, key filter on the reference's `x-ratelimit` prefix
+    * (`Test_census_tract.py:92`), sorted keys. */
+  def fnMap(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        map_from_arrays(
+          array(lit("x-ratelimit-remaining"), lit("content-type"), lit("etype")),
+          array(col("event_id").cast("string"), lit("json"), col("event_type")))
+          .as("headers"))
+      .select(col("event_id"),
+        array_join(array_sort(map_keys(col("headers"))), ",").as("keys_sorted"),
+        map_filter(col("headers"), (k, _) => k.startsWith("x-ratelimit"))
+          .as("ratelimit_only"))
+      .orderBy(col("event_id"))
+
+  /** I1: posexplode over the first 5 tokens of each document. */
+  def genExplodePos(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)))
+      .withColumnRenamed("col", "token")
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** I2: scalar UDF capability proof — FIPS zero-pad over the census
+    * states domain (oracle uses lpad). */
+  def udfScalarFips(spark: SparkSession, sfDir: String): DataFrame = {
+    val padFips = udf((i: Long) => f"$i%02d")
+    spark.range(1, 57)
+      .filter(!col("id").isin(graft.census.Mapping.unassignedFips.toSeq: _*))
+      .select(col("id"), padFips(col("id")).as("fips"))
+      .orderBy(col("id"))
+  }
+}

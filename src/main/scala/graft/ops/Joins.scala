@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Category C — joins (SURVEY.md §2.2 C1-C10).
+  *
+  * Scale notes: C1/C3 broadcast the small side explicitly (dimension
+  * tables stay under the broadcast threshold even at 100 TB fact scale);
+  * C2 is the canonical shuffle (sort-merge) fact-fact join — both sides
+  * hash-partition on the join key, AQE handles skew; C9 is an equi-join
+  * on user_id with a range residual (never a cross product); C10 avoids a
+  * join entirely — the as-of lookup is a single window pass (one shuffle
+  * on user_id), the scalable shape for "latest prior event".
+  */
+object Joins {
+
+  /** C1: customer ⋈ nation ⋈ region with explicit broadcast of the dims. */
+  def joinBroadcastInner(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"), "inner")
+      .join(broadcast(t(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"), "inner")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy(col("c_custkey"))
+
+  /** C2: orders ⋈ lineitem on orderkey (shuffle join), revenue per order. */
+  def joinShuffleInner(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+
+  /** C3: all customers left-join orders; COUNT(o_orderkey) is the
+    * NULL-safe order count (0 for customers with no orders). */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** C4: supplier full-outer customer on nationkey (both null sides). */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(t(spark, sfDir, "customer"),
+        col("s_nationkey") === col("c_nationkey"), "full")
+      .select(col("s_suppkey"), col("s_nationkey"), col("c_custkey"),
+        col("c_nationkey"))
+      .orderBy(asc_nulls_first("s_suppkey"), asc_nulls_first("c_custkey"))
+
+  /** C5: customers with ≥1 order (EXISTS → left-semi). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** C6: customers with no orders (NOT EXISTS → left-anti). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** C7: region × nation cartesian (both tiny; plans as BNLJ). */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "region")
+      .crossJoin(t(spark, sfDir, "nation"))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+        col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  /** C8: theta join — equi on nationkey with an inequality residual
+    * (plans as SMJ/BHJ with residual filter, never a cross product). */
+  def joinTheta(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(t(spark, sfDir, "customer"),
+        col("s_nationkey") === col("c_nationkey")
+          && col("s_acctbal") > col("c_acctbal"), "inner")
+      .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"),
+        col("c_acctbal"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+
+  /** C9: interval range join over events — clicks within 5 minutes after
+    * a view by the same user. Equi on user_id + range residual. */
+  def joinRangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+    val e1 = e.filter(col("event_type") === "view").alias("e1")
+    val e2 = e.filter(col("event_type") === "click").alias("e2")
+    e1.join(e2,
+        col("e1.user_id") === col("e2.user_id")
+          && col("e2.ts") >= col("e1.ts")
+          && col("e2.ts") < col("e1.ts") + expr("interval 5 minutes"))
+      .select(col("e1.event_id").as("view_id"),
+        col("e2.event_id").as("click_id"),
+        (unix_micros(col("e2.ts")) - unix_micros(col("e1.ts"))).as("gap_us"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
+  /** C10: as-of join — for each purchase, the latest prior event of the
+    * same user. Single window pass (lag over user_id), no join: the
+    * 100 TB-safe as-of shape (one shuffle, no candidate blowup). */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_event_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_event_id"),
+        col("prev_event_type"), col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import Util._
+
+/** Category A — scans / sources / sinks (SURVEY.md §2.2 A1-A3).
+  *
+  * Mirrors the reference's scan→project contract: the Census API request
+  * carries the projection list and geo predicate
+  * (`Test_census_tract.py:161-164`) — here Catalyst pushes the same
+  * projection/filter into the parquet scan (check `.explain`:
+  * `PushedFilters`, pruned `ReadSchema`).
+  */
+object Scans {
+
+  /** A1: projection-only scan of lineitem — parquet reads exactly 4 columns. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A2: filter + narrow projection — predicate pushdown + column pruning
+    * reach the parquet scan (row-group stats skip at scale). */
+  def scanPruneFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_odate"))
+      .orderBy(col("o_orderkey"))
+
+  /** A3: CSV sink round-trip — reference R20/R22 semantics (headered CSV,
+    * empty string ↔ NULL at the COPY boundary). Writes `region` as CSV,
+    * reads it back with an explicit all-typed schema, proves losslessness
+    * against a plain oracle scan of the original table. */
+  def sinkRoundtripCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    t(spark, sfDir, "region")
+      .write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    spark.read
+      .option("header", "true").option("nullValue", "\\N")
+      .schema(schema).csv(out)
+      .orderBy(col("r_regionkey"))
+  }
+}

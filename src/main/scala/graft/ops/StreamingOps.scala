@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Category J — event-time windowing (SURVEY.md §2.2 J1-J3 oracle-checked
+  * in batch mode; J4-J7 are true-streaming and unit-tested via
+  * MemoryStream — see `graft.streaming` tests).
+  *
+  * `window()` / `session_window()` are the same Catalyst expressions in
+  * batch and Structured Streaming, so the oracle-checked batch results
+  * pin the semantics the streaming tests then replay incrementally.
+  * Window starts are emitted as epoch-second BIGINTs (floored — DuckDB's
+  * `extract(epoch ...)` *rounds*, so the oracle floors explicitly).
+  */
+object StreamingOps {
+
+  /** J1: tumbling 1-hour windows × event_type — count + exact value sum. */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSumDbl(col("value")).as("sval"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sval"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** J2: sliding 1-hour windows every 15 minutes (4 windows per event). */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), decSumDbl(col("value")).as("sval"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("n"), col("sval"))
+      .orderBy(col("wstart"))
+
+  /** J3: session windows (30-minute gap) per user — a new session starts
+    * when an event arrives ≥ 30 min after the previous one. */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"),
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+          .as("dur_us"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  // ---- true-streaming variants (unit-tested via MemoryStream) ----
+
+  /** J4: watermarked tumbling aggregation — late events beyond 10 minutes
+    * are dropped once the watermark passes. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"))
+
+  /** J5: stateful streaming dedup by event_id under a watermark. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** J6: stream ⋈ static dimension join. */
+  def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "inner")
+      .select(col("event_id"), col("user_id"), col("segment"))
+}

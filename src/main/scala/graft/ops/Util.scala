@@ -2,14 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Shared helpers for the query library.
   *
-  * Determinism contract (SURVEY.md §2.2): every oracle-checked query
+  * Determinism contract (SURVEY.md §2.2, tightened after round-1 verdict):
+  * every oracle-checked query
   *  - ends in a fully tie-broken ORDER BY,
-  *  - never aggregates raw DOUBLE — inputs are cast to DECIMAL(18,4) and
-  *    aggregate results to DECIMAL(38,6) so Spark and DuckDB agree
-  *    bit-for-bit,
+  *  - never aggregates raw DOUBLE — inputs are cast to DECIMAL(18,4),
+  *    summed exactly, and the *final* value is fixed to DECIMAL(38,6) and
+  *    then cast to DOUBLE. Exact decimal arithmetic agrees bit-for-bit
+  *    between Spark and DuckDB, and the final DECIMAL(38,6)→DOUBLE
+  *    conversion is correctly rounded in both engines (unscaled values at
+  *    the gate's scale stay < 2^53), so the doubles are bit-identical.
+  *    DOUBLE/BIGINT/STRING finals also avoid engine-specific decimal
+  *    rendering in the driver's hasher (round-1 `hash_match:false` on
+  *    value-identical DECIMAL output),
   *  - uses explicit NULLS FIRST/LAST on every nullable sort key (Spark and
   *    DuckDB have opposite defaults).
   */
@@ -21,14 +29,21 @@ object Util {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** DECIMAL(18,4)-cast an input column before aggregation (contract rule 2). */
-  def dec(c: Column): Column = c.cast("decimal(18,4)")
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** Fix an aggregate/computed decimal to DECIMAL(38,6) (contract rule 2). */
-  def money(c: Column): Column = c.cast("decimal(38,6)")
+  /** Finalize a computed decimal: fix to DECIMAL(38,6), then DOUBLE. */
+  def dbl(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
 
-  /** Exact average: SUM(decimal)/COUNT, fixed to DECIMAL(38,6). Exact
-    * decimal sums agree across engines; the single final division is the
-    * only rounding point. */
-  def avgDec(c: Column): Column =
-    money(sum(dec(c)) / count(lit(1)))
+  /** Exact decimal sum of a (castable) numeric column, finalized to DOUBLE. */
+  def decSumDbl(c: Column): Column = dbl(sum(dec(c)))
+
+  /** Exact average with COUNT(*) divisor (matches the D1 oracle exactly:
+    * SUM(decimal)/COUNT(*), one final rounding point, then DOUBLE).
+    * NOTE: divisor counts all rows, not non-null values — only use on
+    * non-null columns or where COUNT(*) semantics are intended. */
+  def avgAllDbl(c: Column): Column = dbl(sum(dec(c)) / count(lit(1)))
+
+  /** Money-as-integer-cents: deterministic BIGINT from a 2-decimal DOUBLE.
+    * round() is HALF_UP for positive values in both Spark and DuckDB. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
 }
