@@ -6,6 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Query implementations live under graft.ops; oracle SQL under
   * graft.oracle.OracleSql. Every queries entry is a pure
   * (SparkSession, sfDir) => DataFrame reading only `$sfDir/<table>.parquet`.
+  *
+  * Entries WITHOUT an OracleSql row (see [[oracleSql]]) are the
+  * deliberately-non-SQL-portable ops (HLL sketch, Murmur3 LSH, map-typed
+  * output) — the driver records a rows-only check for those and the unit
+  * tests in `src/test/scala/graft` pin their semantics.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -14,7 +19,82 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _)
+    // A — scans / sinks
+    "scan_project" -> (ops.Scans.scanProject _),
+    "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
+    "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
+    // B — filters / projections
+    "filter_compound" -> (ops.Filters.filterCompound _),
+    "filter_null_like" -> (ops.Filters.filterNullLike _),
+    "project_compute" -> (ops.Filters.projectCompute _),
+    "project_rename_norm" -> (ops.Filters.projectRenameNorm _),
+    // C — joins
+    "join_broadcast_inner" -> (ops.Joins.joinBroadcastInner _),
+    "join_shuffle_inner" -> (ops.Joins.joinShuffleInner _),
+    "join_left_outer" -> (ops.Joins.joinLeftOuter _),
+    "join_full_outer" -> (ops.Joins.joinFullOuter _),
+    "join_semi" -> (ops.Joins.joinSemi _),
+    "join_anti" -> (ops.Joins.joinAnti _),
+    "join_cross" -> (ops.Joins.joinCross _),
+    "join_theta" -> (ops.Joins.joinTheta _),
+    "join_range_interval" -> (ops.Joins.joinRangeInterval _),
+    "join_asof" -> (ops.Joins.joinAsof _),
+    // D — aggregations
+    "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _),
+    "agg_distinct" -> (ops.Aggregates.aggDistinct _),
+    "agg_rollup" -> (ops.Aggregates.aggRollup _),
+    "agg_cube" -> (ops.Aggregates.aggCube _),
+    "agg_grouping_sets" -> (ops.Aggregates.aggGroupingSets _),
+    "agg_having" -> (ops.Aggregates.aggHaving _),
+    "agg_collect_sorted" -> (ops.Aggregates.aggCollectSorted _),
+    "agg_udaf_second_max" -> (ops.Aggregates.aggUdafSecondMax _),
+    "agg_approx_distinct" -> (ops.Aggregates.aggApproxDistinct _),
+    // E — windows
+    "win_rank" -> (ops.Windows.winRank _),
+    "win_running_sum" -> (ops.Windows.winRunningSum _),
+    "win_sliding_avg" -> (ops.Windows.winSlidingAvg _),
+    "win_range_frame" -> (ops.Windows.winRangeFrame _),
+    "win_lead_lag" -> (ops.Windows.winLeadLag _),
+    "win_ntile_pct" -> (ops.Windows.winNtilePct _),
+    // F — sorts / limits / census
+    "sort_multi_nulls" -> (ops.SortsCensus.sortMultiNulls _),
+    "limit_topk" -> (ops.SortsCensus.limitTopk _),
+    "topk_per_group" -> (ops.SortsCensus.topkPerGroup _),
+    "census_states" -> (ops.SortsCensus.censusStates _),
+    "census_union_byname" -> (ops.SortsCensus.censusUnionByname _),
+    "census_clean_cast" -> (ops.SortsCensus.censusCleanCast _),
+    // G — set ops
+    "set_union_distinct" -> (ops.SetOps.setUnionDistinct _),
+    "set_intersect" -> (ops.SetOps.setIntersect _),
+    "set_except" -> (ops.SetOps.setExcept _),
+    // H — scalar functions
+    "fn_string" -> (ops.Fns.fnString _),
+    "fn_regex" -> (ops.Fns.fnRegex _),
+    "fn_date" -> (ops.Fns.fnDate _),
+    "fn_math" -> (ops.Fns.fnMath _),
+    "fn_cond_null" -> (ops.Fns.fnCondNull _),
+    "fn_json" -> (ops.Fns.fnJson _),
+    "fn_array" -> (ops.Fns.fnArray _),
+    "fn_map" -> (ops.Fns.fnMap _),
+    // I — generators / UDFs
+    "gen_explode_pos" -> (ops.Fns.genExplodePos _),
+    "udf_scalar_fips" -> (ops.Fns.udfScalarFips _),
+    "udtf_generator" -> (ops.Fns.udtfGenerator _),
+    // J — event-time windowing (batch-checked; true-stream variants in tests)
+    "stream_tumbling" -> (ops.StreamingOps.streamTumbling _),
+    "stream_sliding" -> (ops.StreamingOps.streamSliding _),
+    "stream_session" -> (ops.StreamingOps.streamSession _),
+    // K — LLM-training-data ops
+    "dedup_exact" -> (ops.LlmData.dedupExact _),
+    "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
+    "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
+    "sim_topk" -> (ops.LlmData.simTopk _),
+    "text_stats" -> (ops.LlmData.textStats _),
+    "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
+    "text_fingerprint" -> (ops.LlmData.textFingerprint _),
+    "text_quality" -> (ops.LlmData.textQuality _),
+    "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
+    "multimodal_decode" -> (ops.LlmData.multimodalDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,40 +5,50 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** D8: typed UDAF — second-largest *distinct* value of a Long column.
   *
-  * Buffer keeps the top-2 distinct values seen; merge is associative and
-  * commutative, so Spark runs it as partial (map-side) + final aggregate —
-  * the shuffle carries one 2-long buffer per (group × partition), which is
-  * what makes a custom aggregate scale like a built-in.
+  * Buffer keeps the top-2 distinct values seen plus a distinct-count
+  * saturated at 2, so "fewer than 2 distinct values" is tracked
+  * explicitly rather than inferred from a sentinel (round-3 advice: a
+  * genuine `Long.MinValue` input must not collide with the Unset
+  * sentinel — inputs of exactly `Long.MinValue` are rejected, the one
+  * documented domain restriction).
   *
-  * Output is `Long.MinValue` when the group has < 2 distinct values;
-  * callers null it out with `when(...)`. Register via
-  * `functions.udaf(SecondMax)`.
+  * merge is associative and commutative, so Spark runs it as partial
+  * (map-side) + final aggregate — the shuffle carries one small buffer
+  * per (group × partition), which is what makes a custom aggregate scale
+  * like a built-in.
+  *
+  * Output is `Unset` when the group has < 2 distinct values; callers
+  * null it out with `when(...)`. Register via `functions.udaf(SecondMax)`.
   */
-object SecondMax extends Aggregator[Long, (Long, Long), Long] {
+object SecondMax extends Aggregator[Long, (Long, Long, Long), Long] {
   val Unset: Long = Long.MinValue
 
-  override def zero: (Long, Long) = (Unset, Unset)
+  /** (top distinct, second distinct, distinct-count capped at 2). */
+  override def zero: (Long, Long, Long) = (Unset, Unset, 0L)
 
-  private def add(b: (Long, Long), v: Long): (Long, Long) = {
-    val (m1, m2) = b
-    if (v == m1 || v == m2) b
-    else if (v > m1) (v, m1)
-    else if (v > m2) (m1, v)
+  private def add(b: (Long, Long, Long), v: Long): (Long, Long, Long) = {
+    require(v != Long.MinValue,
+      "SecondMax domain excludes Long.MinValue (reserved sentinel)")
+    val (m1, m2, n) = b
+    if (n == 0L) (v, Unset, 1L)
+    else if (v == m1 || (n >= 2L && v == m2)) b
+    else if (v > m1) (v, m1, 2L)
+    else if (n < 2L || v > m2) (m1, v, 2L)
     else b
   }
 
-  override def reduce(b: (Long, Long), v: Long): (Long, Long) = add(b, v)
+  override def reduce(b: (Long, Long, Long), v: Long): (Long, Long, Long) = add(b, v)
 
-  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
-    // Unset sentinels must not enter as real values
-    val x = if (b._1 == Unset) a else add(a, b._1)
-    if (b._2 == Unset) x else add(x, b._2)
+  override def merge(a: (Long, Long, Long), b: (Long, Long, Long)): (Long, Long, Long) = {
+    val x = if (b._3 >= 1L) add(a, b._1) else a
+    if (b._3 >= 2L) add(x, b._2) else x
   }
 
-  override def finish(b: (Long, Long)): Long = b._2
+  override def finish(b: (Long, Long, Long)): Long =
+    if (b._3 >= 2L) b._2 else Unset
 
-  override def bufferEncoder: Encoder[(Long, Long)] =
-    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def bufferEncoder: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata extracted by a
+  * partition-batched decode step.
+  *
+  * The container has no codec libraries, so [[decodeStub]] is a
+  * clearly-marked deterministic FAKE standing in for a real decoder
+  * (libjpeg/ffmpeg/...). Everything around it — the binary column
+  * contract, the `mapPartitions` batching (one decoder instance per
+  * partition, not per row — the same shape a JNI/native codec needs),
+  * the typed output schema — is the real plumbing a production pipeline
+  * would keep while swapping the stub for a codec call.
+  *
+  * Scale: decode is a narrow per-partition map (no shuffle); payload
+  * columns stay off the shuffle path until after metadata extraction so
+  * a wide binary column never rides through an exchange.
+  */
+object Multimodal {
+
+  /** Typed metadata a decoder yields for one payload. */
+  final case class MediaMeta(width: Int, height: Int, format: String)
+
+  private val Formats = Array("png", "jpeg", "webp")
+
+  /** FAKE decode — deterministic function of the payload bytes only.
+    * A real implementation would parse the container header; the stub
+    * derives plausible fields from the byte length so tests and oracle
+    * SQL can pin the plumbing end-to-end. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(n % 640 + 1, (n * 7) % 480 + 1, Formats(n % 3))
+  }
+
+  /** FAKE feature-extract — 4 deterministic floats per payload (a real
+    * pipeline would run an image/audio encoder here). Batched per
+    * partition like [[decodeStub]]. */
+  def featureStub(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    Array(n.toFloat, (n % 7).toFloat, (n % 11).toFloat,
+      (if (n == 0) 0 else payload(0) & 0xff).toFloat)
+  }
+
+  /** Decode metadata for an (id, payload) DataFrame via a
+    * partition-batched map — schema (doc_id, width, height, format). */
+  def withDecodedMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      // one decoder instance per partition would be initialized here
+      it.map { case (id, payload) =>
+        val m = decodeStub(payload)
+        (id, m.width, m.height, m.format)
+      }
+    }.toDF("doc_id", "width", "height", "format")
+  }
+}

@@ -85,6 +85,17 @@ object Aggregates {
         max(col("c_custkey")).as("max_k"))
       .orderBy(col("c_nationkey"))
 
+  /** D9 (⛔ unit-tested for the 5% error bound in `ApproxDistinctSpec`):
+    * HyperLogLog++ approximate distinct — the sketch shape that replaces
+    * exact distinct at 100 TB (fixed-size buffer per group through the
+    * shuffle instead of the full key set). Registered rows-only: the
+    * sketch estimate is engine-specific, so there is no DuckDB oracle. */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+      .orderBy(col("o_orderstatus"))
+
   /** D8: custom typed UDAF — second-largest distinct order total (in
     * cents) per market segment. See [[graft.functions.SecondMax]]. */
   def aggUdafSecondMax(spark: SparkSession, sfDir: String): DataFrame = {

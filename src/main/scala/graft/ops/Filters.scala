@@ -16,7 +16,9 @@ object Filters {
         && col("l_returnflag").isin("A", "R"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique — tie-break on all columns
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
 
   /** B2: LIKE + IS NOT NULL. */
   def filterNullLike(spark: SparkSession, sfDir: String): DataFrame =
@@ -33,7 +35,9 @@ object Filters {
         dbl(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .as("disc_price"),
         year(col("l_shipdate")).as("ship_year"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique — tie-break on all columns
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
+        col("ship_year"))
 
   /** B4: reference R7/R8 applied to data — `upper(trim(...))`
     * normalization (`Test_census_tract.py:352`), `translate` cleanup, and

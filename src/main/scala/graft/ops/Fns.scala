@@ -141,4 +141,15 @@ object Fns {
       .select(col("id"), padFips(col("id")).as("fips"))
       .orderBy(col("id"))
   }
+
+  /** I3: custom Catalyst `Generator` (UDTF) — character trigrams of part
+    * names via [[graft.functions.CharNGrams]], planned by Spark's own
+    * `GenerateExec` (a true lateral operator, not a driver-side explode).
+    * Oracle replicates the n-gram walk with a lateral range join. */
+  def udtfGenerator(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.CharNGrams.register(spark)
+    t(spark, sfDir, "part")
+      .selectExpr("p_partkey", "char_ngrams(p_name)")
+      .orderBy(col("p_partkey"), col("pos"))
+  }
 }

@@ -14,9 +14,9 @@ import Util._
   * Scale shapes: exact dedup is hash-partition + window (no all-pairs);
   * Jaccard near-dup generates candidates only within a min-shingle bucket
   * (a k=1 identity-hash MinHash band — the LSH family that
-  * [[graft.ops.MinHash]] generalizes to k=32 banded); cosine top-k
-  * broadcasts the single query vector and does one narrow pass +
-  * TakeOrderedAndProject — never a crossJoin.
+  * [[graft.ops.MinHash]] generalizes to k=32 banded, used by
+  * [[dedupMinhash]]); cosine top-k broadcasts the single query vector and
+  * does one narrow pass + TakeOrderedAndProject — never a crossJoin.
   */
 object LlmData {
 
@@ -33,35 +33,35 @@ object LlmData {
   }
 
   private val D = DecimalType(18, 9)
-  private val ACC = DecimalType(38, 18)
-
-  /** Exact-decimal dot product of two float-array columns: each float is
-    * correctly-rounded to DECIMAL(18,9), products summed exactly — the
-    * only float ops left (sqrt, divide, multiply) are IEEE
-    * correctly-rounded, so Spark and DuckDB produce bit-identical
-    * cosines. */
-  private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)),
-      lit(0).cast(ACC), (acc, x) => acc + x)
-      .cast("double")
 
   /** K3: brute-force cosine top-5 neighbors of vec_id=0. The query vector
     * is collected (one row) and inlined as a literal — at cluster scale
-    * this is a broadcast; candidates stream through a narrow map and a
-    * TakeOrderedAndProject. No crossJoin. */
+    * this is a broadcast. Dot products are exact decimal: each float is
+    * correctly-rounded to DECIMAL(18,9) (both engines round the same
+    * way — ties are impossible for binary fractions at decimal scale 9),
+    * per-dimension products (scale 18) are summed exactly by the
+    * aggregate (posexplode → partial map-side agg → one bounded shuffle
+    * keyed by vec_id), and the only float ops left (sqrt, divide,
+    * multiply, round) are IEEE correctly-rounded — so Spark and DuckDB
+    * produce bit-identical cosines. The query-vector norm is computed
+    * driver-side with the same BigDecimal semantics. */
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q: Seq[Float] = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qCol = array(q.map(lit): _*)
-    val qNorm2 = emb.sparkSession.range(1)
-      .select(decDot(array(q.map(lit): _*), array(q.map(lit): _*)))
-      .head().getDouble(0)
+    val qNorm2: Double = q
+      .map(f => BigDecimal.decimal(f.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .map(d => d * d).sum.toDouble
+    val qLit = array(q.map(lit): _*)
     emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"),
-        decDot(col("embedding"), qCol).as("dot"),
-        decDot(col("embedding"), col("embedding")).as("n2"))
+        col("col").cast(D).as("x"),
+        element_at(qLit, col("pos") + 1).cast(D).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("y")).cast("double").as("dot"),
+        sum(col("x") * col("x")).cast("double").as("n2"))
       .select(col("vec_id"),
         round(col("dot") / (sqrt(col("n2")) * sqrt(lit(qNorm2))), 6)
           .as("score"))
@@ -117,18 +117,13 @@ object LlmData {
 
   /** Near-dup detection: token-trigram shingles, candidates bucketed by
     * min-shingle (k=1 identity-hash MinHash band — no all-pairs), Jaccard
-    * ≥ 0.5 on distinct-shingle sets. The k=32 banded generalization is
-    * [[MinHash]] (unit-tested). */
+    * ≥ 0.5 on distinct-shingle sets. Oracle-checkable because the bucket
+    * function is expressible in portable SQL; the scale path with a
+    * skew-free candidate generator is [[MinHash]] / [[dedupMinhash]]. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ",
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3)))).as("shingles"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
       .withColumn("bucket", array_min(col("shingles")))
     val a = docs.select(col("bucket"), col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
@@ -145,9 +140,34 @@ object LlmData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** K2: banded-MinHash near-dup pairs — [[MinHash.candidatePairs]] for
+    * candidate generation (8 bands × 4 rows, skew-free LSH buckets), then
+    * exact-Jaccard verification at ≥ 0.5. Registered rows-only (the
+    * Murmur3 signatures aren't portable SQL); the LSH machinery is
+    * unit-tested with planted near-dups in `MinHashSpec`, and precision
+    * is exact by construction (only recall depends on the bands). */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
+    val cand = MinHash.candidatePairs(docs, "doc_id", "shingles")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
+      .withColumn("jaccard", dbl(dec(col("n_int")) / col("n_union")))
+      .filter(col("jaccard") >= 0.5d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata —
     * byte length and content hash computed on the binary, the pattern an
-    * image/audio pipeline uses before a decode UDF (decode itself is
+    * image/audio pipeline uses before a decode step (decode itself is
     * stubbed in [[graft.multimodal.Multimodal]]). */
   def multimodalBinaryMeta(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
@@ -155,5 +175,16 @@ object LlmData {
       .select(col("doc_id"),
         length(col("payload")).as("n_bytes"),
         sha2(col("payload"), 256).as("payload_sha"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal decode: the partition-batched (fake) decoder of
+    * [[graft.multimodal.Multimodal]] over binary payloads — typed
+    * (width, height, format) metadata per document. The stub is a
+    * deterministic function of the byte length, so the plumbing is
+    * oracle-checkable end-to-end. */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.withDecodedMeta(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
       .orderBy(col("doc_id"))
 }

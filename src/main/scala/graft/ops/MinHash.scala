@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K2: banded MinHash LSH for near-duplicate candidate generation.
+  *
+  * The scale-safe shape for near-dup detection at 100 TB: instead of
+  * bucketing by a single min-shingle (whose most-common value forms one
+  * giant skewed bucket → quadratic self-join blowup), each document gets
+  * a k=32 MinHash signature split into 8 bands of 4 rows. Two documents
+  * collide iff they agree on *all four* rows of *some* band, so bucket
+  * population is driven by genuine similarity, not by one corpus-common
+  * shingle. With k=32/b=8/r=4 the collision probability is
+  * 1-(1-j^4)^8 — ≈0.96 at j=0.8, ≈0.19 at j=0.3 — the classic LSH
+  * S-curve for a 0.5-0.7 Jaccard threshold (Leskovec, Rajaraman, Ullman,
+  * "Mining of Massive Datasets" ch.3, public).
+  *
+  * Implementation is deliberately codegen-friendly: shingles are
+  * exploded and each one Murmur3-hashed ONCE, then the 32 signature
+  * rows are 32 `min(pmod(a_i*h+b_i, P))` columns of a single hash
+  * aggregate — whole-stage codegen end to end, no interpreted
+  * higher-order lambdas (an earlier HOF formulation cost ~60s per pass
+  * at sf0.1; this shape is ~1s). Candidate pairs are generated from
+  * `collect_list` buckets rather than a bucket self-join, so the
+  * signature stage is computed exactly once, and LSH affects recall
+  * only — every candidate is verified with exact Jaccard downstream.
+  *
+  * Mirrors the dedup surface the reference delegates to its warehouse
+  * (SURVEY.md §2.2 K2); unit-tested with planted near-duplicates in
+  * `graft.MinHashSpec`.
+  */
+object MinHash {
+  /** Signature length. */
+  val K = 32
+  /** Bands × rows-per-band factorization of K. */
+  val Bands = 8
+  val RowsPerBand = 4
+  /** Mersenne prime 2^61-1: (a*h+b) mod P stays exact in Long arithmetic
+    * (|h| < 2^32, a,b < 2^31 → |a*h+b| < 2^63). */
+  val P = 2305843009213693951L
+
+  /** Fixed-seed affine hash parameters — deterministic across JVMs. */
+  private val (as, bs): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(1234567L)
+    val a = Array.fill(K)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L)
+    val b = Array.fill(K)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Token 3-gram shingle set (distinct) of a whitespace-tokenized text
+    * column. Shared by the Jaccard and MinHash dedup paths. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1),
+        element_at(toks, i + 2),
+        element_at(toks, i + 3))))
+  }
+
+  /** MinHash signatures for an (id, shingle-array) DataFrame: one row
+    * per id with columns sig_0..sig_{K-1}. One explode + one hash
+    * aggregate (map-side partial min, one shuffle on the id). Ids whose
+    * shingle array is empty produce no row (they cannot pair anyway). */
+  def signatures(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(col(shCol)).as("sh"))
+      .select(col(idCol), hash(col("sh")).cast("long").as("h"))
+    val sigCols = (0 until K).map { i =>
+      min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(P))).as(s"sig_$i")
+    }
+    hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (band_id, band_hash) rows per id — the LSH bucket key. band_hash
+    * folds the band's signature rows with murmur3. */
+  def banded(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band_id"),
+        hash((0 until RowsPerBand)
+          .map(r => col(s"sig_${b * RowsPerBand + r}")): _*).as("band_hash"))
+    }: _*)
+    sigs
+      .withColumn("band", explode(bandStructs))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) from banded LSH over (id, shingles).
+    * One shuffle to the signature agg, one to the bucket agg; pairs are
+    * produced by expanding each bucket's sorted id list (buckets are
+    * similarity-driven and small — no skewed self-join) and distinct-ed
+    * so a pair colliding in several bands is verified once. */
+  def candidatePairs(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val buckets = banded(signatures(docs, idCol, shCol), idCol)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+}

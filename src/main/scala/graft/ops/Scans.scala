@@ -20,7 +20,10 @@ object Scans {
     t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture data —
+      // order by every output column for a value-deterministic result
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
 
   /** A2: filter + narrow projection — predicate pushdown + column pruning
     * reach the parquet scan (row-group stats skip at scale). */
@@ -36,7 +39,10 @@ object Scans {
     * reads it back with an explicit all-typed schema, proves losslessness
     * against a plain oracle scan of the original table. */
   def sinkRoundtripCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    // unique per-invocation path: concurrent runs must not clobber each
+    // other's round-trip output (round-3 advice)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      java.util.UUID.randomUUID().toString
     t(spark, sfDir, "region")
       .write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N")

@@ -69,4 +69,23 @@ object StreamingOps {
   def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "inner")
       .select(col("event_id"), col("user_id"), col("segment"))
+
+  /** J7: custom stateful processing — running per-user event counter via
+    * `mapGroupsWithState`. State is one Long per user key, partitioned by
+    * the grouping key (one shuffle), checkpointed by the streaming
+    * engine — the canonical scale shape for arbitrary per-key state. */
+  def statefulRunningCount(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+  }
 }

@@ -24,9 +24,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Util {
   /** Read one fixture table. Parquet scan → Catalyst handles column
     * pruning + predicate pushdown; at cluster scale this is the same call
-    * against a partitioned table root. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * against a partitioned table root.
+    *
+    * The events table carries a parquet TIMESTAMP(NANOS) column, which
+    * Spark rejects outright unless read as a nano-count Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`); we floor-divide to
+    * microseconds — exactly DuckDB's TIMESTAMP_NS→TIMESTAMP(µs)
+    * truncation, so both engines see identical instants. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** DECIMAL(18,4)-cast an input column before aggregation (contract rule 2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

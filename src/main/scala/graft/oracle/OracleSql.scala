@@ -2,21 +2,580 @@ package graft.oracle
 
 /** DuckDB oracle SQL, one entry per oracle-checked query in
   * graft.SparkEntry.queries. Written in portable ANSI-flavored DuckDB SQL
-  * (SURVEY.md §2.2 determinism contract): explicit decimal casts, explicit
-  * NULLS FIRST/LAST, fully tie-broken ORDER BY, column names identical to
-  * the Spark side.
+  * (SURVEY.md §2.2 determinism contract): exact decimal internals with
+  * DOUBLE/BIGINT/STRING finals matching graft.ops.Util exactly, explicit
+  * NULLS FIRST/LAST on every nullable sort key, fully tie-broken ORDER BY,
+  * column names identical to the Spark side.
+  *
+  * Deliberately absent (driver records a rows-only check; semantics are
+  * pinned by unit tests instead):
+  *  - agg_approx_distinct (HLL sketch estimate is engine-specific),
+  *  - dedup_minhash (Murmur3 LSH signatures aren't portable SQL),
+  *  - fn_map (MAP-typed output column isn't hashable by the oracle).
   */
 object OracleSql {
+
+  /** dbl(x) of graft.ops.Util: fix to DECIMAL(38,6), then DOUBLE. */
+  private def dbl(expr: String): String =
+    s"CAST(CAST($expr AS DECIMAL(38,6)) AS DOUBLE)"
+
+  /** dec(x) of graft.ops.Util. */
+  private def dec(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
+
   val all: Map[String, String] = Map(
-    "agg_hash_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
-        |  COUNT(*) AS count_order
+    // ---------------- A: scans / sinks ----------------
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "scan_prune_filter" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_odate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_roundtrip_csv" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // ---------------- B: filters / projections ----------------
+    "filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < CAST(24.0 AS DOUBLE)
+        |  AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+
+    "filter_null_like" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE p_name LIKE '%widget%' AND p_brand IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+
+    "project_compute" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${dbl(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")} AS disc_price,
+         |  CAST(year(l_shipdate) AS INTEGER) AS ship_year
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, disc_price, ship_year""".stripMargin,
+
+    "project_rename_norm" ->
+      """SELECT c_custkey AS customer_id,
+        |  replace(c_name, '#', '_') AS name_norm,
+        |  upper(trim(c_mktsegment)) AS segment_norm
+        |FROM customer
+        |ORDER BY customer_id""".stripMargin,
+
+    // ---------------- C: joins ----------------
+    "join_broadcast_inner" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_shuffle_inner" ->
+      s"""SELECT o_orderkey,
+         |  ${dbl(s"SUM(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}))")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey
+        |FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey
+        |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "join_theta" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "join_range_interval" ->
+      """SELECT e1.event_id AS view_id, e2.event_id AS click_id,
+        |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    "join_asof" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER win AS prev_event_id,
+        |    lag(event_type) OVER win AS prev_event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id, prev_event_id, prev_event_type, gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // ---------------- D: aggregations ----------------
+    "agg_hash_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dbl(s"SUM(${dec("l_quantity")})")} AS sum_qty,
+         |  ${dbl(s"SUM(${dec("l_extendedprice")})")} AS sum_base_price,
+         |  ${dbl(s"SUM(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}))")} AS sum_disc_price,
+         |  ${dbl(s"SUM(${dec("l_quantity")}) / COUNT(*)")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT c_mktsegment, n_name, COUNT(*) AS n,
+         |  ${dbl(s"SUM(${dec("c_acctbal")})")} AS bal,
+         |  GROUPING(c_mktsegment, n_name) AS gid
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (c_mktsegment, n_name)
+         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_having" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |HAVING COUNT(*) > 25
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(c_custkey)) AS custkeys,
+        |  COUNT(*) AS n,
+        |  MIN(c_custkey) AS min_k,
+        |  MAX(c_custkey) AS max_k
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "agg_udaf_second_max" ->
+      """WITH tp AS (
+        |  SELECT DISTINCT c_mktsegment,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), r AS (
+        |  SELECT c_mktsegment, tp_cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY tp_cents DESC) AS rn
+        |  FROM tp
+        |)
+        |SELECT c_mktsegment, tp_cents AS second_max_cents
+        |FROM r WHERE rn = 2
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // ---------------- E: windows ----------------
+    "win_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  rank() OVER win AS rnk,
+        |  dense_rank() OVER win AS drnk,
+        |  row_number() OVER win AS rn
+        |FROM customer
+        |WINDOW win AS (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "win_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ${dbl(s"SUM(${dec("o_totalprice")}) OVER win")} AS running_total
+         |FROM orders
+         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_sliding_avg" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ${dbl(s"SUM(${dec("o_totalprice")}) OVER win / COUNT(*) OVER win")} AS moving_avg
+         |FROM orders
+         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT s_suppkey, s_nationkey, bal_cents,
+        |  CAST(SUM(bal_cents) OVER (PARTITION BY s_nationkey ORDER BY bal_cents
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS range_sum_cents
+        |FROM (SELECT s_suppkey, s_nationkey,
+        |        CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |      FROM supplier)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "win_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type) OVER win AS prev_type,
+        |  lead(event_type) OVER win AS next_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_ntile_pct" ->
+      """SELECT o_orderkey, tp_cents,
+        |  CAST(ntile(4) OVER win AS INTEGER) AS nt,
+        |  percent_rank() OVER win AS pr,
+        |  cume_dist() OVER win AS cd
+        |FROM (SELECT o_orderkey,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp_cents
+        |      FROM orders)
+        |WINDOW win AS (ORDER BY tp_cents, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // ---------------- F: sorts / limits / census ----------------
+    "sort_multi_nulls" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin,
+
+    "limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "census_states" ->
+      """SELECT printf('%02d', range) AS fips
+        |FROM range(1, 57)
+        |WHERE range NOT IN (3, 7, 14, 43, 52)
+        |ORDER BY fips""".stripMargin,
+
+    "census_union_byname" ->
+      """SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "census_clean_cast" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size % 7 = 0 THEN '  '
+        |       WHEN p_size % 11 = 0 THEN '-666666666'
+        |       ELSE CAST(p_size AS VARCHAR) END AS raw_size,
+        |  CASE WHEN p_size % 7 = 0 OR p_size % 11 = 0 THEN NULL
+        |       ELSE CAST(p_size AS BIGINT) END AS clean_size
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    // ---------------- G: set ops ----------------
+    "set_union_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION
+        |  SELECT s_nationkey FROM supplier
+        |) ORDER BY nationkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier
+        |) ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier
+        |) ORDER BY nationkey""".stripMargin,
+
+    // ---------------- H: scalar functions ----------------
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS up,
+        |  lower(c_mktsegment) AS lo,
+        |  trim(c_name) AS tr,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS pad,
+        |  substring(c_name, 1, 8) AS sub,
+        |  concat_ws('-', c_mktsegment, c_name) AS cw,
+        |  replace(c_name, '#', '_') AS tl,
+        |  CAST(length(c_name) AS INTEGER) AS len,
+        |  starts_with(c_name, 'Customer') AS sw,
+        |  str_split(c_name, '#')[1] AS tok
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  regexp_replace(p_name, '\s+', '_', 'g') AS name_us
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 7 AS plus7,
+        |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      s"""SELECT p_partkey,
+         |  ${dbl(s"round(${dec("p_retailprice")}, 2)")} AS r2,
+         |  abs(p_retailprice - CAST(1000.0 AS DOUBLE)) AS ab,
+         |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+         |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+         |  CAST(p_partkey % 7 AS BIGINT) AS pm,
+         |  pow(CAST(p_size AS DOUBLE), CAST(2.0 AS DOUBLE)) AS pw,
+         |  sqrt(CAST(p_size AS DOUBLE)) AS sq,
+         |  round(ln(CAST(p_size AS DOUBLE) + CAST(1.0 AS DOUBLE)), 4) AS lg,
+         |  greatest(p_retailprice, CAST(500.0 AS DOUBLE)) AS gr,
+         |  least(p_retailprice, CAST(500.0 AS DOUBLE)) AS le
+         |FROM part
+         |ORDER BY p_partkey""".stripMargin,
+
+    "fn_cond_null" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < CAST(50000.0 AS DOUBLE) THEN 'low'
+        |       WHEN o_totalprice < CAST(150000.0 AS DOUBLE) THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  CASE WHEN o_orderpriority IS NOT NULL THEN 'has' ELSE 'none' END AS prio_flag
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_json" ->
+      """WITH j AS (
+        |  SELECT event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |)
+        |SELECT event_id, k,
+        |  to_json(struct_pack(event_type := event_type, k := k)) AS j
+        |FROM j WHERE k IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_array" ->
+      """SELECT p_partkey,
+        |  CAST(len(toks) AS INTEGER) AS n_tok,
+        |  list_contains(toks, 'widget') AS has_widget,
+        |  toks[1] AS first_tok,
+        |  array_to_string(list_sort(toks), ',') AS sorted_toks
+        |FROM (SELECT p_partkey, str_split(p_name, ' ') AS toks FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // ---------------- I: generators / UDFs ----------------
+    "gen_explode_pos" ->
+      """SELECT doc_id, CAST(r.range - 1 AS INTEGER) AS pos,
+        |  toks[CAST(r.range AS INTEGER)] AS token
+        |FROM (SELECT doc_id, list_slice(str_split(text, ' '), 1, 5) AS toks
+        |      FROM documents) d, range(1, 6) r
+        |WHERE r.range <= len(toks)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "udf_scalar_fips" ->
+      """SELECT range AS id, printf('%02d', range) AS fips
+        |FROM range(1, 57)
+        |WHERE range NOT IN (3, 7, 14, 43, 52)
+        |ORDER BY id""".stripMargin,
+
+    "udtf_generator" ->
+      """SELECT p_partkey, CAST(r.range AS INTEGER) - 1 AS pos,
+        |  substr(p_name, CAST(r.range AS INTEGER), 3) AS gram
+        |FROM part, range(1, 4096) r
+        |WHERE r.range <= length(p_name) - 2
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    // ---------------- J: event-time windowing (batch semantics) ----------------
+    "stream_tumbling" ->
+      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+         |  event_type, COUNT(*) AS n,
+         |  ${dbl(s"SUM(${dec("value")})")} AS sval
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY wstart, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      s"""SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+         |    - CAST(k.range AS BIGINT) * 900 AS wstart,
+         |  COUNT(*) AS n,
+         |  ${dbl(s"SUM(${dec("value")})")} AS sval
+         |FROM events, range(0, 4) k
+         |GROUP BY 1
+         |ORDER BY wstart""".stripMargin,
+
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER win IS NULL
+        |           OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+        |  COUNT(*) AS n_events,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |FROM s
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    // ---------------- K: LLM-data ops ----------------
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
+        |r AS (SELECT doc_id, text_sha,
+        |        row_number() OVER (PARTITION BY text_sha ORDER BY doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, text_sha FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(0, len(toks) - 2),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |), bk AS (
+         |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
+         |    len(a.shingles) + len(b.shingles)
+         |      - len(list_intersect(a.shingles, b.shingles)) AS n_union
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  ${dbl(s"${dec("n_int")} / n_union")} AS jaccard
+         |FROM pairs
+         |WHERE ${dbl(s"${dec("n_int")} / n_union")} >= CAST(0.5 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |p AS (
+        |  SELECT e.vec_id,
+        |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+        |    CAST(unnest((SELECT qe FROM q)) AS DECIMAL(18,9)) AS y
+        |  FROM embeddings e WHERE e.vec_id <> 0
+        |), a AS (
+        |  SELECT vec_id, CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS n2
+        |  FROM p GROUP BY vec_id
+        |), qn AS (
+        |  SELECT CAST(SUM(v * v) AS DOUBLE) AS qn2
+        |  FROM (SELECT CAST(unnest(qe) AS DECIMAL(18,9)) AS v FROM q)
+        |)
+        |SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 6) AS score
+        |FROM a, qn
+        |ORDER BY score DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  ${dbl(s"SUM(${dec("len(str_split(text, ' '))")}) / COUNT(*)")} AS avg_tokens,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+
+    "text_tokens_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 10""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  ${dbl(s"${dec("length(text) - (len(toks) - 1)")} / len(toks)")} AS avg_tok_len,
+         |  ${dbl(s"${dec("len(list_filter(toks, tk -> tk IN ('the','a','of','and','to','in','is')))")} / len(toks)")} AS stopword_ratio
+         |FROM (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS payload_sha
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+        |  ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }
