@@ -83,4 +83,28 @@ object Normalize {
   def sortLikeWarehouse(df: DataFrame, keys: Seq[String]): DataFrame =
     df.repartitionByRange(keys.map(col).toIndexedSeq: _*)
       .sortWithinPartitions(keys.map(col).toIndexedSeq: _*)
+
+  /** End-to-end reference orchestration (`Test_census_tract.py:316-408`
+    * plus the COPY-time cleaning of R22/§1.2): each per-state frame is
+    * schema-conformed, header-normalized, renamed by the code→label
+    * mapping, its estimate columns cleaned (blank→NULL, sentinel→NULL,
+    * decimal cast), then everything is concatenated by column name and
+    * laid out in warehouse sort order. `estimates` maps the *renamed*
+    * column label to its percent-code flag (DECIMAL(5,1) vs (18,0)).
+    * Pinned by the golden test in `graft.CensusGoldenSpec`. */
+  def censusPipeline(
+      perState: Seq[DataFrame],
+      expected: Seq[String],
+      mapping: Map[String, String],
+      estimates: Map[String, Boolean],
+      sortKeys: Seq[String]): DataFrame = {
+    val prepared = perState.map { df =>
+      val conformed =
+        renameByMapping(normalizeHeaders(conformSchema(df, expected)), mapping)
+      estimates.foldLeft(conformed) { case (d, (c, pct)) =>
+        if (d.columns.contains(c)) d.withColumn(c, cleanCast(col(c), pct)) else d
+      }
+    }
+    sortLikeWarehouse(unionByNameAll(prepared), sortKeys)
+  }
 }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import Util._
 
 /** Categories H (scalar function library) and I (generators / UDFs) —
-  * SURVEY.md §2.2 H1-H7, I1-I2. H8 (map fns) and I3 (custom Generator)
-  * are unit-tested (⛔ rows). All expressions here are built-in Catalyst
+  * SURVEY.md §2.2 H1-H8, I1-I3. H8 (map fns) is unit-tested in
+  * `graft.FnMapSpec`; I3 (custom Generator) in `graft.CharNGramsSpec`.
+  * All expressions here are built-in Catalyst
   * expressions → whole-stage codegen, no UDF in the hot path except the
   * deliberately-tiny I2 capability proof.
   *

@@ -6,7 +6,7 @@ import Util._
 
 /** Category J — event-time windowing (SURVEY.md §2.2 J1-J3 oracle-checked
   * in batch mode; J4-J7 are true-streaming and unit-tested via
-  * MemoryStream — see `graft.streaming` tests).
+  * MemoryStream in `graft.StreamingSpec`).
   *
   * `window()` / `session_window()` are the same Catalyst expressions in
   * batch and Structured Streaming, so the oracle-checked batch results

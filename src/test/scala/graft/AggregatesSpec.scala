@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SecondMax
+
+/** D8 (SecondMax UDAF) and D9 (approx distinct error bound). */
+class AggregatesSpec extends SparkTestBase {
+
+  test("SecondMax returns the second-largest DISTINCT value") {
+    import spark.implicits._
+    val sm = udaf(SecondMax)
+    val out = Seq(10L, 10L, 7L, 3L).toDF("v")
+      .repartition(3) // force partial + merge path
+      .agg(sm(col("v"))).collect().head.getLong(0)
+    assert(out == 7L, "tied maxima must not count twice")
+  }
+
+  test("SecondMax yields Unset for groups with < 2 distinct values") {
+    import spark.implicits._
+    val sm = udaf(SecondMax)
+    assert(Seq(5L, 5L, 5L).toDF("v").repartition(2)
+      .agg(sm(col("v"))).collect().head.getLong(0) == SecondMax.Unset)
+    assert(Seq(5L).toDF("v")
+      .agg(sm(col("v"))).collect().head.getLong(0) == SecondMax.Unset)
+  }
+
+  test("SecondMax merge is order-insensitive across many partitions") {
+    import spark.implicits._
+    val sm = udaf(SecondMax)
+    val vs = (1L to 100L) ++ (1L to 100L)
+    val out = vs.toDF("v").repartition(7)
+      .agg(sm(col("v"))).collect().head.getLong(0)
+    assert(out == 99L)
+  }
+
+  test("SecondMax handles negative values including Long.MinValue+1") {
+    import spark.implicits._
+    val sm = udaf(SecondMax)
+    val out = Seq(Long.MinValue + 1, -5L, -5L).toDF("v")
+      .agg(sm(col("v"))).collect().head.getLong(0)
+    assert(out == Long.MinValue + 1)
+  }
+
+  test("SecondMax rejects the reserved sentinel input") {
+    intercept[IllegalArgumentException] {
+      SecondMax.reduce(SecondMax.zero, Long.MinValue)
+    }
+  }
+
+  test("D9: approx_count_distinct within 5% of exact per group") {
+    val approx = ops.Aggregates.aggApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Util.t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"group $k: approx $a vs exact $e exceeds 5%")
+    }
+  }
+}

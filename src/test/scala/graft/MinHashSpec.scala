@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MinHash
+
+/** K2: banded MinHash LSH — planted near-duplicates must surface as
+  * candidates and survive exact-Jaccard verification; unrelated
+  * documents must not pair. */
+class MinHashSpec extends SparkTestBase {
+
+  // deterministic corpus: two near-identical docs + distractors drawn
+  // from a large vocabulary (so random trigram overlap is ~0)
+  private def corpus(): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 5000).map(i => s"w$i")
+    val base = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val nearDup = {
+      val toks = base.split(" ").toVector
+      toks.updated(30, "CHANGED").mkString(" ") // 1 token of 60 differs
+    }
+    val distractors = (2L until 30L).map { i =>
+      i -> (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    Seq(0L -> base, 1L -> nearDup) ++ distractors
+  }
+
+  private def docsDf() = {
+    import spark.implicits._
+    corpus().toDF("doc_id", "text")
+      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
+  }
+
+  test("signatures are deterministic and K columns wide") {
+    val s1 = MinHash.signatures(docsDf(), "doc_id", "shingles")
+    assert(s1.columns.length == MinHash.K + 1)
+    val a = s1.orderBy("doc_id").collect().map(_.toSeq)
+    val b = MinHash.signatures(docsDf(), "doc_id", "shingles")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("planted near-dup pair is a candidate; distractors are not") {
+    val cand = MinHash.candidatePairs(docsDf(), "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)),
+      "a 1-token-of-60 edit (J≈0.9) must collide in at least one of 8 bands")
+    // unrelated docs share no shingles → must not become candidates
+    assert(cand.forall { case (a, b) => (a, b) == ((0L, 1L)) },
+      s"unexpected candidate pairs: ${cand - ((0L, 1L))}")
+  }
+
+  test("identical documents always pair (J=1 collides in every band)") {
+    import spark.implicits._
+    val docs = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta",
+      12L -> "totally different words here that never repeat at all")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
+    val cand = MinHash.candidatePairs(docs, "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((10L, 11L)))
+  }
+
+  test("dedup_minhash precision on the fixture corpus is exact") {
+    // LSH only generates candidates — every emitted pair must genuinely
+    // have Jaccard >= 0.5, with doc_a < doc_b and no duplicates
+    val out = ops.LlmData.dedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._3 >= 0.5))
+    assert(out.forall(p => p._1 < p._2))
+    val pairs = out.map(p => (p._1, p._2))
+    assert(pairs.distinct.length == pairs.length)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary payload columns + partition-batched
+  * (stubbed) decode with a typed schema. */
+class MultimodalSpec extends SparkTestBase {
+
+  test("decodeStub is deterministic and in range") {
+    val m1 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val m2 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(m1 == m2)
+    assert(m1.width >= 1 && m1.width <= 640)
+    assert(m1.height >= 1 && m1.height <= 480)
+    assert(Set("png", "jpeg", "webp").contains(m1.format))
+  }
+
+  test("withDecodedMeta yields one typed row per payload") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.withDecodedMeta(df).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.getInt(1) == 3 % 640 + 1) // width from byte length
+    assert(out.head.getString(3) == Seq("png", "jpeg", "webp")(3 % 3))
+  }
+
+  test("featureStub emits a fixed-width deterministic vector") {
+    val v = Multimodal.featureStub("abc".getBytes("UTF-8"))
+    assert(v.length == 4)
+    assert(v(0) == 3.0f && v(3) == 'a'.toFloat)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+/** Executes every registered query end-to-end at sf0.001 — catches
+  * runtime plan errors the type-checker can't, and pins the
+  * queries↔oracle registration contract. */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  // ops whose correct fixture answer is legitimately empty at tiny scale
+  private val mayBeEmpty = Set(
+    "join_anti", "set_except", "join_range_interval",
+    "dedup_minhash", "dedup_ngram_jaccard")
+
+  test("every oracleSql key is a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle SQL without a query: $unknown")
+  }
+
+  test("rows-only queries are the documented non-portable trio") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("agg_approx_distinct", "dedup_minhash", "fn_map"))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001") {
+      val n = fn(spark, sfDir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

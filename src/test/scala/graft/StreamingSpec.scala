@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.StreamingOps
+
+/** Top-level so Spark can derive an Encoder without an outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+/** True-streaming semantics for J4-J7 via MemoryStream: watermark late
+  * drop, stateful dedup, stream-static join, and mapGroupsWithState
+  * accumulation across micro-batches. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def tmpCheckpoint(): String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+
+  private def withQuery[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  test("J4: watermarked tumbling agg drops events later than 10 minutes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingWithWatermark(in.toDF())
+      .writeStream.format("memory").queryName("j4")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 11:30:00"), 1, "view"))
+      q.processAllAvailable()
+      // watermark is now 11:20 → the [10:00, 11:00) window is closed
+      in.addData(Ev(3, ts("2024-01-01 10:06:00"), 1, "view"))
+      q.processAllAvailable()
+      val w10 = spark.table("j4")
+        .filter($"wstart" === ts("2024-01-01 10:00:00").getTime / 1000)
+        .select("n").collect().map(_.getLong(0))
+      // the late event must NOT have produced an updated count of 2
+      assert(w10.nonEmpty && w10.max == 1L)
+    }
+  }
+
+  test("J5: streaming dedup by event_id emits each id once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingDedup(in.toDF())
+      .writeStream.format("memory").queryName("j5")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view"))
+      q.processAllAvailable()
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "view"), // duplicate id
+        Ev(2, ts("2024-01-01 10:01:00"), 2, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("j5").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    }
+  }
+
+  test("J6: stream-static broadcast join enriches events with the dim") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamStaticJoin(in.toDF(), userDim)
+      .writeStream.format("memory").queryName("j6")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:01:00"), 3, "view")) // user 3 not in dim
+      q.processAllAvailable()
+      val rows = spark.table("j6").collect()
+        .map(r => (r.getLong(0), r.getString(2))).sorted
+      assert(rows.toSeq == Seq((1L, "gold")))
+    }
+  }
+
+  test("J7: mapGroupsWithState accumulates per-user counts across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.statefulRunningCount(in.toDF())
+      .writeStream.format("memory").queryName("j7")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "view"),
+        Ev(3, ts("2024-01-01 10:02:00"), 2, "view"))
+      q.processAllAvailable()
+      in.addData(
+        Ev(4, ts("2024-01-01 10:03:00"), 1, "view"),
+        Ev(5, ts("2024-01-01 10:04:00"), 2, "view"))
+      q.processAllAvailable()
+      val finalCounts = spark.table("j7")
+        .groupBy("user_id").max("n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
+    }
+  }
+
+  test("J1-J3 batch/stream parity: window() over a bounded stream equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "view"),
+      Ev(2, ts("2024-01-01 10:55:00"), 1, "view"),
+      Ev(3, ts("2024-01-01 11:05:00"), 2, "click"))
+    val in = MemoryStream[Ev]
+    import org.apache.spark.sql.functions._
+    val agg = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("j_parity")
+      .outputMode("complete").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("j_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val batch = evs.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(streamed == batch)
+    }
+  }
+}
