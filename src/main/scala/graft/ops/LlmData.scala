@@ -121,16 +121,29 @@ object LlmData {
     * function is expressible in portable SQL; the scale path with a
     * skew-free candidate generator is [[MinHash]] / [[dedupMinhash]]. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
-      .withColumn("bucket", array_min(col("shingles")))
-    val a = docs.select(col("bucket"), col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"))
-    val b = docs.select(col("bucket"), col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Codegen-friendly shingling (posexplode + element_at, no
+    // interpreted HOF), then bucket members are gathered with one
+    // groupBy + sorted collect_list and pairs expanded from each
+    // bucket's list — a self-join would recompute the shingle sets once
+    // per branch. sort_array orders struct items by doc_id, so i<j ⇒
+    // doc_a < doc_b, exactly the oracle's pair set.
+    val docs = MinHash.shingleSets(
+      MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text"),
+      "doc_id")
+    val pairs = docs
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
+        .as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
+          struct(
+            x.getField("doc_id").as("doc_a"),
+            x.getField("shingles").as("sh_a"),
+            y.getField("doc_id").as("doc_b"),
+            y.getField("shingles").as("sh_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.sh_a"), col("p.doc_b"), col("p.sh_b"))
+    pairs
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
@@ -147,15 +160,24 @@ object LlmData {
     * unit-tested with planted near-dups in `MinHashSpec`, and precision
     * is exact by construction (only recall depends on the bands). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
-    val cand = MinHash.candidatePairs(docs, "doc_id", "shingles")
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
-        Seq("doc_b"))
+    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
+    val cand = MinHash.candidatePairs(rows, "doc_id")
+    // verification melts each pair to its two member ids and joins the
+    // per-doc shingle sets ONCE (two separate join-backs would
+    // recompute them per branch). After regrouping, sort_array puts the
+    // doc_a member first (doc_a < doc_b).
+    val docs = MinHash.shingleSets(rows, "doc_id").drop("bucket")
+    val two = cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
+        .as("members"))
+      .select(col("doc_a"), col("doc_b"),
+        element_at(col("members"), 1).getField("shingles").as("sh_a"),
+        element_at(col("members"), 2).getField("shingles").as("sh_b"))
+    two
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_int"))

@@ -24,23 +24,31 @@ class MinHashSpec extends SparkTestBase {
     Seq(0L -> base, 1L -> nearDup) ++ distractors
   }
 
-  private def docsDf() = {
+  private def rowsDf() = {
     import spark.implicits._
-    corpus().toDF("doc_id", "text")
-      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
+    MinHash.shingleRows(corpus().toDF("doc_id", "text"), "doc_id", "text")
+  }
+
+  test("shingleRows emits n-2 trigram rows per n-token doc") {
+    import spark.implicits._
+    val rows = MinHash.shingleRows(
+      Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq((1L, "a b c"), (1L, "b c d"), (3L, "p q r")))
   }
 
   test("signatures are deterministic and K columns wide") {
-    val s1 = MinHash.signatures(docsDf(), "doc_id", "shingles")
+    val s1 = MinHash.signatures(rowsDf(), "doc_id")
     assert(s1.columns.length == MinHash.K + 1)
     val a = s1.orderBy("doc_id").collect().map(_.toSeq)
-    val b = MinHash.signatures(docsDf(), "doc_id", "shingles")
+    val b = MinHash.signatures(rowsDf(), "doc_id")
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
 
   test("planted near-dup pair is a candidate; distractors are not") {
-    val cand = MinHash.candidatePairs(docsDf(), "doc_id", "shingles")
+    val cand = MinHash.candidatePairs(rowsDf(), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((0L, 1L)),
       "a 1-token-of-60 edit (J≈0.9) must collide in at least one of 8 bands")
@@ -51,13 +59,12 @@ class MinHashSpec extends SparkTestBase {
 
   test("identical documents always pair (J=1 collides in every band)") {
     import spark.implicits._
-    val docs = Seq(
+    val rows = MinHash.shingleRows(Seq(
       10L -> "alpha beta gamma delta epsilon zeta eta theta",
       11L -> "alpha beta gamma delta epsilon zeta eta theta",
       12L -> "totally different words here that never repeat at all")
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), MinHash.shingles(col("text")).as("shingles"))
-    val cand = MinHash.candidatePairs(docs, "doc_id", "shingles")
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val cand = MinHash.candidatePairs(rows, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand == Set((10L, 11L)))
   }
