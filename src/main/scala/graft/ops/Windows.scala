@@ -8,10 +8,9 @@ import Util._
 /** Category E — window functions (SURVEY.md §2.2 E1-E6).
   *
   * Every window is partitioned (one shuffle on the partition key, sort
-  * within partition) except E6, whose single global window is a declared
-  * semantic (global quartiles); at 100 TB global ranking would move to a
-  * range-partitioned two-pass (sample → range bounds → rank offset) —
-  * noted in Scaladoc rather than hidden behind a silent bottleneck.
+  * within partition). E6's global quartiles are computed as a two-pass
+  * range-partitioned ranking (range bounds → local rank → cumulative
+  * offset), so no single task ever sorts the world — see [[winNtilePct]].
   */
 object Windows {
 
@@ -79,16 +78,49 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
-  /** E6: ntile / percent_rank / cume_dist over global order totals.
-    * Global window = declared semantic; see class doc for the 100 TB path. */
+  /** E6: ntile / percent_rank / cume_dist over global order totals —
+    * computed as a two-pass range-partitioned ranking instead of a
+    * single global window (which sorts the world in one task):
+    * range-partition on the ranking key, rank locally per partition,
+    * then add the cumulative count of the preceding partitions (a
+    * per-partition row-count table of `numPartitions` rows, broadcast).
+    * The ordering (tp_cents, o_orderkey) is total, so rank =
+    * row_number and ntile/percent_rank/cume_dist are closed-form in
+    * (rank, N) — bit-identical to the single-window semantics the
+    * oracle computes. */
   def winNtilePct(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("tp_cents"), col("o_orderkey"))
-    t(spark, sfDir, "orders")
+    val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("tp_cents"))
-      .select(col("o_orderkey"), col("tp_cents"),
-        ntile(4).over(w).as("nt"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+    val n = base.count() // one scalar job; N parameterizes the closed forms
+    val parts = base
+      .repartitionByRange(32, col("tp_cents"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("tp_cents"), col("o_orderkey"))
+    val local = parts.withColumn("lrn", row_number().over(localW).cast("long"))
+    // cumulative offsets: one row per partition — trivially broadcast
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(sum(col("cnt")).over(offW), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rnk", col("off") + col("lrn"))
+    // ntile(4): first (n mod 4) buckets get ceil(n/4) rows
+    val q = n / 4
+    val r = n % 4
+    val thresh = (q + 1) * r
+    val nt =
+      if (q == 0) col("rnk").cast("int")
+      else when(col("rnk") <= thresh,
+          expr(s"CAST((rnk - 1) DIV ${q + 1} AS INT) + 1"))
+        .otherwise(expr(s"CAST(${r} + (rnk - 1 - ${thresh}) DIV ${q} AS INT) + 1"))
+    val pr =
+      if (n <= 1) lit(0.0d)
+      else (col("rnk") - 1).cast("double") / lit((n - 1).toDouble)
+    ranked.select(col("o_orderkey"), col("tp_cents"),
+        nt.as("nt"),
+        pr.as("pr"),
+        (col("rnk").cast("double") / lit(n.toDouble)).as("cd"))
       .orderBy(col("o_orderkey"))
   }
 }
