@@ -22,6 +22,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: touch every table once (file listing, footer reads, codegen
+    // JIT of the scan path) so the alphabetically-first query doesn't
+    // absorb session start-up and skew its number.
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try graft.ops.Util.t(spark, sfDir, tbl).write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

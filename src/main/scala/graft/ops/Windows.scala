@@ -87,7 +87,10 @@ object Windows {
     * The ordering (tp_cents, o_orderkey) is total, so rank =
     * row_number and ntile/percent_rank/cume_dist are closed-form in
     * (rank, N) — bit-identical to the single-window semantics the
-    * oracle computes. */
+    * oracle computes. (Catalyst can't see that spark_partition_id()
+    * equals the range partitioning, so the local window adds one hash
+    * exchange on pid — two full-data shuffles total, but no task ever
+    * holds more than one range slice.) */
   def winNtilePct(spark: SparkSession, sfDir: String): DataFrame = {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("tp_cents"))

@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan regression audit: the shapes that make these queries
+  * scale (pushdown reaching the parquet scan, broadcast on dim joins,
+  * TakeOrderedAndProject for top-k, no accidental cartesian products)
+  * are asserted against the compiled plan string, so a refactor that
+  * silently degrades a plan fails CI, not the 100 TB run. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("scan_prune_filter pushes the date predicate into the parquet scan") {
+    val p = plan("scan_prune_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("scan_project prunes the read schema to exactly 4 columns") {
+    assert(plan("scan_project").contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double>"))
+  }
+
+  test("dim joins broadcast, never sort-merge") {
+    val p = plan("join_broadcast_inner")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+    assert(plan("text_tokens_topk").contains("TakeOrderedAndProject"))
+    assert(plan("sim_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no query plans a cartesian product") {
+    for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
+        "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard"))
+      assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian")
+  }
+
+  test("aggregations run partial (map-side) before the shuffle") {
+    assert(plan("agg_hash_q1").contains("partial"))
+    assert(plan("join_shuffle_inner").contains("partial"))
+  }
+
+  test("win_ntile_pct has no unpartitioned full-data window") {
+    // the only global (unpartitioned) window allowed is over the
+    // per-partition count table (numPartitions rows)
+    val p = plan("win_ntile_pct")
+    assert(p.contains("rangepartitioning"), "expect range-partitioned first pass")
+  }
+}
