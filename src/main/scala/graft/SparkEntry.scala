@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_project" -> (ops.Scans.scanProject _),
     "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
+    "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),
@@ -88,7 +89,11 @@ object SparkEntry {
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
+    "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
+    "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "sim_topk" -> (ops.LlmData.simTopk _),
+    "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
+    "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),

@@ -187,6 +187,62 @@ object LlmData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit fingerprints) over
+    * document tokens — the constant-space complement to [[dedupMinhash]]
+    * (8-byte fingerprint per doc, O(1) verification per candidate).
+    * Registered rows-only (xxhash64 isn't portable SQL); mechanics
+    * unit-tested with planted near-dups in `SimHashSpec`. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    SimHash.nearDupPairs(toks, "doc_id", "token", maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Approximate nearest neighbors of vec_id=0 via sign-hyperplane LSH
+    * ([[AnnLsh]]) with exact-cosine re-rank — the scale path next to the
+    * brute-force [[simTopk]] baseline. Registered rows-only (the
+    * fixed-seed Gaussian hyperplanes aren't portable SQL); recall
+    * mechanics unit-tested with planted neighbors in `AnnLshSpec`. */
+  def simAnnTopk(spark: SparkSession, sfDir: String): DataFrame =
+    AnnLsh.annTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9) via the same
+    * LSH buckets — embedding-space dedup for training corpora.
+    * Registered rows-only; unit-tested with planted duplicate vectors. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    AnnLsh.nearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.9d)
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** Heuristic language ID: per-language stopword-overlap score over
+    * the distinct token set, argmax with alphabetical tie-break — the
+    * standard cheap n-gram/stopword-profile heuristic, fully
+    * SQL-portable and oracle-checked. */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksD = array_distinct(split(col("text"), " "))
+    val scored = t(spark, sfDir, "documents")
+      .select(col("doc_id") +: langProfiles.map { case (l, ws) =>
+        size(array_intersect(toksD, array(ws.map(lit): _*))).as(s"s_$l")
+      }: _*)
+    // alphabetical-first argmax: de beats en beats es … on ties
+    val langs = langProfiles.map(_._1)
+    val pick = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), rest) =>
+        val beatsLater = langs.drop(i + 1)
+          .map(m => col(s"s_$l") >= col(s"s_$m")).reduce(_ && _)
+        when(beatsLater, lit(l)).otherwise(rest)
+    }
+    scored.select((col("doc_id") +: langs.map(l => col(s"s_$l"))) :+
+        pick.as("langid"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata —
     * byte length and content hash computed on the binary, the pattern an
     * image/audio pipeline uses before a decode step (decode itself is

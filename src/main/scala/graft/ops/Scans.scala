@@ -55,4 +55,27 @@ object Scans {
       .schema(schema).csv(out)
       .orderBy(col("r_regionkey"))
   }
+
+  /** A4: the reference's audit-log sink (R16/R17,
+    * `Test_census_tract.py:63-104`): keep only `x-ratelimit*` headers
+    * via map_filter, serialize to JSON, append to the log, read back.
+    * Append mode (never overwrite) is the R17 semantics; the path is
+    * unique per invocation so concurrent runs don't interleave. */
+  def sinkAppendAuditLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_audit_log_" +
+      java.util.UUID.randomUUID().toString
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        to_json(map_filter(
+          map(lit("x-ratelimit-remaining"), col("event_id").cast("string"),
+            lit("content-type"), lit("json")),
+          (k, _) => k.startsWith("x-ratelimit"))).as("audit"))
+      .write.mode("append").json(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("event_id", org.apache.spark.sql.types.LongType),
+        StructField("audit", StringType))))
+      .json(out)
+      .orderBy(col("event_id"))
+  }
 }

@@ -38,6 +38,13 @@ object OracleSql {
     "sink_roundtrip_csv" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
+    "sink_append_audit_log" ->
+      """SELECT event_id,
+        |  CAST(json_object('x-ratelimit-remaining', CAST(event_id AS VARCHAR))
+        |    AS VARCHAR) AS audit
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     // ---------------- B: filters / projections ----------------
     "filter_compound" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
@@ -562,6 +569,29 @@ object OracleSql {
          |  ${dbl(s"${dec("len(list_filter(toks, tk -> tk IN ('the','a','of','and','to','in','is')))")} / len(toks)")} AS stopword_ratio
          |FROM (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich'])) AS INTEGER) AS s_de,
+        |  CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','that'])) AS INTEGER) AS s_en,
+        |  CAST(len(list_intersect(toks, ['el','la','de','los','que','y','en','un'])) AS INTEGER) AS s_es,
+        |  CAST(len(list_intersect(toks, ['le','la','les','et','des','un','une','est'])) AS INTEGER) AS s_fr,
+        |  CAST(len(list_intersect(toks, ['的','是','在','了','我'])) AS INTEGER) AS s_zh,
+        |  CASE
+        |    WHEN len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich'])) >= len(list_intersect(toks, ['the','a','of','and','to','in','is','that']))
+        |     AND len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich'])) >= len(list_intersect(toks, ['el','la','de','los','que','y','en','un']))
+        |     AND len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich'])) >= len(list_intersect(toks, ['le','la','les','et','des','un','une','est']))
+        |     AND len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich'])) >= len(list_intersect(toks, ['的','是','在','了','我'])) THEN 'de'
+        |    WHEN len(list_intersect(toks, ['the','a','of','and','to','in','is','that'])) >= len(list_intersect(toks, ['el','la','de','los','que','y','en','un']))
+        |     AND len(list_intersect(toks, ['the','a','of','and','to','in','is','that'])) >= len(list_intersect(toks, ['le','la','les','et','des','un','une','est']))
+        |     AND len(list_intersect(toks, ['the','a','of','and','to','in','is','that'])) >= len(list_intersect(toks, ['的','是','在','了','我'])) THEN 'en'
+        |    WHEN len(list_intersect(toks, ['el','la','de','los','que','y','en','un'])) >= len(list_intersect(toks, ['le','la','les','et','des','un','une','est']))
+        |     AND len(list_intersect(toks, ['el','la','de','los','que','y','en','un'])) >= len(list_intersect(toks, ['的','是','在','了','我'])) THEN 'es'
+        |    WHEN len(list_intersect(toks, ['le','la','les','et','des','un','une','est'])) >= len(list_intersect(toks, ['的','是','在','了','我'])) THEN 'fr'
+        |    ELSE 'zh'
+        |  END AS langid
+        |FROM (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_binary_meta" ->
       """SELECT doc_id,

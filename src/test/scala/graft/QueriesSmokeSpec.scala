@@ -8,16 +8,18 @@ class QueriesSmokeSpec extends SparkTestBase {
   // ops whose correct fixture answer is legitimately empty at tiny scale
   private val mayBeEmpty = Set(
     "join_anti", "set_except", "join_range_interval",
-    "dedup_minhash", "dedup_ngram_jaccard")
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding", "sim_ann_topk")
 
   test("every oracleSql key is a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle SQL without a query: $unknown")
   }
 
-  test("rows-only queries are the documented non-portable trio") {
+  test("rows-only queries are exactly the documented non-portable set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("agg_approx_distinct", "dedup_minhash", "fn_map"))
+    assert(rowsOnly == Set("agg_approx_distinct", "dedup_minhash", "fn_map",
+      "dedup_simhash", "dedup_embedding", "sim_ann_topk"))
   }
 
   test("entry() returns rows") {
