@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("no query plans a cartesian product") {
     for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
-        "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard"))
+        "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_embedding", "sim_ann_topk"))
       assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian")
   }
 
