@@ -97,6 +97,7 @@ object SparkEntry {
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
+    "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
     "multimodal_decode" -> (ops.LlmData.multimodalDecode _)

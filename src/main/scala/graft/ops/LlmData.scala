@@ -99,6 +99,17 @@ object LlmData {
           256).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Rolling-hash document fingerprint via the native-codegen
+    * [[graft.functions.RollingHash]] expression — order-sensitive
+    * content identity (complement of the order-insensitive
+    * [[textFingerprint]]). */
+  def textRollingHash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.RollingHash.register(spark)
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "rolling_hash(text) AS rhash")
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring per document: token count, mean token length, and
     * stopword ratio (exact decimal ratios, DOUBLE finals). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {

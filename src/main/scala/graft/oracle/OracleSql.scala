@@ -562,6 +562,16 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(toks) AS INTEGER) AS n_tokens,

@@ -12,6 +12,8 @@ trait SparkTestBase extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import graft.census.Warehouse
+
+/** R21/R22 warehouse-load semantics: create-if-absent, Append = COPY,
+  * Overwrite = rebuild, sorted layout applied before write. */
+class WarehouseSpec extends SparkTestBase {
+
+  private def mkDf(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+  }
+
+  test("append loads accumulate like COPY; overwrite rebuilds") {
+    val tbl = "graft_wh_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Warehouse.load(mkDf(5), tbl, SaveMode.Append, Seq("id"))
+    assert(spark.table(tbl).count() == 5)
+    Warehouse.load(mkDf(5), tbl, SaveMode.Append, Seq("id"))
+    assert(spark.table(tbl).count() == 10)
+    Warehouse.load(mkDf(3), tbl, SaveMode.Overwrite, Seq("id"))
+    assert(spark.table(tbl).count() == 3)
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "v"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("files form disjoint sorted key ranges (SORTKEY layout)") {
+    val tbl = "graft_wh_sorted"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    import org.apache.spark.sql.functions._
+    Warehouse.load(mkDf(100).orderBy(rand(42)), tbl, SaveMode.Overwrite, Seq("id"))
+    val ranges = spark.table(tbl)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.nonEmpty)
+    // range partitioning ⇒ file key ranges never overlap
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+}
