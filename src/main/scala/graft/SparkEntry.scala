@@ -50,6 +50,7 @@ object SparkEntry {
     "agg_collect_sorted" -> (ops.Aggregates.aggCollectSorted _),
     "agg_udaf_second_max" -> (ops.Aggregates.aggUdafSecondMax _),
     "agg_approx_distinct" -> (ops.Aggregates.aggApproxDistinct _),
+    "agg_skew_salted" -> (ops.Aggregates.aggSkewSalted _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
     "win_running_sum" -> (ops.Windows.winRunningSum _),

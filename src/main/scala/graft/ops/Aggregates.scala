@@ -96,6 +96,24 @@ object Aggregates {
       .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
       .orderBy(col("o_orderstatus"))
 
+  /** D10: two-phase salted aggregation — the skew pattern for
+    * low-cardinality heavy keys (l_returnflag has 3 values, so a direct
+    * groupBy lands all 600M rows-per-flag-at-scale on 3 reducers).
+    * Phase 1 salts the key into 16 subkeys (spreading each heavy key
+    * over 16 reducers) and computes exact-decimal partials; phase 2
+    * combines the 48 partial rows. Decimal addition re-associates
+    * exactly, so the result is bit-identical to the direct aggregation
+    * the oracle computes. */
+  def aggSkewSalted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("p_qty"), count(lit(1)).as("p_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(dbl(sum(col("p_qty"))).as("sum_qty"),
+        sum(col("p_cnt")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** D8: custom typed UDAF — second-largest distinct order total (in
     * cents) per market segment. See [[graft.functions.SecondMax]]. */
   def aggUdafSecondMax(spark: SparkSession, sfDir: String): DataFrame = {

@@ -158,6 +158,14 @@ object OracleSql {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "agg_skew_salted" ->
+      s"""SELECT l_returnflag,
+         |  ${dbl(s"SUM(${dec("l_quantity")})")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
     "agg_distinct" ->
       """SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
