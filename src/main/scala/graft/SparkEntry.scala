@@ -101,7 +101,8 @@ object SparkEntry {
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
-    "multimodal_decode" -> (ops.LlmData.multimodalDecode _)
+    "multimodal_decode" -> (ops.LlmData.multimodalDecode _),
+    "multimodal_frame_sample" -> (ops.LlmData.multimodalFrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -44,6 +44,35 @@ object Multimodal {
       (if (n == 0) 0 else payload(0) & 0xff).toFloat)
   }
 
+  /** Resize planning: clamp metadata to a bounding box preserving
+    * aspect ratio (the pure geometry a resize kernel needs; the pixel
+    * work itself lives behind the stubbed codec). */
+  def resizeStub(m: MediaMeta, maxDim: Int): MediaMeta = {
+    require(maxDim >= 1)
+    val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+    MediaMeta(math.max(1, (m.width * scale).toInt),
+      math.max(1, (m.height * scale).toInt), m.format)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: the (fake) frame
+    * count is a deterministic function of the byte length
+    * (`n_bytes mod 16 + 1`); every `stride`-th frame index is emitted
+    * with a per-frame content hash — one row per sampled frame.
+    * Declarative explode over a sequence, so the sampler is a codegen'd
+    * lateral expansion, not a driver loop. */
+  def withFrameSamples(df: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1)
+    val frameCount = (length(col("payload")) % 16 + 1).cast("int")
+    df
+      .select(col("doc_id"), col("payload"), frameCount.as("n_frames"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        sha2(concat(col("payload"), lit(":".getBytes("UTF-8")),
+          col("frame_idx").cast("string").cast("binary")), 256).as("frame_sha"))
+  }
+
   /** Decode metadata for an (id, payload) DataFrame via a
     * partition-batched map — schema (doc_id, width, height, format). */
   def withDecodedMeta(df: DataFrame): DataFrame = {

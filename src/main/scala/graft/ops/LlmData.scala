@@ -266,6 +266,17 @@ object LlmData {
         sha2(col("payload"), 256).as("payload_sha"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal frame sampling: every 2nd frame index of each
+    * video-like payload with a per-frame content hash — see
+    * [[graft.multimodal.Multimodal.withFrameSamples]]. The fake frame
+    * count is a pure function of the byte length, so the lateral
+    * expansion is oracle-checkable. */
+  def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.withFrameSamples(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Multimodal decode: the partition-batched (fake) decoder of
     * [[graft.multimodal.Multimodal]] over binary payloads — typed
     * (width, height, format) metadata per document. The stub is a

@@ -618,6 +618,14 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, CAST(r.range AS INTEGER) AS frame_idx,
+        |  sha256(text || ':' || CAST(r.range AS VARCHAR)) AS frame_sha
+        |FROM documents, range(0, 16) r
+        |WHERE r.range <= octet_length(encode(text)) % 16
+        |  AND r.range % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,

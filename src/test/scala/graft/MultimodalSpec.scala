@@ -31,4 +31,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(v.length == 4)
     assert(v(0) == 3.0f && v(3) == 'a'.toFloat)
   }
+
+  test("resizeStub clamps to the bounding box preserving aspect ratio") {
+    val m = Multimodal.MediaMeta(640, 480, "png")
+    val r = Multimodal.resizeStub(m, 320)
+    assert(r == Multimodal.MediaMeta(320, 240, "png"))
+    // never upscale
+    assert(Multimodal.resizeStub(Multimodal.MediaMeta(100, 50, "jpeg"), 320) ==
+      Multimodal.MediaMeta(100, 50, "jpeg"))
+    // degenerate dims stay >= 1
+    assert(Multimodal.resizeStub(Multimodal.MediaMeta(1000, 1, "webp"), 10).height == 1)
+  }
+
+  test("withFrameSamples emits every 2nd frame index with per-frame hashes") {
+    import spark.implicits._
+    // payload of 5 bytes → n_frames = 5 % 16 + 1 = 6 → indices 0, 2, 4
+    val df = Seq((1L, "abcde")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.withFrameSamples(df).orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(out.map(_.getString(2)).distinct.length == 3, "frame hashes differ")
+  }
 }
