@@ -99,8 +99,13 @@ object Normalize {
       estimates: Map[String, Boolean],
       sortKeys: Seq[String]): DataFrame = {
     val prepared = perState.map { df =>
-      val conformed =
-        renameByMapping(normalizeHeaders(conformSchema(df, expected)), mapping)
+      // normalize FIRST: a raw header like "dp02-0060e " must unify with
+      // its expected name before conformance, or conformSchema would add
+      // a NULL duplicate of a column that only matches post-normalization
+      // (round-4 review finding)
+      val conformed = renameByMapping(
+        conformSchema(normalizeHeaders(df), expected.map(normalizeHeader)),
+        mapping)
       estimates.foldLeft(conformed) { case (d, (c, pct)) =>
         if (d.columns.contains(c)) d.withColumn(c, cleanCast(col(c), pct)) else d
       }

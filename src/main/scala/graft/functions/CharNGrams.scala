@@ -40,10 +40,12 @@ case class CharNGrams(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val s = v.asInstanceOf[UTF8String].toString
-      if (s.length < n) Nil
-      else (0 to s.length - n).map { i =>
-        InternalRow(i, UTF8String.fromString(s.substring(i, i + n)))
+      // iterate CODEPOINTS, not UTF-16 code units: a surrogate pair is one
+      // character, matching SQL substr semantics (round-4 review finding)
+      val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+      if (cps.length < n) Nil
+      else (0 to cps.length - n).map { i =>
+        InternalRow(i, UTF8String.fromString(new String(cps, i, n)))
       }
     }
   }

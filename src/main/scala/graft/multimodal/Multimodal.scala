@@ -32,7 +32,9 @@ object Multimodal {
     * SQL can pin the plumbing end-to-end. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    MediaMeta(n % 640 + 1, (n * 7) % 480 + 1, Formats(n % 3))
+    // 64-bit multiply: n*7 overflows Int for payloads > ~306 MB, which
+    // would break the >=1 dimension contract (round-4 review finding)
+    MediaMeta(n % 640 + 1, ((n.toLong * 7L) % 480L).toInt + 1, Formats(n % 3))
   }
 
   /** FAKE feature-extract — 4 deterministic floats per payload (a real

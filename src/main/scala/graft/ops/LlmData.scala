@@ -146,14 +146,9 @@ object LlmData {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
         .as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
-          struct(
-            x.getField("doc_id").as("doc_a"),
-            x.getField("shingles").as("sh_a"),
-            y.getField("doc_id").as("doc_b"),
-            y.getField("shingles").as("sh_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.sh_a"), col("p.doc_b"), col("p.sh_b"))
+      .select(explode(Buckets.sortedPairs(col("items"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.a.shingles").as("sh_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.shingles").as("sh_b"))
     pairs
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",

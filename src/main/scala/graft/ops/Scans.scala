@@ -15,6 +15,26 @@ import Util._
   */
 object Scans {
 
+  /** Session-lifetime scratch root for sink round-trips — recursively
+    * deleted on JVM exit so repeated bench/verify runs don't accumulate
+    * tmp garbage (round-4 review finding). */
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sinks_")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }
+    p
+  }
+
+  /** Unique per-invocation sink path: concurrent runs must not clobber
+    * each other's output (round-3 advice). */
+  private def freshSinkDir(prefix: String): String =
+    sinkRoot.resolve(prefix + java.util.UUID.randomUUID().toString).toString
+
   /** A1: projection-only scan of lineitem — parquet reads exactly 4 columns. */
   def scanProject(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -39,10 +59,7 @@ object Scans {
     * reads it back with an explicit all-typed schema, proves losslessness
     * against a plain oracle scan of the original table. */
   def sinkRoundtripCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    // unique per-invocation path: concurrent runs must not clobber each
-    // other's round-trip output (round-3 advice)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
-      java.util.UUID.randomUUID().toString
+    val out = freshSinkDir("csv_roundtrip_")
     t(spark, sfDir, "region")
       .write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N")
@@ -62,8 +79,7 @@ object Scans {
     * Append mode (never overwrite) is the R17 semantics; the path is
     * unique per invocation so concurrent runs don't interleave. */
   def sinkAppendAuditLog(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_audit_log_" +
-      java.util.UUID.randomUUID().toString
+    val out = freshSinkDir("audit_log_")
     t(spark, sfDir, "events")
       .select(col("event_id"),
         to_json(map_filter(

@@ -58,14 +58,9 @@ object SimHash {
       .groupBy(col("band_id"), col("band_val"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
-          struct(
-            x.getField("id").as("doc_a"),
-            x.getField("simhash").as("fp_a"),
-            y.getField("id").as("doc_b"),
-            y.getField("simhash").as("fp_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.fp_a"), col("p.doc_b"), col("p.fp_b"))
+      .select(explode(Buckets.sortedPairs(col("items"))).as("p"))
+      .select(col("p.a.id").as("doc_a"), col("p.a.simhash").as("fp_a"),
+        col("p.b.id").as("doc_b"), col("p.b.simhash").as("fp_b"))
       .distinct()
   }
 

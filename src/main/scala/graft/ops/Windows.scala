@@ -95,13 +95,24 @@ object Windows {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("tp_cents"))
     val n = base.count() // one scalar job; N parameterizes the closed forms
-    val parts = base
-      .repartitionByRange(32, col("tp_cents"), col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
+    // Deterministic range buckets: boundaries are sampled ONCE driver-side
+    // and inlined as literals, so every plan branch buckets identically —
+    // repartitionByRange would re-sample per materialized subtree and
+    // correctness would hinge on exchange reuse (round-4 review finding).
+    // Rank correctness does not depend on boundary VALUES (offsets are
+    // computed from actual bucket counts), only on all branches agreeing.
+    val bounds = base.stat
+      .approxQuantile("tp_cents", (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    // equal keys always share a bucket → ties can't straddle a boundary
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("tp_cents") > lit(b), 1).otherwise(0)
+    }
+    val parts = base.withColumn("pid", pid)
     val localW = Window.partitionBy(col("pid"))
       .orderBy(col("tp_cents"), col("o_orderkey"))
     val local = parts.withColumn("lrn", row_number().over(localW).cast("long"))
-    // cumulative offsets: one row per partition — trivially broadcast
+    // cumulative offsets: one row per bucket — trivially broadcast
     val offW = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))

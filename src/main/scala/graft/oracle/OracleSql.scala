@@ -11,6 +11,9 @@ package graft.oracle
   * pinned by unit tests instead):
   *  - agg_approx_distinct (HLL sketch estimate is engine-specific),
   *  - dedup_minhash (Murmur3 LSH signatures aren't portable SQL),
+  *  - dedup_simhash (xxhash64 fingerprints aren't portable SQL),
+  *  - dedup_embedding / sim_ann_topk (fixed-seed Gaussian hyperplanes
+  *    aren't portable SQL),
   *  - fn_map (MAP-typed output column isn't hashable by the oracle).
   */
 object OracleSql {
@@ -477,7 +480,7 @@ object OracleSql {
 
     "stream_session" ->
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER win IS NULL
         |           OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
@@ -485,7 +488,7 @@ object OracleSql {
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM o
         |)

@@ -72,6 +72,21 @@ class CensusGoldenSpec extends SparkTestBase {
     assert(rows == golden)
   }
 
+  test("raw headers that match expected only after normalization don't duplicate") {
+    // "dp02-0060e " normalizes to DP02_0060E — conformance must happen on
+    // normalized names or a NULL duplicate column appears (round-4 fix)
+    val raw = df(
+      Seq("NAME", "dp02-0060e ", "state", "county", "tract", "state_fips"),
+      Seq(Seq("Tract X, AL", "77", "01", "001", "000900", "01")))
+    val out = Normalize.censusPipeline(
+      Seq(raw), Seq("NAME", "DP02_0060E"), Mapping.codeToLabel,
+      Map("Less than High School" -> false), Seq("STATE_FIPS"))
+    assert(out.columns.count(_ == "Less than High School") == 1)
+    val r = out.collect().head
+    assert(r.getDecimal(out.columns.indexOf("Less than High School"))
+      .longValueExact() == 77L)
+  }
+
   test("cleanCast: blanks and suppression sentinels become NULL") {
     import org.apache.spark.sql.functions._
     val d = df(Seq("v"), Seq(Seq("42"), Seq(""), Seq("   "), Seq("-666666666"),

@@ -32,6 +32,16 @@ class CharNGramsSpec extends SparkTestBase {
     assert(out == Seq((1L, 0, "he"), (1L, 1, "el"), (1L, 2, "ll"), (1L, 3, "lo")))
   }
 
+  test("astral codepoints count as one character (SQL substr semantics)") {
+    import spark.implicits._
+    CharNGrams.register(spark)
+    // 𝄞 is a surrogate pair in UTF-16 but ONE character
+    val out = Seq("𝄞ab").toDF("s")
+      .selectExpr("char_ngrams(s)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((0, "𝄞ab")))
+  }
+
   test("udtf_generator query runs and matches a hand computation") {
     val out = ops.Fns.udtfGenerator(spark, sfDir)
     val first = out.limit(3).collect().map(r => (r.getInt(1), r.getString(2)))
