@@ -51,6 +51,9 @@ object SparkEntry {
     "agg_udaf_second_max" -> (ops.Aggregates.aggUdafSecondMax _),
     "agg_approx_distinct" -> (ops.Aggregates.aggApproxDistinct _),
     "agg_skew_salted" -> (ops.Aggregates.aggSkewSalted _),
+    "agg_pivot" -> (ops.Aggregates.aggPivot _),
+    "agg_unpivot" -> (ops.Aggregates.aggUnpivot _),
+    "agg_percentile" -> (ops.Aggregates.aggPercentile _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
     "win_running_sum" -> (ops.Windows.winRunningSum _),

@@ -114,6 +114,39 @@ object Aggregates {
         sum(col("p_cnt")).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** D11: pivot — order counts reshaped to one column per status.
+    * The pivot values are declared explicitly, so the plan is a single
+    * pass (no extra distinct-values job) — the scale-correct form. */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .orderBy(col("o_orderpriority"))
+
+  /** D12: unpivot/melt — wide part metrics to long (key, metric, value)
+    * form; value columns are unified to BIGINT as unpivot requires. */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        cents(col("p_retailprice")).as("price_cents"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("price_cents")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** D13: exact interpolated percentiles per group. Quartile fractions
+    * (0.25/0.5) are binary-exact, so the linear interpolation over
+    * integer cents is bit-identical between Spark's `percentile` and
+    * DuckDB's `quantile_cont`. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("tpc"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(tpc, 0.5)").as("median_cents"),
+        expr("percentile(tpc, 0.25)").as("q1_cents"))
+      .orderBy(col("o_orderstatus"))
+
   /** D8: custom typed UDAF — second-largest distinct order total (in
     * cents) per market segment. See [[graft.functions.SecondMax]]. */
   def aggUdafSecondMax(spark: SparkSession, sfDir: String): DataFrame = {

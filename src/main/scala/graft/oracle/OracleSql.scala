@@ -169,6 +169,35 @@ object OracleSql {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'price_cents',
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT)
+        |  FROM part
+        |) ORDER BY p_partkey, metric""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(tpc, 0.5) AS median_cents,
+        |  quantile_cont(tpc, 0.25) AS q1_cents
+        |FROM (SELECT o_orderstatus,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tpc
+        |      FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "agg_distinct" ->
       """SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
