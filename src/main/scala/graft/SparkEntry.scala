@@ -29,6 +29,7 @@ object SparkEntry {
     "filter_null_like" -> (ops.Filters.filterNullLike _),
     "project_compute" -> (ops.Filters.projectCompute _),
     "project_rename_norm" -> (ops.Filters.projectRenameNorm _),
+    "filter_subquery" -> (ops.Filters.filterSubquery _),
     // C — joins
     "join_broadcast_inner" -> (ops.Joins.joinBroadcastInner _),
     "join_shuffle_inner" -> (ops.Joins.joinShuffleInner _),

@@ -39,6 +39,23 @@ object Filters {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
         col("ship_year"))
 
+  /** B5: scalar-subquery filter — customers above the global average
+    * balance. The comparison is algebraically rearranged to exact
+    * decimal (`bal * n > sum`) so no float-division boundary can flip a
+    * row between engines; Catalyst plans the scalar subquery as a
+    * one-row broadcast, the scan stays a single pass. */
+  def filterSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("graft_customer_sq")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM graft_customer_sq
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM graft_customer_sq)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |       FROM graft_customer_sq)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** B4: reference R7/R8 applied to data — `upper(trim(...))`
     * normalization (`Test_census_tract.py:352`), `translate` cleanup, and
     * rename-by-mapping (`:354`) via [[graft.census.Normalize.renameByMapping]]. */

@@ -70,6 +70,14 @@ object OracleSql {
          |FROM lineitem
          |ORDER BY l_orderkey, l_linenumber, disc_price, ship_year""".stripMargin,
 
+    "filter_subquery" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM customer)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
     "project_rename_norm" ->
       """SELECT c_custkey AS customer_id,
         |  replace(c_name, '#', '_') AS name_norm,
