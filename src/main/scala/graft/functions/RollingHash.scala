@@ -69,6 +69,10 @@ object RollingHash {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash",
-      (exprs: Seq[Expression]) => RollingHash(exprs.head),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => RollingHash(s)
+        case _ => throw new IllegalArgumentException(
+          "rolling_hash(str) takes exactly one argument")
+      },
       "scala_udf")
 }

@@ -25,23 +25,30 @@ import org.apache.spark.sql.functions._
 object AnnLsh {
   /** Fixture embedding dimensionality. */
   val Dim = 64
-  /** 4 independent tables of up to 16 sign bits. Callers pick the code
-    * width per use case: FINE codes (16 bits → 65k buckets) for
-    * near-dup dedup, where only near-identical vectors should collide
-    * and candidate volume must stay linear; a COARSE prefix (8 bits)
-    * of the same hyperplanes for ANN search, where recall over
-    * moderately-similar vectors matters. (6-bit dedup codes measured
-    * ~780k candidate pairs on 5000 random vectors — quadratic
-    * blowup; 16-bit codes keep it to a few hundred.) */
-  val Tables = 4
+  /** Up to 8 independent tables of up to 16 sign bits. Callers pick the
+    * (tables, bits) operating point per use case — recall at cosine θ is
+    * 1-(1-(1-acos(θ)/π)^bits)^tables:
+    *  - dedup: 8 tables × 16 bits → recall ≈ 0.994 at cos 0.99,
+    *    ≈ 0.50 at cos 0.9, → 1 as cos → 1; candidate volume stays
+    *    linear (65k buckets/table). LSH recall is inherently
+    *    probabilistic — callers get exact PRECISION (every emitted pair
+    *    is verified), approximate RECALL per this S-curve.
+    *  - ANN search: 4 tables × 8-bit prefixes of the same hyperplanes,
+    *    coarse enough to surface moderately-similar candidates.
+    * (6-bit dedup codes measured ~780k candidate pairs on random
+    * vectors — quadratic blowup; 16-bit codes keep it to a few
+    * hundred.) */
+  val MaxTables = 8
   val MaxBitsPerTable = 16
+  val DedupTables = 8
   val DedupBits = 16
+  val AnnTables = 4
   val AnnBits = 8
 
   /** Fixed-seed Gaussian hyperplanes — deterministic across JVMs. */
   private val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(987654321L)
-    Array.fill(Tables * MaxBitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+    Array.fill(MaxTables * MaxBitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
   /** (id, table_id, code) rows for an (id, float-array) DataFrame,
@@ -57,12 +64,13 @@ object AnnLsh {
     * indexing a 64-double literal array — generated pathological code
     * and measured ~12s at sf0.1; this shape is ~1s.) */
   def codes(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = DedupBits): DataFrame = {
+      tables: Int = DedupTables, bits: Int = DedupBits): DataFrame = {
     require(bits >= 1 && bits <= MaxBitsPerTable)
+    require(tables >= 1 && tables <= MaxTables)
     val spark = df.sparkSession
     import spark.implicits._
     val planeRows = for {
-      t <- 0 until Tables
+      t <- 0 until tables
       b <- 0 until bits
       (w, p) <- planes(t * MaxBitsPerTable + b).zipWithIndex
     } yield (t, b, p, w)
@@ -85,20 +93,39 @@ object AnnLsh {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** The query vector's own LSH codes, computed driver-side: it is one
+    * in-memory vector, so its 32 hyperplane dots are trivial — pushing
+    * this through the distributed codes() pipeline would add a second
+    * full aggregation subtree just to produce 4 integers. */
+  private def queryCodes(q: Seq[Float], tables: Int, bits: Int): Seq[(Int, Int)] =
+    (0 until tables).map { t =>
+      val code = (0 until bits).foldLeft(0) { (acc, b) =>
+        val p = planes(t * MaxBitsPerTable + b)
+        val dot = q.iterator.zipWithIndex
+          .map { case (x, i) => x.toDouble * p(i) }.sum
+        if (dot > 0) acc | (1 << b) else acc
+      }
+      (t, code)
+    }
+
   /** Approximate nearest neighbors of one query vector: every vector
     * sharing a (table, code) bucket with the query is a candidate;
     * candidates are re-ranked by exact cosine. One narrow pass over
-    * the data + a broadcast-sized candidate set — never a crossJoin. */
+    * the data + a broadcast-sized candidate set — never a crossJoin,
+    * and the query's codes are driver-side literals (no second
+    * aggregation pass over the data). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val cs = codes(df, idCol, vecCol, AnnBits)
-    val qCodes = cs.filter(col(idCol) === queryId)
-      .select(col("table_id"), col("code"))
-    val candIds = cs.filter(col(idCol) =!= queryId)
-      .join(broadcast(qCodes), Seq("table_id", "code"))
-      .select(col(idCol)).distinct()
     val qVec = df.filter(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0)
+    val qBuckets = queryCodes(qVec, AnnTables, AnnBits)
+    val bucketHit = qBuckets.map { case (t, c) =>
+      col("table_id") === t && col("code") === c
+    }.reduce(_ || _)
+    val candIds = codes(df, idCol, vecCol, AnnTables, AnnBits)
+      .filter(col(idCol) =!= queryId)
+      .filter(bucketHit)
+      .select(col(idCol)).distinct()
     val qLit = array(qVec.map(lit).toIndexedSeq: _*)
     df.join(candIds, Seq(idCol))
       .select(col(idCol),
@@ -110,10 +137,12 @@ object AnnLsh {
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * minCos): LSH buckets → sorted-bucket pair expansion → exact
-    * cosine verification via a single pair-melt join. */
+    * cosine verification via a single pair-melt join. Precision is
+    * exact; recall follows the class-doc S-curve (≈0.99 at cos 0.99,
+    * →1 as cos→1 — pairs barely above a low minCos may be missed). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
-    val buckets = codes(df, idCol, vecCol, DedupBits)
+    val buckets = codes(df, idCol, vecCol, DedupTables, DedupBits)
       .groupBy(col("table_id"), col("code"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)

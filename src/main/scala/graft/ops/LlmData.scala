@@ -213,9 +213,13 @@ object LlmData {
   def simAnnTopk(spark: SparkSession, sfDir: String): DataFrame =
     AnnLsh.annTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9) via the same
-    * LSH buckets — embedding-space dedup for training corpora.
-    * Registered rows-only; unit-tested with planted duplicate vectors. */
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9) via sign-LSH
+    * buckets — embedding-space dedup for training corpora. Precision is
+    * exact (every pair verified); recall is the LSH S-curve of
+    * [[AnnLsh]] (≈0.99 at cos 0.99, →1 for true duplicates; pairs just
+    * above the 0.9 floor may be missed — the standard LSH-dedup
+    * trade-off). Registered rows-only; planted-duplicate tests in
+    * `AnnLshSpec`. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     AnnLsh.nearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.9d)
 

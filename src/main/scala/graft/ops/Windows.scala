@@ -79,18 +79,16 @@ object Windows {
   }
 
   /** E6: ntile / percent_rank / cume_dist over global order totals —
-    * computed as a two-pass range-partitioned ranking instead of a
-    * single global window (which sorts the world in one task):
-    * range-partition on the ranking key, rank locally per partition,
-    * then add the cumulative count of the preceding partitions (a
-    * per-partition row-count table of `numPartitions` rows, broadcast).
-    * The ordering (tp_cents, o_orderkey) is total, so rank =
-    * row_number and ntile/percent_rank/cume_dist are closed-form in
-    * (rank, N) — bit-identical to the single-window semantics the
-    * oracle computes. (Catalyst can't see that spark_partition_id()
-    * equals the range partitioning, so the local window adds one hash
-    * exchange on pid — two full-data shuffles total, but no task ever
-    * holds more than one range slice.) */
+    * computed as a two-pass ranking instead of a single global window
+    * (which sorts the world in one task): assign each row a range
+    * bucket from driver-sampled literal boundaries, rank locally per
+    * bucket, then add the cumulative count of the preceding buckets
+    * (one row per bucket, broadcast). The ordering (tp_cents,
+    * o_orderkey) is total, so rank = row_number and
+    * ntile/percent_rank/cume_dist are closed-form in (rank, N) —
+    * bit-identical to the single-window semantics the oracle computes.
+    * One full-data shuffle (the hash exchange on the bucket id); the
+    * boundary sampling and N are two lightweight scalar jobs. */
   def winNtilePct(spark: SparkSession, sfDir: String): DataFrame = {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("tp_cents"))

@@ -46,10 +46,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("join_shuffle_inner").contains("partial"))
   }
 
-  test("win_ntile_pct has no unpartitioned full-data window") {
-    // the only global (unpartitioned) window allowed is over the
-    // per-partition count table (numPartitions rows)
+  test("win_ntile_pct computes ranking closed-form, not via global window fns") {
+    // the two-pass design ranks locally per bucket (windowspecdefinition
+    // partitioned on pid) and derives ntile/percent_rank/cume_dist as
+    // closed forms — the built-in global ranking functions must NOT
+    // appear, or the plan has regressed to a sort-the-world window
     val p = plan("win_ntile_pct")
-    assert(p.contains("rangepartitioning"), "expect range-partitioned first pass")
+    assert(p.contains("windowspecdefinition(pid"),
+      "expect a bucket-partitioned local ranking window")
+    assert(!p.contains("ntile("), "global ntile() window regression")
+    assert(!p.contains("percent_rank("), "global percent_rank() regression")
+    assert(!p.contains("cume_dist("), "global cume_dist() regression")
   }
 }

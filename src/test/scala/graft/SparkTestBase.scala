@@ -12,8 +12,10 @@ trait SparkTestBase extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_test")
+      // per-JVM unique: a crashed run's leftover table dirs must not
+      // poison the next run's saveAsTable, and concurrent test JVMs
+      // must not write the same managed-table paths
+      .config("spark.sql.warehouse.dir", SparkTestBase.warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -21,4 +23,19 @@ trait SparkTestBase extends AnyFunSuite {
 
   /** Smallest fixture scale — correctness only, speed matters in CI. */
   val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  /** One warehouse dir per JVM, deleted on exit. */
+  lazy val warehouseDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_warehouse_test_")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }
+    p.toString
+  }
 }
