@@ -55,6 +55,7 @@ object SparkEntry {
     "agg_pivot" -> (ops.Aggregates.aggPivot _),
     "agg_unpivot" -> (ops.Aggregates.aggUnpivot _),
     "agg_percentile" -> (ops.Aggregates.aggPercentile _),
+    "agg_minmax_by" -> (ops.Aggregates.aggMinmaxBy _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
     "win_running_sum" -> (ops.Windows.winRunningSum _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "fn_json" -> (ops.Fns.fnJson _),
     "fn_array" -> (ops.Fns.fnArray _),
     "fn_map" -> (ops.Fns.fnMap _),
+    "fn_bitwise" -> (ops.Fns.fnBitwise _),
     // I — generators / UDFs
     "gen_explode_pos" -> (ops.Fns.genExplodePos _),
     "udf_scalar_fips" -> (ops.Fns.udfScalarFips _),

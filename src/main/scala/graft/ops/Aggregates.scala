@@ -114,6 +114,19 @@ object Aggregates {
         sum(col("p_cnt")).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** D14: min_by / max_by — argmin/argmax aggregates keyed on the
+    * UNIQUE o_orderkey (a non-unique ordering key would make the
+    * picked row engine-dependent). */
+  def aggMinmaxBy(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("prio_of_last"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("prio_of_first"),
+        max(col("o_orderkey")).as("last_key"),
+        min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("o_orderstatus"))
+
   /** D11: pivot — order counts reshaped to one column per status.
     * The pivot values are declared explicitly, so the plan is a single
     * pass (no extra distinct-values job) — the scale-correct form. */

@@ -125,6 +125,20 @@ object Fns {
           .as("ratelimit_only"))
       .orderBy(col("event_id"))
 
+  /** H9: bitwise battery over keys — AND/OR/XOR/NOT and shifts, the
+    * primitives behind bitmap indexes and the SimHash/LSH band ops. */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("band"),
+        col("p_partkey").bitwiseOR(lit(16L)).as("bor"),
+        col("p_partkey").bitwiseXOR(col("p_size").cast("long")).as("bxor"),
+        expr("shiftleft(p_size, 3)").as("shl"),
+        expr("shiftright(p_partkey, 2)").as("shr"),
+        bitwise_not(col("p_size")).as("bnot"),
+        bit_count(col("p_partkey")).as("popcnt"))
+      .orderBy(col("p_partkey"))
+
   /** I1: posexplode over the first 5 tokens of each document. */
   def genExplodePos(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")

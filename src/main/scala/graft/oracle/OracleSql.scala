@@ -177,6 +177,16 @@ object OracleSql {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_orderpriority, o_orderkey) AS prio_of_last,
+        |  min_by(o_orderpriority, o_orderkey) AS prio_of_first,
+        |  MAX(o_orderkey) AS last_key,
+        |  MIN(o_orderkey) AS first_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
@@ -473,6 +483,18 @@ object OracleSql {
         |  toks[1] AS first_tok,
         |  array_to_string(list_sort(toks), ',') AS sorted_toks
         |FROM (SELECT p_partkey, str_split(p_name, ' ') AS toks FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band,
+        |  p_partkey | 16 AS bor,
+        |  xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor,
+        |  CAST(p_size AS INTEGER) << 3 AS shl,
+        |  p_partkey >> 2 AS shr,
+        |  ~p_size AS bnot,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS popcnt
+        |FROM part
         |ORDER BY p_partkey""".stripMargin,
 
     // ---------------- I: generators / UDFs ----------------
