@@ -84,6 +84,7 @@ object SparkEntry {
     "fn_array" -> (ops.Fns.fnArray _),
     "fn_map" -> (ops.Fns.fnMap _),
     "fn_bitwise" -> (ops.Fns.fnBitwise _),
+    "fn_date2" -> (ops.Fns.fnDate2 _),
     // I — generators / UDFs
     "gen_explode_pos" -> (ops.Fns.genExplodePos _),
     "udf_scalar_fips" -> (ops.Fns.udfScalarFips _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
+    "text_tfidf" -> (ops.LlmData.textTfidf _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),

@@ -57,6 +57,22 @@ object Fns {
         dayofweek(col("o_orderdate")).as("dow"))
       .orderBy(col("o_orderkey"))
 
+  /** H10: calendar battery — add_months, quarter, ISO week, day-of-year,
+    * year-trunc, month formatting, and a make_date reconstruction
+    * round-trip. */
+  def fnDate2(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"),
+        add_months(col("d"), 3).as("plus3m"),
+        quarter(col("d")).as("qtr"),
+        weekofyear(col("d")).as("isoweek"),
+        dayofyear(col("d")).as("doy"),
+        trunc(col("d"), "year").as("ystart"),
+        date_format(col("d"), "yyyy-MM").as("ym"),
+        make_date(year(col("d")), month(col("d")), dayofmonth(col("d"))).as("remade"))
+      .orderBy(col("o_orderkey"))
+
   /** H4: math battery over part. Irrational results (ln) are rounded to
     * 4 dp — libm implementations agree far beyond that. */
   def fnMath(spark: SparkSession, sfDir: String): DataFrame =

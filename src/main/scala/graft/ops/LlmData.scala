@@ -99,6 +99,24 @@ object LlmData {
           256).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF over the corpus: per token, total term frequency × inverse
+    * document frequency (ln(N/df), rounded to 4 dp — libm implementations
+    * agree far beyond that), top 20 by weight with token tie-break.
+    * One explode + one two-measure aggregate (tf and df in the same
+    * pass — df via distinct doc count), then TakeOrdered. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val nDocs = docs.count().toDouble // one scalar job parameterizing idf
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .select(col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(nDocs) / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(20)
+  }
+
   /** Rolling-hash document fingerprint via the native-codegen
     * [[graft.functions.RollingHash]] expression — order-sensitive
     * content identity (complement of the order-insensitive

@@ -440,6 +440,20 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    "fn_date2" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS isoweek,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+        |  CAST(date_trunc('year', o_orderdate) AS DATE) AS ystart,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |  make_date(CAST(year(o_orderdate) AS BIGINT),
+        |            CAST(month(o_orderdate) AS BIGINT),
+        |            CAST(day(o_orderdate) AS BIGINT)) AS remade
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     "fn_math" ->
       s"""SELECT p_partkey,
          |  ${dbl(s"round(${dec("p_retailprice")}, 2)")} AS r2,
@@ -625,6 +639,19 @@ object OracleSql {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 10""".stripMargin,
+
+    "text_tfidf" ->
+      """SELECT token, tf, df,
+        |  round(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 4)
+        |    AS tfidf
+        |FROM (
+        |  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token
+        |)
+        |ORDER BY tfidf DESC, token
+        |LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
