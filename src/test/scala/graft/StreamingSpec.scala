@@ -110,6 +110,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("parquet file source → watermarked agg → parquet file sink equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fsrc_").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
+    // 120 events spanning 3 hours, written as parquet micro-timestamps
+    val evs = (0 until 120).map(i =>
+      Ev(i.toLong, new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 90000L),
+        i.toLong % 7, "view"))
+    evs.toDF().write.mode("overwrite").parquet(srcDir)
+    val agg = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+      .parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", tmpCheckpoint())
+      .outputMode("append").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark so every real
+      // window closes and flushes to the file sink
+      Seq(Ev(999L, ts("2024-01-02 00:00:00"), 1L, "view"))
+        .toDF().write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    }
+    val sentinelWs = ts("2024-01-02 00:00:00").getTime / 1000
+    val streamed = spark.read.parquet(sinkDir)
+      .filter(col("ws") < sentinelWs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(batch.size == 3) // 10:00, 11:00, 12:00 windows
+  }
+
   test("J1-J3 batch/stream parity: window() over a bounded stream equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
