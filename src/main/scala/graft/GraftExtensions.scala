@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CharNGrams, RollingHash}
+
+/** Session-extensions installer: makes the engine's custom expressions
+  * available to every session created with
+  * `spark.sql.extensions=graft.GraftExtensions` (the production way to
+  * ship Catalyst extensions to a cluster — no per-session register()
+  * calls). Injects:
+  *  - `char_ngrams(str[, n])` — the [[graft.functions.CharNGrams]]
+  *    lateral Generator,
+  *  - `rolling_hash(str)` — the native-codegen
+  *    [[graft.functions.RollingHash]] fingerprint.
+  * Verified in `graft.GraftExtensionsSpec` (the shared test session is
+  * built with this extensions class, exactly like a configured cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => CharNGrams(s, 3)
+        case Seq(s, org.apache.spark.sql.catalyst.expressions.Literal(v,
+            org.apache.spark.sql.types.IntegerType)) =>
+          CharNGrams(s, v.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "char_ngrams(str[, n:int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => RollingHash(s)
+        case _ => throw new IllegalArgumentException(
+          "rolling_hash(str) takes exactly one argument")
+      }))
+  }
+}

@@ -9,6 +9,9 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // the production extension path: functions arrive via config, not
+      // per-session register() calls (pinned by GraftExtensionsSpec)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
