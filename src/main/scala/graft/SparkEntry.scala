@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "sim_topk" -> (ops.LlmData.simTopk _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
+    "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),

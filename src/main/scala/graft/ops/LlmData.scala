@@ -231,6 +231,14 @@ object LlmData {
   def simAnnTopk(spark: SparkSession, sfDir: String): DataFrame =
     AnnLsh.annTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
 
+  /** IVF approximate nearest neighbors of vec_id=0 — the trained
+    * coarse-quantizer scale path ([[AnnIvf]]: seeded k-means codebook,
+    * probe 2 of 16 cells, exact-cosine re-rank) beside the LSH variant.
+    * Registered rows-only (k-means cell ids aren't portable SQL);
+    * planted-neighbor recall in `AnnIvfSpec`. */
+  def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    AnnIvf.ivfTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9) via sign-LSH
     * buckets — embedding-space dedup for training corpora. Precision is
     * exact (every pair verified); recall is the LSH S-curve of

@@ -9,7 +9,7 @@ class QueriesSmokeSpec extends SparkTestBase {
   private val mayBeEmpty = Set(
     "join_anti", "set_except", "join_range_interval",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding", "sim_ann_topk")
+    "dedup_embedding", "sim_ann_topk", "sim_ivf_topk")
 
   test("every oracleSql key is a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -19,7 +19,7 @@ class QueriesSmokeSpec extends SparkTestBase {
   test("rows-only queries are exactly the documented non-portable set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("agg_approx_distinct", "dedup_minhash", "fn_map",
-      "dedup_simhash", "dedup_embedding", "sim_ann_topk"))
+      "dedup_simhash", "dedup_embedding", "sim_ann_topk", "sim_ivf_topk"))
   }
 
   test("entry() returns rows") {
