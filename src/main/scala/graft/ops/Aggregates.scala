@@ -74,12 +74,18 @@ object Aggregates {
       .filter(col("n_cust") > 25)
       .orderBy(col("c_mktsegment"))
 
-  /** D7: deterministic collect — array_sort(collect_list) per nation. */
+  /** D7: deterministic collect — array_sort(collect_list) per nation,
+    * serialized to a comma-joined string (scalar finals only: the
+    * driver's hasher can't canonicalize array columns — round-4
+    * verdict). Sort BEFORE stringifying so the order is numeric. The
+    * interpreted `transform` lambda runs once per group over a small
+    * array, not per input row — off the hot path. */
   def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer")
       .groupBy(col("c_nationkey"))
       .agg(
-        array_sort(collect_list(col("c_custkey"))).as("custkeys"),
+        array_join(transform(array_sort(collect_list(col("c_custkey"))),
+          _.cast("string")), ",").as("custkeys"),
         count(lit(1)).as("n"),
         min(col("c_custkey")).as("min_k"),
         max(col("c_custkey")).as("max_k"))

@@ -125,9 +125,12 @@ object Fns {
         array_join(array_sort(col("toks")), ",").as("sorted_toks"))
       .orderBy(col("p_partkey"))
 
-  /** H8 (⛔ unit-tested): map functions — str_to_map over a props-style
-    * string, key filter on the reference's `x-ratelimit` prefix
-    * (`Test_census_tract.py:92`), sorted keys. */
+  /** H8: map functions — map construction, key filter on the
+    * reference's `x-ratelimit` prefix (`Test_census_tract.py:92`),
+    * sorted keys. The filtered map is serialized with to_json in the
+    * final projection (scalar finals only — the driver's hasher can't
+    * canonicalize MAP columns, round-4 verdict), which also makes the
+    * query oracle-checkable via DuckDB's json_object. */
   def fnMap(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .select(col("event_id"),
@@ -137,8 +140,8 @@ object Fns {
           .as("headers"))
       .select(col("event_id"),
         array_join(array_sort(map_keys(col("headers"))), ",").as("keys_sorted"),
-        map_filter(col("headers"), (k, _) => k.startsWith("x-ratelimit"))
-          .as("ratelimit_only"))
+        to_json(map_filter(col("headers"), (k, _) => k.startsWith("x-ratelimit")))
+          .as("ratelimit_json"))
       .orderBy(col("event_id"))
 
   /** H9: bitwise battery over keys — AND/OR/XOR/NOT and shifts, the

@@ -14,7 +14,7 @@ package graft.oracle
   *  - dedup_simhash (xxhash64 fingerprints aren't portable SQL),
   *  - dedup_embedding / sim_ann_topk (fixed-seed Gaussian hyperplanes
   *    aren't portable SQL),
-  *  - fn_map (MAP-typed output column isn't hashable by the oracle).
+  *  - sim_ivf_topk (k-means IVF cell ids aren't portable SQL).
   */
 object OracleSql {
 
@@ -187,11 +187,16 @@ object OracleSql {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // CAST to BIGINT: DuckDB's SUM over integers is HUGEINT, which the
+    // driver's hasher reads as float64 and hash-mismatches against
+    // Spark's BIGINT pivot counts (round-4 verdict). SUM(CASE) (not
+    // COUNT) keeps NULL for empty cells — Spark's PivotFirst leaves
+    // missing combinations NULL, not 0.
     "agg_pivot" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -256,7 +261,7 @@ object OracleSql {
 
     "agg_collect_sorted" ->
       """SELECT c_nationkey,
-        |  list_sort(list(c_custkey)) AS custkeys,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
         |  COUNT(*) AS n,
         |  MIN(c_custkey) AS min_k,
         |  MAX(c_custkey) AS max_k
@@ -498,6 +503,17 @@ object OracleSql {
         |  array_to_string(list_sort(toks), ',') AS sorted_toks
         |FROM (SELECT p_partkey, str_split(p_name, ' ') AS toks FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(map_keys(
+        |    map(['x-ratelimit-remaining', 'content-type', 'etype'],
+        |        [CAST(event_id AS VARCHAR), 'json', event_type]))), ',')
+        |    AS keys_sorted,
+        |  CAST(json_object('x-ratelimit-remaining', CAST(event_id AS VARCHAR))
+        |    AS VARCHAR) AS ratelimit_json
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT p_partkey,
