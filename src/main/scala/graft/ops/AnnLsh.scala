@@ -135,18 +135,15 @@ object AnnLsh {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    * minCos): LSH buckets → sorted-bucket pair expansion → exact
-    * cosine verification via a single pair-melt join. Precision is
-    * exact; recall follows the class-doc S-curve (≈0.99 at cos 0.99,
-    * →1 as cos→1 — pairs barely above a low minCos may be missed). */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame = {
-    val buckets = codes(df, idCol, vecCol, DedupTables, DedupBits)
-      .groupBy(col("table_id"), col("code"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val cand = buckets
+  /** Every LSH-candidate pair (id_a < id_b) with its exact cosine:
+    * skew-capped buckets ([[Buckets.members]]) → sorted-bucket pair
+    * expansion → exact-cosine verification via a single pair-melt join.
+    * The shared verification stage behind [[nearDupPairs]] /
+    * [[topNearDupPairs]]. */
+  def verifiedPairs(df: DataFrame, idCol: String, vecCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame = {
+    val cand = Buckets.members(codes(df, idCol, vecCol, DedupTables, DedupBits),
+        Seq("table_id", "code"), col(idCol), col(idCol), cap)
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
@@ -161,7 +158,28 @@ object AnnLsh {
         round(cosine(
           element_at(col("m"), 1).getField("v"),
           element_at(col("m"), 2).getField("v")), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * minCos). Precision is exact; recall follows the class-doc S-curve
+    * (≈0.99 at cos 0.99, →1 as cos→1 — pairs barely above a low minCos
+    * may be missed). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame =
+    verifiedPairs(df, idCol, vecCol)
       .filter(col("cos") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
-  }
+
+  /** The `n` most-similar candidate pairs by exact cosine (ties broken
+    * by ids) — the threshold-free view of the same pipeline. Unlike
+    * [[nearDupPairs]] this is non-vacuous on any corpus that produces
+    * LSH collisions at all, which makes it the right registered probe
+    * on a fixture with no true near-duplicates (round-4 verdict: the
+    * 0.9-threshold variant returned 0 rows on 500 random vectors and
+    * proved nothing). */
+  def topNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): DataFrame =
+    verifiedPairs(df, idCol, vecCol)
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(n)
 }

@@ -239,15 +239,19 @@ object LlmData {
   def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
     AnnIvf.ivfTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9) via sign-LSH
-    * buckets — embedding-space dedup for training corpora. Precision is
-    * exact (every pair verified); recall is the LSH S-curve of
-    * [[AnnLsh]] (≈0.99 at cos 0.99, →1 for true duplicates; pairs just
-    * above the 0.9 floor may be missed — the standard LSH-dedup
-    * trade-off). Registered rows-only; planted-duplicate tests in
-    * `AnnLshSpec`. */
+  /** Embedding-space near-duplicate detection via sign-LSH buckets +
+    * exact-cosine verification. The registered query reports the top-10
+    * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the
+    * fixture's 500 random embeddings contain no cos ≥ 0.9 pairs, so the
+    * production thresholded form ([[AnnLsh.nearDupPairs]] at 0.9, the
+    * actual dedup API) returned 0 rows and checked nothing (round-4
+    * verdict); the top-N view exercises the identical bucket → verify
+    * pipeline with a non-empty, deterministic result. The 0.9-threshold
+    * variant stays pinned by planted-duplicate tests in `AnnLshSpec`.
+    * Registered rows-only (fixed-seed hyperplanes aren't portable
+    * SQL). */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
-    AnnLsh.nearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.9d)
+    AnnLsh.topNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 10)
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),

@@ -100,20 +100,26 @@ object MinHash {
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
   }
 
+  /** Skew-capped LSH buckets over (id, shingle) rows: (band_id,
+    * band_hash, ids, n_overflow) with at most `cap` members per bucket
+    * — see [[Buckets.members]] for the adversarial-corpus rationale
+    * (millions of identical docs would otherwise build one giant
+    * bucket row and a quadratic pair expansion). */
+  def buckets(rows: DataFrame, idCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame =
+    Buckets.members(banded(signatures(rows, idCol), idCol),
+      Seq("band_id", "band_hash"), col(idCol), col(idCol), cap)
+
   /** Candidate pairs (doc_a < doc_b) from banded LSH over (id, shingle)
     * rows. One shuffle to the signature agg, one to the bucket agg;
-    * pairs are produced by expanding each bucket's sorted id list
-    * (buckets are similarity-driven and small — no skewed self-join)
-    * and distinct-ed so a pair colliding in several bands is verified
-    * once. */
-  def candidatePairs(rows: DataFrame, idCol: String): DataFrame = {
-    val buckets = banded(signatures(rows, idCol), idCol)
-      .groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets
+    * pairs are produced by expanding each bucket's sorted, skew-capped
+    * id list (buckets are similarity-driven and small — no skewed
+    * self-join) and distinct-ed so a pair colliding in several bands is
+    * verified once. */
+  def candidatePairs(rows: DataFrame, idCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame =
+    buckets(rows, idCol, cap)
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-  }
 }

@@ -45,20 +45,20 @@ object SimHash {
     expr(s"(simhash >> ${b * BitsPerBand}) & 65535")
 
   /** Candidate pairs (id_a < id_b) agreeing on ≥1 of the 4 bands —
-    * complete for Hamming distance ≤ 3 by pigeonhole. Same
-    * collect_list-bucket expansion as MinHash (no skewed self-join);
-    * each id carries its fingerprint so verification is join-free. */
-  def candidatePairs(fps: DataFrame, idCol: String): DataFrame = {
+    * complete for Hamming distance ≤ 3 by pigeonhole (among uncapped
+    * bucket members; see [[Buckets.members]] for the skew cap). Same
+    * capped-bucket expansion as MinHash (no skewed self-join); each id
+    * carries its fingerprint so verification is join-free. */
+  def candidatePairs(fps: DataFrame, idCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame = {
     val banded = fps.select(col(idCol).as("id"), col("simhash"),
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("band_id"),
             bandSlice(b).as("band_val"))): _*)).as("band"))
       .select(col("id"), col("simhash"), col("band.band_id"), col("band.band_val"))
-    banded
-      .groupBy(col("band_id"), col("band_val"))
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(Buckets.sortedPairs(col("items"))).as("p"))
+    Buckets.members(banded, Seq("band_id", "band_val"),
+        col("id"), struct(col("id"), col("simhash")), cap)
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a.id").as("doc_a"), col("p.a.simhash").as("fp_a"),
         col("p.b.id").as("doc_b"), col("p.b.simhash").as("fp_b"))
       .distinct()

@@ -60,6 +60,30 @@ class AnnLshSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("topNearDupPairs ranks a planted duplicate pair first") {
+    val v = randomVecs(1, 51).head
+    val noise = randomVecs(20, 52)
+    val df = vecsDf(Seq(1L -> v, 2L -> v) ++
+      noise.zipWithIndex.map { case (x, i) => (10L + i) -> x })
+    val top = AnnLsh.topNearDupPairs(df, "vec_id", "embedding", 5).collect()
+    assert(top.nonEmpty)
+    assert((top.head.getLong(0), top.head.getLong(1)) == ((1L, 2L)))
+    assert(top.head.getDouble(2) == 1.0)
+    val scores = top.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be cos-descending")
+  }
+
+  test("dedup_embedding query is non-empty and deterministic on the fixture") {
+    val out = ops.LlmData.dedupEmbedding(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 10,
+      "top-N probe must be non-vacuous on the fixture (round-4 verdict)")
+    assert(out.forall(p => p._1 < p._2))
+    val again = ops.LlmData.dedupEmbedding(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("sim_ann_topk query executes and scores are valid cosines") {
     val out = ops.LlmData.simAnnTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

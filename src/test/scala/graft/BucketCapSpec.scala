@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnLsh, Buckets, MinHash, SimHash}
+
+/** Adversarial-skew guard (round-4 verdict): a degenerate corpus of
+  * thousands of identical documents lands every member in one LSH
+  * bucket per band. The capped [[Buckets.members]] must bound the
+  * collected row and the pair expansion, and report the overflow. */
+class BucketCapSpec extends SparkTestBase {
+
+  private val NDocs = 10000
+  private val Cap = 8
+
+  private def identicalDocs() = {
+    import spark.implicits._
+    (0L until NDocs.toLong)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+  }
+
+  test("MinHash buckets are capped and report the overflow") {
+    val rows = MinHash.shingleRows(identicalDocs(), "doc_id", "text")
+    val buckets = MinHash.buckets(rows, "doc_id", Cap).cache()
+    try {
+      val sizes = buckets.select(size(col("ids"))).collect().map(_.getInt(0))
+      assert(sizes.nonEmpty && sizes.forall(_ <= Cap),
+        s"bucket sizes exceed cap: ${sizes.max}")
+      // identical docs → identical signature → one bucket per band
+      assert(Buckets.overflowTotal(buckets) ==
+        MinHash.Bands.toLong * (NDocs - Cap))
+    } finally { buckets.unpersist(); () }
+  }
+
+  test("capped MinHash candidatePairs completes with a bounded pair set") {
+    val rows = MinHash.shingleRows(identicalDocs(), "doc_id", "text")
+    val n = MinHash.candidatePairs(rows, "doc_id", Cap).count()
+    // every band keeps the same Cap smallest ids → one capped pair set
+    assert(n == Cap.toLong * (Cap - 1) / 2)
+  }
+
+  test("SimHash candidatePairs respects the cap on identical docs") {
+    val toks = identicalDocs()
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val fps = SimHash.fingerprints(toks, "doc_id", "token")
+    val n = SimHash.candidatePairs(fps, "doc_id", Cap).count()
+    assert(n == Cap.toLong * (Cap - 1) / 2)
+  }
+
+  test("AnnLsh verifiedPairs respects the cap on identical vectors") {
+    import spark.implicits._
+    val v = Seq.tabulate(AnnLsh.Dim)(i => (i % 7 + 1).toFloat)
+    val df = (0L until 1000L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val pairs = AnnLsh.verifiedPairs(df, "vec_id", "embedding", Cap).collect()
+    assert(pairs.length == Cap * (Cap - 1) / 2)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("cap does not change results when buckets are small") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 20L)
+      .map(i => (i, Seq.fill(30)(s"w${rnd.nextInt(5000)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+    val capped = MinHash.candidatePairs(rows, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = MinHash.candidatePairs(rows, "doc_id", cap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == loose)
+  }
+}
