@@ -13,36 +13,54 @@ import org.apache.spark.sql.functions._
   * FAISS literature, Johnson et al., "Billion-scale similarity search
   * with GPUs", 2017).
   *
-  * Scale shape: cell assignment is one MLlib transform (narrow);
-  * probing reads only ~Probes/K of the data via a pushable
-  * `prediction IN (...)` filter; the codebook is tiny and lives on the
-  * driver. At 100 TB the fit runs on a sample — here it trains on the
-  * full (small) fixture table. Seeded, so one run is self-consistent;
-  * cross-run cell ids are an implementation detail (the op is
-  * registered rows-only and pinned by planted-neighbor tests).
+  * Scale shape: the codebook is fit ONCE on a seeded sample (k-means
+  * needs only enough points to place K centers — at 100 TB that is a
+  * thin sample, never the full table; the fit input is cached because
+  * Lloyd's algorithm re-reads it every iteration) and is then a
+  * driver-side parameter to every query. Cell assignment is one MLlib
+  * transform (narrow); probing reads only ~Probes/K of the data via a
+  * pushable `cell IN (...)` filter. Seeded, so one codebook is
+  * self-consistent; cross-run cell ids are an implementation detail
+  * (the op is registered rows-only and pinned by planted-neighbor
+  * tests in `AnnIvfSpec`).
   */
 object AnnIvf {
   val K = 16
   val Probes = 2
+  /** Fixture-scale sample for the codebook fit — enough points per
+    * center (500 × 0.25 ≈ 8/cell) while keeping the fit off the full
+    * table, mirroring the production sampled-fit shape. */
+  val FitSampleFraction = 0.25
 
-  /** Seeded k-means codebook over the embedding column. */
-  def codebook(df: DataFrame, vecCol: String): KMeansModel =
-    new KMeans()
-      .setK(K).setSeed(1L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(df.select(array_to_vector(col(vecCol)).as("fv")))
+  /** Seeded k-means codebook over a (seeded) sample of the embedding
+    * column. `sampleFraction = 1.0` fits on everything — only sensible
+    * for tiny inputs and unit tests. */
+  def codebook(df: DataFrame, vecCol: String,
+      sampleFraction: Double = 1.0, seed: Long = 1L): KMeansModel = {
+    val base =
+      if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed)
+      else df
+    val fit = base.select(array_to_vector(col(vecCol)).as("fv")).cache()
+    try
+      new KMeans()
+        .setK(K).setSeed(1L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(fit)
+    finally { fit.unpersist(); () }
+  }
 
-  /** Approximate top-k neighbors of `queryId`: probe the `Probes`
-    * nearest cells, re-rank with exact cosine. */
+  /** Approximate top-k neighbors of `queryId` under a pre-fit codebook:
+    * probe the `Probes` nearest cells, re-rank with exact cosine. The
+    * query itself only assigns + probes — no training in the query
+    * path. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
-    val m = codebook(df, vecCol)
-    val assigned = m.transform(df.withColumn("fv", array_to_vector(col(vecCol))))
+      queryId: Long, k: Int, model: KMeansModel): DataFrame = {
+    val assigned = model.transform(df.withColumn("fv", array_to_vector(col(vecCol))))
     val qVec = df.filter(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0)
     // driver-side: distance of the query to each of the K centers
     val qArr = qVec.map(_.toDouble).toArray
-    val probeCells = m.clusterCenters.zipWithIndex
+    val probeCells = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val d = c.toArray.zip(qArr)
           .map { case (a, b) => (a - b) * (a - b) }.sum
@@ -60,4 +78,10 @@ object AnnIvf {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Convenience form: sampled-seeded fit, then assign + probe. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame =
+    ivfTopK(df, idCol, vecCol, queryId, k,
+      codebook(df, vecCol, FitSampleFraction))
 }

@@ -232,10 +232,12 @@ object LlmData {
     AnnLsh.annTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
 
   /** IVF approximate nearest neighbors of vec_id=0 — the trained
-    * coarse-quantizer scale path ([[AnnIvf]]: seeded k-means codebook,
-    * probe 2 of 16 cells, exact-cosine re-rank) beside the LSH variant.
-    * Registered rows-only (k-means cell ids aren't portable SQL);
-    * planted-neighbor recall in `AnnIvfSpec`. */
+    * coarse-quantizer scale path ([[AnnIvf]]: k-means codebook fit on a
+    * seeded sample, probe 2 of 16 cells, exact-cosine re-rank) beside
+    * the LSH variant. The query path only assigns + probes; the fit is
+    * an offline, sampled step at scale. Registered rows-only (k-means
+    * cell ids aren't portable SQL); planted-neighbor recall in
+    * `AnnIvfSpec`. */
   def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
     AnnIvf.ivfTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
 

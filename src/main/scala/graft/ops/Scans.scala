@@ -18,7 +18,7 @@ object Scans {
   /** Session-lifetime scratch root for sink round-trips — recursively
     * deleted on JVM exit so repeated bench/verify runs don't accumulate
     * tmp garbage (round-4 review finding). */
-  private lazy val sinkRoot: java.nio.file.Path = {
+  private lazy val tmpSinkRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_sinks_")
     sys.addShutdownHook {
       def del(f: java.io.File): Unit = {
@@ -30,10 +30,21 @@ object Scans {
     p
   }
 
+  /** Sink output root: `spark.graft.sinkRoot` conf, else the
+    * `GRAFT_SINK_ROOT` env var, else the local temp dir. On a real
+    * cluster the driver-local temp dir is invisible to executors, so
+    * cluster deployments MUST set one of the overrides to a shared-FS
+    * path (s3a://…, hdfs://…) — round-4 verdict (c). Locally the temp
+    * default keeps verify/bench runs self-cleaning. */
+  private def sinkRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.sinkRoot")
+      .orElse(sys.env.get("GRAFT_SINK_ROOT"))
+      .getOrElse(tmpSinkRoot.toString)
+
   /** Unique per-invocation sink path: concurrent runs must not clobber
     * each other's output (round-3 advice). */
-  private def freshSinkDir(prefix: String): String =
-    sinkRoot.resolve(prefix + java.util.UUID.randomUUID().toString).toString
+  private def freshSinkDir(spark: SparkSession, prefix: String): String =
+    s"${sinkRoot(spark)}/$prefix${java.util.UUID.randomUUID().toString}"
 
   /** A1: projection-only scan of lineitem — parquet reads exactly 4 columns. */
   def scanProject(spark: SparkSession, sfDir: String): DataFrame =
@@ -59,7 +70,7 @@ object Scans {
     * reads it back with an explicit all-typed schema, proves losslessness
     * against a plain oracle scan of the original table. */
   def sinkRoundtripCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = freshSinkDir("csv_roundtrip_")
+    val out = freshSinkDir(spark, "csv_roundtrip_")
     t(spark, sfDir, "region")
       .write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N")
@@ -79,7 +90,7 @@ object Scans {
     * Append mode (never overwrite) is the R17 semantics; the path is
     * unique per invocation so concurrent runs don't interleave. */
   def sinkAppendAuditLog(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = freshSinkDir("audit_log_")
+    val out = freshSinkDir(spark, "audit_log_")
     t(spark, sfDir, "events")
       .select(col("event_id"),
         to_json(map_filter(

@@ -30,12 +30,15 @@ object Util {
     * Spark rejects outright unless read as a nano-count Long
     * (`spark.sql.legacy.parquet.nanosAsLong`); we floor-divide to
     * microseconds — exactly DuckDB's TIMESTAMP_NS→TIMESTAMP(µs)
-    * truncation, so both engines see identical instants. */
+    * conversion, which FLOORS. Plain `DIV` truncates toward zero and
+    * would differ by 1µs on pre-epoch nanos (round-4 advice), so the
+    * division goes through pmod: `ts - pmod(ts, 1000)` is the largest
+    * multiple of 1000 ≤ ts for any sign, making the DIV exact. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
     else df
   }
 

@@ -25,6 +25,29 @@ class WarehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("jdbc format round-trips through a real embedded database") {
+    val dbPath = java.nio.file.Files
+      .createTempDirectory("graft_derby_").resolve("db")
+    val opts = Map(
+      "url" -> s"jdbc:derby:$dbPath;create=true",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def readBack() = spark.read.format("jdbc").options(opts)
+      .option("dbtable", "GRAFT_JDBC_T").load()
+    // Append creates-if-absent then accumulates (COPY semantics)
+    Warehouse.load(mkDf(5), "GRAFT_JDBC_T", SaveMode.Append,
+      format = "jdbc", options = opts)
+    assert(readBack().count() == 5)
+    Warehouse.load(mkDf(5), "GRAFT_JDBC_T", SaveMode.Append,
+      format = "jdbc", options = opts)
+    assert(readBack().count() == 10)
+    // Overwrite rebuilds (the ZCTA pipeline's drop-and-recreate path)
+    Warehouse.load(mkDf(3), "GRAFT_JDBC_T", SaveMode.Overwrite,
+      format = "jdbc", options = opts)
+    val back = readBack()
+    assert(back.count() == 3)
+    assert(back.columns.map(_.toLowerCase).toSeq == Seq("id", "v"))
+  }
+
   test("files form disjoint sorted key ranges (SORTKEY layout)") {
     val tbl = "graft_wh_sorted"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
