@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
+    "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),

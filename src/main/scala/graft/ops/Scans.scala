@@ -84,6 +84,22 @@ object Scans {
       .orderBy(col("r_regionkey"))
   }
 
+  /** A5: the DSv2 census scan (reference R1/R2 — SURVEY §3.3): reads
+    * the API-shaped JSON array-of-arrays fixture through
+    * [[graft.sources.CensusSource]]. The `isin` geo predicate pushes
+    * into the scan (`in=state:XX`) and prunes state-chunk partitions
+    * at planning; the 4-column select prunes the read schema (`get=`).
+    * Pushdown is asserted in `PlanAuditSpec`; source semantics
+    * (NULL-fill, column order, chunking) in `CensusSourceSpec`. */
+  def scanCensusDsv2(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .filter(col("state").isin("06", "36", "48"))
+      .select(col("NAME"), col("DP02_0001E"), col("state"), col("tract"))
+      .orderBy(col("state"), col("tract"))
+
   /** A4: the reference's audit-log sink (R16/R17,
     * `Test_census_tract.py:63-104`): keep only `x-ratelimit*` headers
     * via map_filter, serialize to JSON, append to the log, read back.

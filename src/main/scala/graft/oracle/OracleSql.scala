@@ -48,6 +48,21 @@ object OracleSql {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
+    // The DSv2 census fixture is a closed-form function of
+    // (state fips, tract index) — see graft.sources.CensusFixture —
+    // so the oracle rebuilds the relation from range() like
+    // census_states does.
+    "scan_census_dsv2" ->
+      """SELECT 'Census Tract ' || CAST(t.idx AS VARCHAR) || ', State ' || s.fips
+        |    AS "NAME",
+        |  CAST(s.id * 100 + t.idx AS VARCHAR) AS "DP02_0001E",
+        |  s.fips AS state, t.tr AS tract
+        |FROM (SELECT range AS id, printf('%02d', range) AS fips
+        |      FROM range(1, 57) WHERE range NOT IN (3, 7, 14, 43, 52)) s
+        |CROSS JOIN (VALUES (1, '000100'), (2, '000200')) t(idx, tr)
+        |WHERE s.fips IN ('06', '36', '48')
+        |ORDER BY state, tract""".stripMargin,
+
     // ---------------- B: filters / projections ----------------
     "filter_compound" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.sources.{CensusFixture, CensusSource}
+
+/** DSv2 census source (reference R1/R2/R5/R6/R18): API-shaped
+  * array-of-arrays input, all-string schema, expected-column
+  * reconciliation, state-chunk partitions, and predicate/projection
+  * pushdown with partition pruning. */
+class CensusSourceSpec extends SparkTestBase {
+
+  private def read(expect: Seq[String] = CensusFixture.Expect,
+      path: String = CensusFixture.path): DataFrame = {
+    val r = spark.read.format("graft.sources.CensusSource")
+      .option("path", path)
+    (if (expect.nonEmpty) r.option("expect", expect.mkString(","))
+     else r).load()
+  }
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  private def writeFixture(rows: Seq[Seq[String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    rows.foreach { r =>
+      val a = arr.addArray()
+      r.foreach { c => if (c == null) a.addNull() else a.add(c); () }
+    }
+    val p = java.nio.file.Files.createTempFile("census_src_spec_", ".json")
+    java.nio.file.Files.writeString(p, mapper.writeValueAsString(arr))
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("full scan: 2 rows per census state, all-string schema, 17 chunks") {
+    val df = read()
+    assert(df.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.StringType && f.nullable))
+    assert(df.columns.toSeq == CensusFixture.Expect)
+    assert(df.count() == 2L * CensusSource.stateFips.size)
+    assert(scanOf(df).inputRDD.getNumPartitions == CensusSource.stateChunks.size)
+  }
+
+  test("state IN predicate prunes partitions at planning") {
+    val df = read().filter(col("state").isin("06", "36", "48"))
+    // 06 / 36 / 48 fall in three distinct 3-state chunks
+    assert(scanOf(df).inputRDD.getNumPartitions == 3)
+    assert(df.select(col("state")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("06", "36", "48"))
+  }
+
+  test("state equality predicate plans exactly one chunk") {
+    val df = read().filter(col("state") === "06")
+    assert(scanOf(df).inputRDD.getNumPartitions == 1)
+    assert(df.count() == 2)
+  }
+
+  test("column projection prunes the scan's read schema") {
+    val df = read().select(col("NAME"), col("state"))
+    assert(scanOf(df).output.map(_.name) == Seq("NAME", "state"))
+  }
+
+  test("pushed filters appear in the scan description (explain surface)") {
+    val df = read().filter(col("state") === "06").select(col("NAME"))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("EqualTo(state,06)"), desc)
+    assert(desc.contains("ReadSchema"), desc)
+  }
+
+  test("expected-but-absent column is NULL-filled (R5), extras appended (R6)") {
+    // file carries NAME/state plus an extra the caller didn't expect;
+    // caller expects MISSING_VAR which the file lacks
+    val path = writeFixture(Seq(
+      Seq("NAME", "state", "EXTRA_COL"),
+      Seq("Tract A", "06", "x1"),
+      Seq("Tract B", "36", "x2")))
+    val df = read(expect = Seq("NAME", "MISSING_VAR", "state"), path = path)
+    assert(df.columns.toSeq == Seq("NAME", "MISSING_VAR", "state", "EXTRA_COL"))
+    val rows = df.orderBy("state").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Tract A", "Tract B"))
+    assert(rows.forall(_.isNullAt(1)), "missing expected column NULL-filled")
+    assert(rows.map(_.getString(3)).toSeq == Seq("x1", "x2"))
+  }
+
+  test("fixture without a state column reads as one unchunked partition") {
+    val path = writeFixture(Seq(
+      Seq("NAME", "zcta"),
+      Seq("Z1", "10001"),
+      Seq("Z2", "10002")))
+    val df = read(expect = Seq.empty, path = path)
+    assert(df.count() == 2)
+    assert(scanOf(df).inputRDD.getNumPartitions == 1)
+    // a pushed state predicate over the NULL-filled column matches nothing
+    val filtered = read(expect = Seq("NAME", "state", "zcta"), path = path)
+      .filter(col("state") === "06")
+    assert(filtered.count() == 0)
+  }
+
+  test("scan_census_dsv2 registered query returns the expected relation") {
+    val out = ops.Scans.scanCensusDsv2(spark, sfDir).collect()
+    assert(out.length == 6) // 3 states x 2 tracts
+    assert(out.map(_.getString(2)).toSeq == Seq("06", "06", "36", "36", "48", "48"))
+    assert(out.head.getString(0) == "Census Tract 1, State 06")
+    assert(out.head.getString(1) == "601")
+  }
+}

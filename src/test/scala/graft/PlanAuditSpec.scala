@@ -22,6 +22,14 @@ class PlanAuditSpec extends SparkTestBase {
         "l_quantity:double,l_extendedprice:double>"))
   }
 
+  test("scan_census_dsv2 pushes the geo predicate and pruned schema into the DSv2 scan") {
+    val p = plan("scan_census_dsv2")
+    assert(p.contains("In(state"), "geo predicate must reach the census scan")
+    // pruned to the 4 selected columns — DP03_0002E must not be read
+    assert(p.contains("ReadSchema: struct<NAME:string,DP02_0001E:string,state:string,tract:string>"),
+      p.linesIterator.filter(_.contains("CensusScan")).mkString("\n"))
+  }
+
   test("dim joins broadcast, never sort-merge") {
     val p = plan("join_broadcast_inner")
     assert(p.contains("BroadcastHashJoin"))
