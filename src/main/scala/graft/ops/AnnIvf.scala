@@ -41,9 +41,12 @@ object AnnIvf {
       if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed)
       else df
     val fit = base.select(array_to_vector(col(vecCol)).as("fv")).cache()
+    // k-means|| init places centers near-converged, so few Lloyd
+    // iterations are needed; each iteration is one Spark job over the
+    // cached sample, so the cap is latency, not quality
     try
       new KMeans()
-        .setK(K).setSeed(1L).setMaxIter(10)
+        .setK(K).setSeed(1L).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(fit)
     finally { fit.unpersist(); () }
