@@ -54,6 +54,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("join_shuffle_inner").contains("partial"))
   }
 
+  test("dedup_embedding broadcasts the hyperplane matrix (never shuffles it)") {
+    // the codes() stage joins every exploded vector element against the
+    // 8192-row plane matrix — a shuffle there moves the DATA to the
+    // planes; the broadcast moves 8k rows to the data (round-4 verdict
+    // called this plan out as the scale-safe shape — keep it pinned)
+    val p = plan("dedup_embedding")
+    assert(p.contains("BroadcastHashJoin"), "plane join must broadcast")
+  }
+
+  test("LSH dedup paths keep the skew-cap window on the bucket key") {
+    // the row_number window before collect_list is what bounds bucket
+    // rows under adversarial skew (Buckets.members); an 'optimization'
+    // that collapses it back to a bare collect_list reintroduces the
+    // giant-bucket OOM at scale
+    for (n <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding"))
+      assert(plan(n).contains("row_number()"), s"$n lost the bucket cap")
+  }
+
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
     // the two-pass design ranks locally per bucket (windowspecdefinition
     // partitioned on pid) and derives ntile/percent_rank/cume_dist as
