@@ -59,9 +59,33 @@ class CensusSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new CensusTable(schema, properties.get("path"))
+    new CensusTable(schema, properties.get("path"),
+      FetchPolicy.fromProperties(properties))
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Reference R14/R15 fetch-operational options (see [[Retry]]): retry
+  * attempts/backoff around each partition read and a per-partition
+  * pre-fetch throttle — `maxAttempts` (default 5 =
+  * tenacity `stop_after_attempt(5)`), `retryBaseWaitMs`,
+  * `retryMaxWaitMs` (default 60 s = the reference's backoff cap),
+  * `throttleMs` (the reference sleeps 10 s per chunk; default 0 for
+  * local files). */
+case class FetchPolicy(maxAttempts: Int, baseWaitMs: Long,
+    maxWaitMs: Long, throttleMs: Long)
+
+object FetchPolicy {
+  val Default: FetchPolicy = FetchPolicy(5, 1000L, 60000L, 0L)
+
+  def fromProperties(properties: JMap[String, String]): FetchPolicy = {
+    val p = properties.asScala.map { case (k, v) => k.toLowerCase -> v }
+    FetchPolicy(
+      p.get("maxattempts").map(_.toInt).getOrElse(Default.maxAttempts),
+      p.get("retrybasewaitms").map(_.toLong).getOrElse(Default.baseWaitMs),
+      p.get("retrymaxwaitms").map(_.toLong).getOrElse(Default.maxWaitMs),
+      p.get("throttlems").map(_.toLong).getOrElse(Default.throttleMs))
+  }
 }
 
 object CensusSource {
@@ -103,17 +127,17 @@ object CensusSource {
   }
 }
 
-class CensusTable(tableSchema: StructType, path: String)
+class CensusTable(tableSchema: StructType, path: String, policy: FetchPolicy)
     extends Table with SupportsRead {
   override def name(): String = s"census($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CensusScanBuilder(tableSchema, path)
+    new CensusScanBuilder(tableSchema, path, policy)
 }
 
-class CensusScanBuilder(fullSchema: StructType, path: String)
+class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolicy)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -137,13 +161,14 @@ class CensusScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CensusScan(required, pushed, path)
+  override def build(): Scan = new CensusScan(required, pushed, path, policy)
 }
 
 /** One 3-state chunk of the fixture (the reference's per-chunk GET). */
 case class CensusPartition(states: Seq[String]) extends InputPartition
 
-class CensusScan(required: StructType, pushed: Array[Filter], path: String)
+class CensusScan(required: StructType, pushed: Array[Filter], path: String,
+    policy: FetchPolicy = FetchPolicy.Default)
     extends Scan with Batch {
 
   /** States allowed by the pushed geo predicates (None = all). */
@@ -178,7 +203,7 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String)
       wantedStates, pushed.exists {
         case IsNotNull("state") => true
         case _ => false
-      })
+      }, policy)
 
   override def description(): String =
     s"CensusScan path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
@@ -186,25 +211,32 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String)
 }
 
 class CensusReaderFactory(path: String, requiredCols: Seq[String],
-    wantedStates: Option[Set[String]], stateNotNull: Boolean)
+    wantedStates: Option[Set[String]], stateNotNull: Boolean,
+    policy: FetchPolicy)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val states = partition.asInstanceOf[CensusPartition].states.toSet
-    new CensusPartitionReader(path, requiredCols, states, wantedStates, stateNotNull)
+    new CensusPartitionReader(path, requiredCols, states, wantedStates,
+      stateNotNull, policy)
   }
 }
 
 /** Reads the fixture's data rows for one state chunk, applying the
   * pushed geo predicate, NULL-filling expected-but-absent columns (R5)
-  * and projecting to the pruned schema. A production variant performs
-  * the chunk's HTTP GET here instead of the file read. */
+  * and projecting to the pruned schema. The read honors the R14/R15
+  * fetch policy: throttle before the fetch, retry with capped
+  * exponential backoff around it. A production variant performs the
+  * chunk's HTTP GET here instead of the file read — same policy, same
+  * partition contract. */
 class CensusPartitionReader(path: String, requiredCols: Seq[String],
     chunkStates: Set[String], wantedStates: Option[Set[String]],
-    stateNotNull: Boolean)
+    stateNotNull: Boolean, policy: FetchPolicy)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val all = CensusSource.readArrays(path)
+    if (policy.throttleMs > 0) Thread.sleep(policy.throttleMs)
+    val all = Retry.withBackoff(policy.maxAttempts, policy.baseWaitMs,
+      policy.maxWaitMs)(CensusSource.readArrays(path))
     val fileHeader = all.head
     val colIdx = fileHeader.zipWithIndex.toMap // first occurrence wins (R18)
     val stateIdx = colIdx.get("state")

@@ -100,6 +100,17 @@ class CensusSourceSpec extends SparkTestBase {
     assert(filtered.count() == 0)
   }
 
+  test("fetch-policy options (R14/R15) parse and the scan still reads") {
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("maxAttempts", "2")
+      .option("retryBaseWaitMs", "1")
+      .option("throttleMs", "1")
+      .load()
+      .filter(col("state") === "06")
+    assert(df.count() == 2)
+  }
+
   test("scan_census_dsv2 registered query returns the expected relation") {
     val out = ops.Scans.scanCensusDsv2(spark, sfDir).collect()
     assert(out.length == 6) // 3 states x 2 tracts
