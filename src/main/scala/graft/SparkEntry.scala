@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
+    "dedup_clusters" -> (ops.LlmData.dedupClusters _),
     "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "sim_topk" -> (ops.LlmData.simTopk _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
+    "text_tokens_bpe" -> (ops.LlmData.textTokensBpe _),
     "text_tfidf" -> (ops.LlmData.textTfidf _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),

@@ -255,6 +255,45 @@ object LlmData {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     AnnLsh.topNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 10)
 
+  /** K19: dedup clustering — the grouping stage after pair detection.
+    * Connected components over the oracle-checkable ngram-Jaccard pair
+    * set ([[dedupNgramJaccard]]): each document gets the minimum doc_id
+    * of its near-dup component as cluster_id, and `is_canonical` marks
+    * the one kept document per cluster (the actual dedup decision).
+    * Transitivity matters: A~B and B~C cluster A, B, C together even
+    * though the pair (A, C) was never emitted. See [[Components]] for
+    * the iteration/scale story. Oracle: the same min-label closure as a
+    * DuckDB recursive CTE over the identical pair query. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Components.connected(
+        dedupNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
+    * punctuation runs, each optionally absorbing one leading space —
+    * the ASCII core of the GPT-2 pre-tokenizer regex (public; the
+    * original's contraction/lookahead clauses are dropped because RE2
+    * has no lookahead, keeping Spark and DuckDB byte-identical). */
+  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** K20: subword-style token accounting — whitespace token count next
+    * to the BPE-ish pre-token count and their exact-decimal ratio, the
+    * cost model a training pipeline budgets corpora with (whitespace
+    * counting alone undercounts punctuation-heavy text). */
+  def textTokensBpe(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)).as("bpe"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(col("bpe")).as("n_bpe"),
+        dbl(dec(size(col("bpe"))) / size(split(col("text"), " ")))
+          .as("bpe_per_ws"))
+      .orderBy(col("doc_id"))
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),

@@ -25,6 +25,31 @@ object OracleSql {
   /** dec(x) of graft.ops.Util. */
   private def dec(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
 
+  /** Shared by dedup_ngram_jaccard and (as the edge set of the
+    * dedup_clusters recursive closure) dedup_clusters — both oracles
+    * must see the identical pair relation. */
+  private val ngramJaccardSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, len(toks) - 2),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+       |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), bk AS (
+       |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
+       |    len(a.shingles) + len(b.shingles)
+       |      - len(list_intersect(a.shingles, b.shingles)) AS n_union
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  ${dbl(s"${dec("n_int")} / n_union")} AS jaccard
+       |FROM pairs
+       |WHERE ${dbl(s"${dec("n_int")} / n_union")} >= CAST(0.5 AS DOUBLE)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, String] = Map(
     // ---------------- A: scans / sinks ----------------
     "scan_project" ->
@@ -613,27 +638,40 @@ object OracleSql {
         |SELECT doc_id, text_sha FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(0, len(toks) - 2),
-         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
-         |  WHERE len(toks) >= 3
-         |), bk AS (
-         |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
-         |    len(a.shingles) + len(b.shingles)
-         |      - len(list_intersect(a.shingles, b.shingles)) AS n_union
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+
+    // min-label closure over the SAME pair relation: every label
+    // reachable from a vertex is enumerated by the recursive CTE
+    // (UNION dedupes, so it terminates), and MIN picks the component
+    // representative — the declarative mirror of the engine's
+    // iterative min-label propagation (graft.ops.Components).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |), und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jacc
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jacc
+         |), verts AS (
+         |  SELECT DISTINCT src AS id FROM und
+         |), reach(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
          |)
-         |SELECT doc_a, doc_b,
-         |  ${dbl(s"${dec("n_int")} / n_union")} AS jaccard
-         |FROM pairs
-         |WHERE ${dbl(s"${dec("n_int")} / n_union")} >= CAST(0.5 AS DOUBLE)
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  id = MIN(lbl) AS is_canonical
+         |FROM reach
+         |GROUP BY id
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "text_tokens_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INTEGER) AS n_bpe,
+         |  ${dbl(s"${dec("len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))")} / len(str_split(text, ' '))")} AS bpe_per_ws
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

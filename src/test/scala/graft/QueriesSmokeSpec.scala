@@ -8,7 +8,7 @@ class QueriesSmokeSpec extends SparkTestBase {
   // ops whose correct fixture answer is legitimately empty at tiny scale
   private val mayBeEmpty = Set(
     "join_anti", "set_except", "join_range_interval",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
     "sim_ann_topk", "sim_ivf_topk")
 
   test("every oracleSql key is a registered query") {
