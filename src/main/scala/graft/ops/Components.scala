@@ -52,14 +52,17 @@ object Components {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("nbr_lbl"))
+      // carry the previous label through the checkpoint so the
+      // fixpoint check is a filter over materialized rows, not an
+      // extra join+shuffle per round
       val next = labels
         .join(neighborMin, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     labels
   }
