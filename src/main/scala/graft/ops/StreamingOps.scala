@@ -70,6 +70,30 @@ object StreamingOps {
     events.join(broadcast(userDim), Seq("user_id"), "inner")
       .select(col("event_id"), col("user_id"), col("segment"))
 
+  /** J8: stream-stream event-time interval join — each view matched to
+    * the same user's clicks within [view_ts, view_ts + 5 min), the
+    * streaming counterpart of the oracle-checked batch range join (C9).
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH sides, so the engine can size and EVICT the join
+    * state: a buffered view is dropped once the click watermark passes
+    * view_ts + 5 min. Without the interval bound a stream-stream join
+    * buffers forever — the condition is the scale contract, not an
+    * optimization. */
+  def streamStreamIntervalJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c, expr(
+        """user_id = click_user
+          |AND click_ts >= view_ts
+          |AND click_ts < view_ts + interval 5 minutes""".stripMargin))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

@@ -110,6 +110,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J8: stream-stream interval join pairs views with in-window clicks only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.streamStreamIntervalJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("j8")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      views.addData(Ev(10, ts("2024-01-01 10:00:00"), 1, "view"))
+      clicks.addData(
+        Ev(20, ts("2024-01-01 10:03:00"), 1, "click"), // in window
+        Ev(21, ts("2024-01-01 10:07:00"), 1, "click"), // outside 5 min
+        Ev(22, ts("2024-01-01 10:01:00"), 2, "click")) // other user
+      q.processAllAvailable()
+      val pairs = spark.table("j8").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(pairs.toSeq == Seq((10L, 20L, 180000000L)))
+    }
+  }
+
   test("parquet file source → watermarked agg → parquet file sink equals batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
