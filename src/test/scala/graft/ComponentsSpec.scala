@@ -32,6 +32,26 @@ class ComponentsSpec extends SparkTestBase {
     assert(c == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))
   }
 
+  test("random graphs match a union-find oracle") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 5) {
+      val n = 12
+      val edges = Seq.fill(10)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // union-by-min oracle: the root of every set is its minimum id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      assert(clustersOf(edges) == expected, s"trial $trial edges $edges")
+    }
+  }
+
   test("dedup_clusters marks exactly one canonical doc per cluster") {
     val rows = ops.LlmData.dedupClusters(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
