@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNGrams, RollingHash}
+import graft.functions.{CharNGrams, CosineSim, RollingHash}
 
 /** Session-extensions installer: makes the engine's custom expressions
   * available to every session created with
@@ -13,7 +13,9 @@ import graft.functions.{CharNGrams, RollingHash}
   *  - `char_ngrams(str[, n])` — the [[graft.functions.CharNGrams]]
   *    lateral Generator,
   *  - `rolling_hash(str)` — the native-codegen
-  *    [[graft.functions.RollingHash]] fingerprint.
+  *    [[graft.functions.RollingHash]] fingerprint,
+  *  - `cosine_sim(arr, arr)` — the native-codegen
+  *    [[graft.functions.CosineSim]] similarity kernel.
   * Verified in `graft.GraftExtensionsSpec` (the shared test session is
   * built with this extensions class, exactly like a configured cluster).
   */
@@ -29,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CharNGrams(s, v.asInstanceOf[Int])
         case _ => throw new IllegalArgumentException(
           "char_ngrams(str[, n:int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(a, b) takes exactly two arguments")
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),

@@ -86,12 +86,12 @@ object AnnLsh {
   }
 
   /** Exact cosine between two double-array columns (plain IEEE double —
-    * used for re-ranking candidates, not for oracle comparison). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * used for re-ranking candidates, not for oracle comparison). Backed
+    * by the native-codegen [[graft.functions.CosineSim]] expression —
+    * the previous `zip_with` + `aggregate` formulation evaluated
+    * interpreted (three tree-walked passes plus a materialized zipped
+    * array per row). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** The query vector's own LSH codes, computed driver-side: it is one
     * in-memory vector, so its 32 hyperplane dots are trivial — pushing
