@@ -114,6 +114,7 @@ object SparkEntry {
     "text_quality" -> (ops.LlmData.textQuality _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
     "multimodal_decode" -> (ops.LlmData.multimodalDecode _),
+    "multimodal_features" -> (ops.LlmData.multimodalFeatures _),
     "multimodal_frame_sample" -> (ops.LlmData.multimodalFrameSample _)
   )
 

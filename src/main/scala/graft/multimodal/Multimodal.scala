@@ -75,6 +75,22 @@ object Multimodal {
           col("frame_idx").cast("string").cast("binary")), 256).as("frame_sha"))
   }
 
+  /** Feature extraction for an (id, payload) DataFrame via the same
+    * partition-batched map shape as [[withDecodedMeta]] (one encoder
+    * instance per partition) — schema (doc_id, features array<float>).
+    * The embedding column this produces is what the ANN stack
+    * ([[graft.ops.AnnLsh]]/[[graft.ops.AnnIvf]]) consumes — payload →
+    * features → similarity is the full multimodal bridge. */
+  def withFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one encoder instance per partition would be initialized here
+        it.map { case (id, payload) => (id, featureStub(payload)) }
+      }.toDF("doc_id", "features")
+  }
+
   /** Decode metadata for an (id, payload) DataFrame via a
     * partition-batched map — schema (doc_id, width, height, format). */
   def withDecodedMeta(df: DataFrame): DataFrame = {

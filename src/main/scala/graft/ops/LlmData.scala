@@ -347,6 +347,25 @@ object LlmData {
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** K21: multimodal feature extraction — the payload → feature-vector
+    * stage between decode and similarity search, batched per partition
+    * like the decoder ([[graft.multimodal.Multimodal.withFeatures]]).
+    * The final projection scalarizes the stub vector (DOUBLE finals)
+    * and renders the byte-access dimension as the first payload byte in
+    * hex, so the mapPartitions plumbing is oracle-checkable
+    * end-to-end. */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.withFeatures(
+        t(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("double").as("f_len"),
+        element_at(col("features"), 2).cast("double").as("f_mod7"),
+        element_at(col("features"), 3).cast("double").as("f_mod11"),
+        lpad(hex(element_at(col("features"), 4).cast("int")), 2, "0")
+          .as("byte0_hex"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal decode: the partition-batched (fake) decoder of
     * [[graft.multimodal.Multimodal]] over binary payloads — typed
     * (width, height, format) metadata per document. The stub is a

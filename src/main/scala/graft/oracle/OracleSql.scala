@@ -784,6 +784,15 @@ object OracleSql {
         |  AND r.range % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
+        |  CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS f_mod7,
+        |  CAST(octet_length(encode(text)) % 11 AS DOUBLE) AS f_mod11,
+        |  hex(encode(text))[1:2] AS byte0_hex
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,

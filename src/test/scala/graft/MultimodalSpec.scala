@@ -32,6 +32,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(v(0) == 3.0f && v(3) == 'a'.toFloat)
   }
 
+  test("withFeatures bridges payload -> features -> cosine similarity") {
+    import spark.implicits._
+    val df = Seq((0L, "aaa"), (1L, "aaa"), (2L, "a much longer different text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.withFeatures(df)
+    val q = feats.filter(col("doc_id") === 0)
+      .select(col("features")).head().getSeq[Float](0)
+    val out = feats.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), graft.ops.AnnLsh.cosine(
+        col("features").cast("array<double>"),
+        array(q.map(lit): _*).cast("array<double>")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).collect()
+    // identical payload → identical stub features → cosine exactly 1
+    assert(out.head.getLong(0) == 1L && out.head.getDouble(1) == 1.0)
+  }
+
   test("resizeStub clamps to the bounding box preserving aspect ratio") {
     val m = Multimodal.MediaMeta(640, 480, "png")
     val r = Multimodal.resizeStub(m, 320)
