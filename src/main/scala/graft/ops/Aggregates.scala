@@ -91,15 +91,18 @@ object Aggregates {
         max(col("c_custkey")).as("max_k"))
       .orderBy(col("c_nationkey"))
 
-  /** D9 (⛔ unit-tested for the 5% error bound in `ApproxDistinctSpec`):
-    * HyperLogLog++ approximate distinct — the sketch shape that replaces
-    * exact distinct at 100 TB (fixed-size buffer per group through the
-    * shuffle instead of the full key set). Registered rows-only: the
-    * sketch estimate is engine-specific, so there is no DuckDB oracle. */
+  /** D9 (unit-tested for the 5% error bound at all three fixture scales
+    * in `AggregatesSpec`): HyperLogLog++ approximate distinct — the
+    * sketch shape that replaces exact distinct at 100 TB (fixed-size
+    * buffer per group through the shuffle instead of the full key set).
+    * rsd is pinned at 0.02 (a ~4 KB sketch) so the tested 5% bound is
+    * 2.5 standard deviations, not 1 — the default rsd=0.05 measured a
+    * 5.7% error on one sf0.01 group. Registered rows-only: the sketch
+    * estimate is engine-specific, so there is no DuckDB oracle. */
   def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_cust"))
       .orderBy(col("o_orderstatus"))
 
   /** D10: two-phase salted aggregation — the skew pattern for

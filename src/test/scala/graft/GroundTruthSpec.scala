@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnLsh, Buckets, LlmData, MinHash, SimHash, Util}
+
+/** Fixture-wide ground-truth verification for the rows-only queries
+  * (round-5 verdict, task 1): planted-input unit tests prove mechanics,
+  * not behavior on the real fixture distribution. At sf0.001 (500 docs /
+  * 500 vectors) the brute-force all-pairs truth is computable IN SPARK
+  * (125k pairs — a deliberate test-scale-only crossJoin; the production
+  * paths under test exist precisely so this join never happens at
+  * scale), so each LSH/sketch path is checked against exact truth:
+  *
+  *  - precision must be 1.0 — every emitted pair/hit is in the truth set
+  *    with the exact verified value (LSH costs recall, never precision);
+  *  - recall is measured on the fixture and pinned at a floor consistent
+  *    with each class-doc S-curve (and asserted complete where the
+  *    design guarantees completeness, e.g. SimHash pigeonhole bands with
+  *    zero bucket overflow).
+  */
+class GroundTruthSpec extends SparkTestBase {
+
+  private def docs = Util.t(spark, sfDir, "documents")
+  private def embs = Util.t(spark, sfDir, "embeddings")
+
+  /** Brute-force all-pairs frame (a < b) from a keyed payload frame. */
+  private def allPairs(df: DataFrame, idCol: String, payload: String): DataFrame = {
+    val a = df.select(col(idCol).as("pa"), col(payload).as(s"${payload}_a"))
+    val b = df.select(col(idCol).as("pb"), col(payload).as(s"${payload}_b"))
+    a.crossJoin(b).filter(col("pa") < col("pb"))
+  }
+
+  test("K2 dedup_minhash: precision 1.0 vs brute-force Jaccard truth; recall on-curve") {
+    val sets = MinHash.shingleSets(
+        MinHash.shingleRows(docs, "doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("shingles")).cache()
+    // identical decimal arithmetic to the query under test, so emitted
+    // jaccard values must match the truth bit-for-bit
+    val truth = allPairs(sets, "doc_id", "shingles")
+      .withColumn("n_int", size(array_intersect(col("shingles_a"), col("shingles_b"))))
+      .withColumn("n_union",
+        size(col("shingles_a")) + size(col("shingles_b")) - col("n_int"))
+      .withColumn("jaccard", Util.dbl(Util.dec(col("n_int")) / col("n_union")))
+      .filter(col("jaccard") >= 0.5d)
+      .select(col("pa"), col("pb"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sets.unpersist()
+    val emitted = LlmData.dedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(truth.nonEmpty,
+      "fixture must contain true J>=0.5 pairs for this check to be non-vacuous")
+    for ((p, j) <- emitted) {
+      assert(truth.contains(p), s"emitted pair $p is not a true J>=0.5 pair")
+      assert(truth(p) == j, s"pair $p: emitted jaccard $j != truth ${truth(p)}")
+    }
+    val recall = emitted.keysIterator.count(truth.contains).toDouble / truth.size
+    info(s"K2 truth=${truth.size} emitted=${emitted.size} recall=$recall")
+    // class-doc S-curve (1-(1-j^4)^8): >=0.96 at j=0.8; fixture dups are
+    // high-overlap edits, so fixture-wide recall must clear this floor
+    assert(recall >= 0.9, s"K2 fixture recall $recall below the S-curve floor")
+  }
+
+  test("K11 dedup_simhash: equals brute-force Hamming<=3 truth (complete at 0 overflow)") {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val fps = SimHash.fingerprints(toks, "doc_id", "token").cache()
+    val truth = allPairs(fps, "doc_id", "simhash")
+      .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("pa"), col("pb"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    fps.unpersist()
+    val emitted = LlmData.dedupSimhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(truth.nonEmpty,
+      "fixture must contain true Hamming<=3 pairs for this check to be non-vacuous")
+    for ((p, h) <- emitted) {
+      assert(truth.contains(p), s"emitted pair $p is not a true Hamming<=3 pair")
+      assert(truth(p) == h, s"pair $p: emitted hamming $h != truth ${truth(p)}")
+    }
+    // 4x16 bands are pigeonhole-complete for d<=3 among uncapped bucket
+    // members; with zero overflow on the fixture, recall must be exactly 1
+    info(s"K11 truth=${truth.size} emitted=${emitted.size}")
+    assert(emitted.keySet == truth.keySet,
+      "zero-overflow pigeonhole bands must recover the full Hamming<=3 truth set")
+  }
+
+  test("K12 dedup_embedding: emitted cosines exact; recall vs true top-10 on-curve") {
+    val vecs = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val pairCos = allPairs(vecs, "vec_id", "v")
+      .select(col("pa"), col("pb"),
+        round(AnnLsh.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .cache()
+    val cosByPair = pairCos
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truthTop = pairCos
+      .orderBy(col("cos").desc, col("pa"), col("pb")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairCos.unpersist()
+    val emitted = LlmData.dedupEmbedding(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(emitted.nonEmpty)
+    for ((p, c) <- emitted)
+      assert(cosByPair(p) == c, s"pair $p: emitted cosine $c != exact ${cosByPair(p)}")
+    // recall vs the true top-10 is RECORDED, not floored: the fixture's
+    // top pairs sit at cos ~0.45-0.48, where the 8x16 dedup S-curve
+    // (1-(1-p^16)^8, p = 1-acos(c)/pi) predicts per-pair recall < 1% —
+    // the operator is a NEAR-dup detector (recall -> 1 as cos -> 1),
+    // and on a random-Gaussian corpus there are no near-dups to find
+    val hits = emitted.map(_._1).count(truthTop.contains)
+    info(s"K12 recall@10 = ${hits / 10.0} (S-curve-predicted expectation < 0.1 " +
+      "at the fixture's cos ~0.45-0.48 top pairs)")
+  }
+
+  test("K12 dedup_embedding: planted near-dups against the full fixture background") {
+    // recall where the S-curve promises it (cos ~ 1): plant three scaled
+    // copies of fixture vectors among all 500 real distractors — a scaled
+    // copy has identical dot-product signs, so it collides in EVERY
+    // table; all three planted pairs must lead the top-10 at cosine 1.0
+    val planted = Seq(17L -> 1017L, 225L -> 1225L, 12L -> 1012L)
+    val copies = embs
+      .filter(col("vec_id").isin(planted.map(_._1): _*))
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0005f)).as("embedding"))
+    val augmented = embs.select(col("vec_id"), col("embedding")).union(copies)
+    val top = AnnLsh.topNearDupPairs(augmented, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lead = top.take(3).map(p => (p._1, p._2)).toSet
+    assert(lead == planted.map(p => (p._1, p._2)).toSet,
+      s"planted pairs must lead the top-10, got ${top.toSeq}")
+    assert(top.take(3).forall(_._3 == 1.0),
+      "scaled copies must verify at exact cosine 1.0")
+  }
+
+  test("K13 sim_ann_topk: recall@5 vs the oracle-checked exact sim_topk") {
+    val exact = LlmData.simTopk(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val ann = LlmData.simAnnTopk(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ann.count(exact.contains).toDouble / exact.size
+    info(s"K13 recall@5 vs exact = $recall (ann=$ann exact=$exact)")
+    // deterministic (fixed-seed hyperplanes, fixed fixture): 4 tables x
+    // 8 bits with Hamming-1 multi-probe at the fixture's cos ~0.30-0.33
+    // neighbors predicts per-pair recall ~0.38 (class-doc curve); the
+    // measured fixture value is pinned as the regression floor
+    assert(recall >= 0.4, s"K13 recall@5 $recall below the pinned fixture floor")
+  }
+
+  test("K18 sim_ivf_topk: recall@5 vs the oracle-checked exact sim_topk") {
+    val exact = LlmData.simTopk(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = LlmData.simIvfTopk(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    info(s"K18 recall@5 vs exact = $recall (ivf=$ivf exact=$exact)")
+    // probing 2/16 cells: FAISS-style IVF recall on random data ~ nprobe/K
+    // per cell mass, but true neighbors concentrate in the query's cell
+    assert(recall >= 0.4, s"K18 recall@5 $recall below floor")
+  }
+}
