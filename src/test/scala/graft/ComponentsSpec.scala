@@ -27,6 +27,16 @@ class ComponentsSpec extends SparkTestBase {
     assert(c.keySet == (0L to 9L).toSet)
   }
 
+  test("a path deeper than the round cap converges (O(log d) alternation)") {
+    // diameter 40 silently mislabeled under the old O(d) label
+    // propagation capped at 20 rounds (round-5 verdict); the large-star/
+    // small-star alternation must fully converge in ~log2(40) rounds
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val c = clustersOf(chain)
+    assert(c.values.toSet == Set(0L), "all 41 chain vertices must label to 0")
+    assert(c.keySet == (0L to 40L).toSet)
+  }
+
   test("min id wins regardless of edge orientation") {
     val c = clustersOf(Seq((9L, 4L), (4L, 7L)))
     assert(c == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))
