@@ -38,11 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    exactly like the reference's per-chunk GET (Spark task retry
   *    subsumes its tenacity loop, SURVEY §4.1).
   *
-  * The data behind a partition is a local JSON array-of-arrays fixture
-  * (option `path`) in the reference's wire format; a real deployment
-  * would issue the HTTP GET inside `PartitionReader` instead — the
-  * planning, pushdown, and partitioning contract is identical (the
-  * fixture file must be executor-visible, like the sink roots).
+  * The bytes behind a partition arrive through the [[CensusFetcher]]
+  * transport seam (option `fetcherClass`): the default reads a local
+  * JSON array-of-arrays fixture (option `path`) in the reference's
+  * wire format; a deployment plugs its HTTP client into the same seam
+  * and the planning, pushdown, partitioning, and retry/throttle
+  * contract is identical (a file target must be executor-visible, like
+  * the sink roots).
   *
   * Reference schema semantics carried over:
   *  - all cells `StringType`, nullable (§1.2 — the API returns quoted
@@ -71,9 +73,25 @@ class CensusSource extends TableProvider {
   * tenacity `stop_after_attempt(5)`), `retryBaseWaitMs`,
   * `retryMaxWaitMs` (default 60 s = the reference's backoff cap),
   * `throttleMs` (the reference sleeps 10 s per chunk; default 0 for
-  * local files). */
+  * local files), and the transport itself — `fetcherClass`, a
+  * [[CensusFetcher]] implementation name (default: local-file read; a
+  * deployment injects its HTTP client here). */
 case class FetchPolicy(maxAttempts: Int, baseWaitMs: Long,
-    maxWaitMs: Long, throttleMs: Long)
+    maxWaitMs: Long, throttleMs: Long,
+    fetcherClass: String = CensusFetcher.DefaultClass) {
+  def fetcher: CensusFetcher = CensusFetcher.forName(fetcherClass)
+
+  /** One policy-governed fetch+parse of a chunk target: throttle, then
+    * retry the (fetch → parse) unit with capped exponential backoff —
+    * each attempt re-opens the transport, exactly the reference's
+    * per-GET tenacity loop. */
+  def fetchArrays(target: String): Vector[Vector[String]] = {
+    if (throttleMs > 0) Thread.sleep(throttleMs)
+    val f = fetcher
+    Retry.withBackoff(maxAttempts, baseWaitMs, maxWaitMs)(
+      CensusSource.readArrays(f.fetch(target)))
+  }
+}
 
 object FetchPolicy {
   val Default: FetchPolicy = FetchPolicy(5, 1000L, 60000L, 0L)
@@ -84,7 +102,8 @@ object FetchPolicy {
       p.get("maxattempts").map(_.toInt).getOrElse(Default.maxAttempts),
       p.get("retrybasewaitms").map(_.toLong).getOrElse(Default.baseWaitMs),
       p.get("retrymaxwaitms").map(_.toLong).getOrElse(Default.maxWaitMs),
-      p.get("throttlems").map(_.toLong).getOrElse(Default.throttleMs))
+      p.get("throttlems").map(_.toLong).getOrElse(Default.throttleMs),
+      p.getOrElse("fetcherclass", Default.fetcherClass))
   }
 }
 
@@ -98,18 +117,18 @@ object CensusSource {
   /** The reference's 3-state chunking (`chunk_list(states, 3)`). */
   def stateChunks: Seq[Seq[String]] = stateFips.grouped(3).toSeq
 
-  private[sources] def readArrays(path: String): Vector[Vector[String]] = {
-    val root = new ObjectMapper().readTree(new java.io.File(path))
+  private[sources] def readArrays(in: java.io.InputStream): Vector[Vector[String]] = {
+    val root = try new ObjectMapper().readTree(in) finally in.close()
     root.elements().asScala.map { row =>
       row.elements().asScala
         .map(c => if (c.isNull) null else c.asText()).toVector
     }.toVector
   }
 
-  private[sources] def header(path: String): Vector[String] =
-    readArrays(path).headOption
+  private[sources] def header(policy: FetchPolicy, target: String): Vector[String] =
+    policy.fetchArrays(target).headOption
       .getOrElse(throw new IllegalArgumentException(
-        s"census fixture $path has no header row"))
+        s"census source $target has no header row"))
 
   /** Expected-first, extras-appended, first-occurrence-deduped column
     * order (R5/R6/R18). */
@@ -122,7 +141,7 @@ object CensusSource {
       throw new IllegalArgumentException("census source requires a 'path' option"))
     val expect = Option(options.get("expect")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    StructType(columnOrder(expect, header(path))
+    StructType(columnOrder(expect, header(FetchPolicy.fromProperties(options), path))
       .map(StructField(_, StringType, nullable = true)))
   }
 }
@@ -164,8 +183,11 @@ class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolic
   override def build(): Scan = new CensusScan(required, pushed, path, policy)
 }
 
-/** One 3-state chunk of the fixture (the reference's per-chunk GET). */
-case class CensusPartition(states: Seq[String]) extends InputPartition
+/** One 3-state chunk of the fixture (the reference's per-chunk GET).
+  * `catchAll` marks the remainder partition covering rows whose state
+  * is NULL or outside the census FIPS domain. */
+case class CensusPartition(states: Seq[String],
+    catchAll: Boolean = false) extends InputPartition
 
 class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     policy: FetchPolicy = FetchPolicy.Default)
@@ -185,18 +207,33 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
 
   /** Partition pruning: a chunk whose states are all excluded by the
     * pushed predicate is never planned — the reference simply does not
-    * issue that GET. Rows whose state lies outside the census domain
-    * belong to no chunk (the reference never requests them). A fixture
-    * without a `state` column (the single-call ZCTA shape,
-    * `test_final_zcta.py:193`) is one unchunked partition. */
+    * issue that GET. A fixture without a `state` column (the
+    * single-call ZCTA shape, `test_final_zcta.py:193`) is one
+    * unchunked partition.
+    *
+    * Rows whose state is NULL or outside the 51-FIPS domain (e.g. '72'
+    * Puerto Rico) belong to no chunk; a CATCH-ALL partition serves them
+    * so an unfiltered scan returns every file row (round-5 advice:
+    * dropping them was silent data loss) and an explicit predicate on
+    * an out-of-domain state is servable. It is planned only when it can
+    * match: on unfiltered scans, and when a pushed predicate names an
+    * out-of-domain state. */
   override def planInputPartitions(): Array[InputPartition] =
-    if (!CensusSource.header(path).contains("state"))
+    if (!CensusSource.header(policy, path).contains("state"))
       Array(CensusPartition(Seq.empty))
-    else
-      CensusSource.stateChunks
+    else {
+      val domain = CensusSource.stateFips.toSet
+      val chunks = CensusSource.stateChunks
         .filter(ch => wantedStates.forall(w => ch.exists(w.contains)))
         .map(CensusPartition(_): InputPartition)
-        .toArray
+      val needCatchAll = wantedStates match {
+        case None => true
+        case Some(w) => w.exists(s => !domain.contains(s))
+      }
+      (chunks ++ (if (needCatchAll)
+        Seq(CensusPartition(Seq.empty, catchAll = true): InputPartition)
+      else Seq.empty)).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CensusReaderFactory(path, required.fieldNames.toSeq,
@@ -215,32 +252,33 @@ class CensusReaderFactory(path: String, requiredCols: Seq[String],
     policy: FetchPolicy)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val states = partition.asInstanceOf[CensusPartition].states.toSet
-    new CensusPartitionReader(path, requiredCols, states, wantedStates,
-      stateNotNull, policy)
+    val p = partition.asInstanceOf[CensusPartition]
+    new CensusPartitionReader(path, requiredCols, p.states.toSet, p.catchAll,
+      wantedStates, stateNotNull, policy)
   }
 }
 
-/** Reads the fixture's data rows for one state chunk, applying the
-  * pushed geo predicate, NULL-filling expected-but-absent columns (R5)
-  * and projecting to the pruned schema. The read honors the R14/R15
-  * fetch policy: throttle before the fetch, retry with capped
-  * exponential backoff around it. A production variant performs the
-  * chunk's HTTP GET here instead of the file read — same policy, same
+/** Reads the source's data rows for one state chunk (or the catch-all
+  * remainder), applying the pushed geo predicate, NULL-filling
+  * expected-but-absent columns (R5) and projecting to the pruned
+  * schema. The fetch goes through the policy's [[CensusFetcher]] seam
+  * under the R14/R15 envelope: throttle before the fetch, retry the
+  * fetch+parse with capped exponential backoff — a production
+  * deployment plugs an HTTP GET into the same seam, same policy, same
   * partition contract. */
 class CensusPartitionReader(path: String, requiredCols: Seq[String],
-    chunkStates: Set[String], wantedStates: Option[Set[String]],
+    chunkStates: Set[String], catchAll: Boolean,
+    wantedStates: Option[Set[String]],
     stateNotNull: Boolean, policy: FetchPolicy)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    if (policy.throttleMs > 0) Thread.sleep(policy.throttleMs)
-    val all = Retry.withBackoff(policy.maxAttempts, policy.baseWaitMs,
-      policy.maxWaitMs)(CensusSource.readArrays(path))
+    val all = policy.fetchArrays(path)
     val fileHeader = all.head
     val colIdx = fileHeader.zipWithIndex.toMap // first occurrence wins (R18)
     val stateIdx = colIdx.get("state")
     val reqIdx: Seq[Option[Int]] = requiredCols.map(colIdx.get)
+    val domain = CensusSource.stateFips.toSet
     all.iterator.drop(1)
       .filter { r =>
         stateIdx match {
@@ -249,9 +287,15 @@ class CensusPartitionReader(path: String, requiredCols: Seq[String],
           case None => wantedStates.isEmpty && !stateNotNull
           case Some(i) =>
             val s = r(i)
-            s != null &&
-              (chunkStates.isEmpty || chunkStates.contains(s)) &&
-              wantedStates.forall(_.contains(s))
+            if (catchAll) {
+              // the remainder: NULL states (unless IsNotNull was
+              // pushed) and out-of-domain states the chunks never cover
+              if (s == null) !stateNotNull && wantedStates.isEmpty
+              else !domain.contains(s) && wantedStates.forall(_.contains(s))
+            } else
+              s != null &&
+                (chunkStates.isEmpty || chunkStates.contains(s)) &&
+                wantedStates.forall(_.contains(s))
         }
       }
       .map { r =>

@@ -3,7 +3,21 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
-import graft.sources.{CensusFixture, CensusSource}
+import graft.sources.{CensusFetcher, CensusFixture, CensusSource}
+
+/** Test transport: fails the first two fetches, then delegates to the
+  * file read — exercises the retry policy through the fetcher seam. */
+class FlakyFetcher extends CensusFetcher {
+  override def fetch(target: String): java.io.InputStream = {
+    val n = FlakyFetcher.attempts.incrementAndGet()
+    if (n <= 2) throw new java.io.IOException(s"transient transport failure #$n")
+    new java.io.FileInputStream(target)
+  }
+}
+
+object FlakyFetcher {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
 
 /** DSv2 census source (reference R1/R2/R5/R6/R18): API-shaped
   * array-of-arrays input, all-string schema, expected-column
@@ -36,13 +50,71 @@ class CensusSourceSpec extends SparkTestBase {
     p.toString
   }
 
-  test("full scan: 2 rows per census state, all-string schema, 17 chunks") {
+  test("full scan: 2 rows per census state, all-string schema, 17 chunks + catch-all") {
     val df = read()
     assert(df.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.StringType && f.nullable))
     assert(df.columns.toSeq == CensusFixture.Expect)
     assert(df.count() == 2L * CensusSource.stateFips.size)
-    assert(scanOf(df).inputRDD.getNumPartitions == CensusSource.stateChunks.size)
+    // 17 domain chunks + 1 catch-all remainder partition
+    assert(scanOf(df).inputRDD.getNumPartitions == CensusSource.stateChunks.size + 1)
+  }
+
+  test("unfiltered scan returns NULL-state and out-of-domain rows (no silent loss)") {
+    val path = writeFixture(Seq(
+      Seq("NAME", "state"),
+      Seq("Tract A", "06"),
+      Seq("PR Tract", "72"), // Puerto Rico: outside the 51-FIPS domain
+      Seq("No Geo", null)))
+    val df = read(expect = Seq("NAME", "state"), path = path)
+    assert(df.count() == 3, "every file row must survive a full scan")
+    val byName = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byName("PR Tract").getString(1) == "72")
+    assert(byName("No Geo").isNullAt(1))
+    // IsNotNull pushdown still filters the NULL-state row
+    assert(df.filter(col("state").isNotNull).count() == 2)
+  }
+
+  test("explicit predicate on an out-of-domain state plans only the catch-all") {
+    val path = writeFixture(Seq(
+      Seq("NAME", "state"),
+      Seq("Tract A", "06"),
+      Seq("PR Tract", "72")))
+    val df = read(expect = Seq("NAME", "state"), path = path)
+      .filter(col("state") === "72")
+    assert(scanOf(df).inputRDD.getNumPartitions == 1)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("PR Tract"))
+  }
+
+  test("fetcher seam: a transport failing twice succeeds under the retry policy") {
+    FlakyFetcher.attempts.set(0)
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("fetcherClass", classOf[FlakyFetcher].getName)
+      .option("retryBaseWaitMs", "1")
+      .option("retryMaxWaitMs", "2")
+      .load()
+      .filter(col("state") === "06")
+    assert(df.count() == 2, "retry must recover from two transient failures")
+    assert(FlakyFetcher.attempts.get() >= 3,
+      "the failing attempts must have gone through the fetcher seam")
+  }
+
+  test("fetcher seam: failures beyond maxAttempts surface as a fetch error") {
+    FlakyFetcher.attempts.set(0)
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.CensusSource")
+        .option("path", CensusFixture.path)
+        .option("fetcherClass", classOf[FlakyFetcher].getName)
+        .option("maxAttempts", "2")
+        .option("retryBaseWaitMs", "1")
+        .load()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("after 2 attempts"))),
+      s"expected a bounded-retry failure, got $e")
   }
 
   test("state IN predicate prunes partitions at planning") {
