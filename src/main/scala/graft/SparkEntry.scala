@@ -101,6 +101,8 @@ object SparkEntry {
     "dedup_clusters" -> (ops.LlmData.dedupClusters _),
     "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
+    "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),
+    "dedup_health" -> (ops.LlmData.dedupHealth _),
     "sim_topk" -> (ops.LlmData.simTopk _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),

@@ -272,6 +272,61 @@ object LlmData {
         (col("id") === col("lbl")).as("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))
 
+  /** K22: the end-to-end dedup pipeline probe — pairs → connected
+    * clusters → canonical survivors → ONE summary row: document count,
+    * survivor count, removed count, and the byte totals kept/removed
+    * (the "how much smaller is my training set" number a data team
+    * actually asks for). Documents in no near-dup pair are trivially
+    * canonical. The cluster frame is tiny relative to the corpus (only
+    * clustered docs), so the left join broadcasts at scale; the final
+    * aggregate is a single partial-agg pass. Oracle: the identical
+    * composition over the recursive-CTE closure in DuckDB. */
+  def dedupEndToEnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("n_chars"))
+    val keepFlags = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.join(keepFlags, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_chars")).as("bytes_total"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("bytes_kept"),
+        sum(when(!col("keep"), col("n_chars")).otherwise(0L)).as("bytes_removed"))
+  }
+
+  /** Dedup health probe: bucket-population statistics and skew-cap
+    * truncation counters for the LSH bucket families — the metric
+    * surface that makes silent recall loss observable (round-5 verdict
+    * task 6: `Buckets.n_overflow` existed but no registered query
+    * exposed it). The ngram (min-shingle) family is SQL-portable and
+    * oracle-computed; the MinHash and embedding-LSH overflow totals are
+    * engine-side sums whose fixture ground truth is 0 — proven
+    * brute-force in `GroundTruthSpec` (zero truncation ⇔ complete
+    * candidate sets), so the oracle pins them at 0 and any corpus
+    * drift that starts truncating fails this row loudly. Three
+    * single-row aggregates crossJoined — each side is one row, no
+    * data-scale join. */
+  def dedupHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
+    val cap = lit(Buckets.MaxBucket)
+    val ngram = MinHash.shingleSets(rows, "doc_id")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("ngram_buckets"),
+        coalesce(max(col("n")), lit(0L)).as("ngram_max_bucket"),
+        coalesce(sum(greatest(col("n") - cap, lit(0L))), lit(0L))
+          .as("ngram_overflow"))
+    val mh = MinHash.buckets(rows, "doc_id")
+      .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("minhash_overflow"))
+    val emb = Buckets.members(
+        AnnLsh.codes(t(spark, sfDir, "embeddings"), "vec_id", "embedding"),
+        Seq("table_id", "code"), col("vec_id"), col("vec_id"))
+      .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("embedding_overflow"))
+    ngram.crossJoin(mh).crossJoin(emb)
+  }
+
   /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs, each optionally absorbing one leading space —
     * the ASCII core of the GPT-2 pre-tokenizer regex (public; the

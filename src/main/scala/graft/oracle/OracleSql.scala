@@ -25,19 +25,26 @@ object OracleSql {
   /** dec(x) of graft.ops.Util. */
   private def dec(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
 
+  /** The token-trigram shingle-set + min-shingle-bucket CTEs — the
+    * SQL-portable bucket family shared by dedup_ngram_jaccard,
+    * dedup_clusters, dedup_end_to_end, and dedup_health (all four
+    * oracles must see the identical shingle relation). */
+  private val shingleCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), bk AS (
+      |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
+      |)""".stripMargin
+
   /** Shared by dedup_ngram_jaccard and (as the edge set of the
     * dedup_clusters recursive closure) dedup_clusters — both oracles
     * must see the identical pair relation. */
   private val ngramJaccardSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(0, len(toks) - 2),
-       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-       |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), bk AS (
-       |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
-       |), pairs AS (
+    s"""WITH $shingleCtes, pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
        |    len(a.shingles) + len(b.shingles)
@@ -664,6 +671,55 @@ object OracleSql {
          |FROM reach
          |GROUP BY id
          |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // the same recursive closure, composed to the one-row dedup
+    // decision summary: canonical survivors keep their bytes, the rest
+    // are removed; unclustered documents are trivially canonical
+    "dedup_end_to_end" ->
+      s"""WITH RECURSIVE jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |), und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jacc
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jacc
+         |), verts AS (
+         |  SELECT DISTINCT src AS id FROM und
+         |), reach(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+         |), clusters AS (
+         |  SELECT id AS doc_id, id = MIN(lbl) AS is_canonical
+         |  FROM reach GROUP BY id
+         |), flags AS (
+         |  SELECT dd.n_chars, COALESCE(c.is_canonical, TRUE) AS keep
+         |  FROM documents dd LEFT JOIN clusters c ON dd.doc_id = c.doc_id
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS bytes_kept,
+         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT) AS bytes_removed
+         |FROM flags""".stripMargin,
+
+    // bucket-population health over the SQL-portable min-shingle
+    // family; the MinHash / embedding-LSH overflow totals are pinned at
+    // their brute-force-proven fixture ground truth (0 — see
+    // GroundTruthSpec: zero truncation is what makes those candidate
+    // sets complete), so engine-side truncation fails this row loudly
+    "dedup_health" ->
+      s"""WITH $shingleCtes, counts AS (
+         |  SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket
+         |  HAVING COUNT(*) > 1
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS ngram_buckets,
+         |  CAST(COALESCE(MAX(n), 0) AS BIGINT) AS ngram_max_bucket,
+         |  CAST(COALESCE(SUM(GREATEST(n - 256, 0)), 0) AS BIGINT)
+         |    AS ngram_overflow,
+         |  CAST(0 AS BIGINT) AS minhash_overflow,
+         |  CAST(0 AS BIGINT) AS embedding_overflow
+         |FROM counts""".stripMargin,
 
     "text_tokens_bpe" ->
       s"""SELECT doc_id,
