@@ -94,6 +94,29 @@ object StreamingOps {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** J9: idempotent streaming → warehouse append via `foreachBatch` —
+    * the sink half of the streaming story (J4-J8 are transforms).
+    *
+    * Structured Streaming guarantees `foreachBatch` sees each batch id
+    * AT LEAST once: after a failure the same (batchId, data) is
+    * re-delivered, so a naive blind append duplicates rows. This writer
+    * makes the append idempotent with the standard recipe: stamp every
+    * row with its batch id, partition the sink table by it, and
+    * overwrite ONLY that partition (`partitionOverwriteMode=dynamic`) —
+    * a re-delivered batch replaces its own directory byte-for-byte
+    * instead of appending a second copy, upgrading the at-least-once
+    * delivery to exactly-once sink contents. At cluster scale each
+    * micro-batch writes one new partition of a shared-FS table; no
+    * global state, no cross-batch coordination. */
+  def idempotentBatchAppend(out: String)(batch: DataFrame, batchId: Long): Unit =
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(out)
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

@@ -132,6 +132,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_j9_").toString + "/sink"
+    val in = MemoryStream[Ev]
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.idempotentBatchAppend(out)
+    val q = in.toDF().writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val b1 = Seq(
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "click"),
+      Ev(3, ts("2024-01-01 10:02:00"), 2, "view"))
+    withQuery(q) {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view"))
+      q.processAllAvailable() // batch 0
+      in.addData(b1: _*)
+      q.processAllAvailable() // batch 1
+    }
+    assert(spark.read.parquet(out).count() == 3)
+    // foreachBatch is AT-LEAST-once: simulate the post-failure
+    // re-delivery of batch 1 with identical contents — the dynamic
+    // partition overwrite must replace, not duplicate
+    writer(b1.toDF(), 1L)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "re-delivered batch must not duplicate rows")
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(rows.select("batch_id").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+  }
+
   test("parquet file source → watermarked agg → parquet file sink equals batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
