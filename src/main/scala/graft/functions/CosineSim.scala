@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -22,23 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics (identical to the HOF version it replaces): NULL if either
   * input is NULL, the lengths differ, or any element is NULL; NaN for
   * zero-norm inputs (0/0, IEEE semantics).
+  *
+  * `ImplicitCastInputTypes` declares `array<double>` inputs, so
+  * Catalyst inserts the widening cast for `array<float>` (the
+  * fixture's native embedding type) and `array<int>` arguments exactly
+  * like every comparable built-in — SQL callers get the cast for free
+  * instead of a hard TypeCheckFailure (round-5 advice).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim requires two array<double> inputs, got " +
-        s"${left.dataType} and ${right.dataType}")
-  }
+  // AbstractDataType is private[sql], so the override's type is
+  // inferred (Seq[ArrayType] <: Seq[AbstractDataType] by covariance)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

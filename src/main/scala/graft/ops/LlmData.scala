@@ -417,7 +417,10 @@ object LlmData {
         element_at(col("features"), 1).cast("double").as("f_len"),
         element_at(col("features"), 2).cast("double").as("f_mod7"),
         element_at(col("features"), 3).cast("double").as("f_mod11"),
-        lpad(hex(element_at(col("features"), 4).cast("int")), 2, "0")
+        // no first byte to render on an empty payload: NULL, matching
+        // the oracle (the stub's 0 sentinel would print as '00')
+        when(element_at(col("features"), 1) === 0, lit(null))
+          .otherwise(lpad(hex(element_at(col("features"), 4).cast("int")), 2, "0"))
           .as("byte0_hex"))
       .orderBy(col("doc_id"))
 

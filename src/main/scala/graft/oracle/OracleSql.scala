@@ -840,12 +840,16 @@ object OracleSql {
         |  AND r.range % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // byte0_hex is NULL for zero-length payloads in BOTH engines: there
+    // is no first byte to render (unguarded, Spark's stub yielded '00'
+    // where DuckDB's hex-slice yielded '' — round-5 advice)
     "multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
         |  CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS f_mod7,
         |  CAST(octet_length(encode(text)) % 11 AS DOUBLE) AS f_mod11,
-        |  hex(encode(text))[1:2] AS byte0_hex
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+        |    ELSE hex(encode(text))[1:2] END AS byte0_hex
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -40,7 +40,10 @@ class CosineSimSpec extends SparkTestBase {
   }
 
   test("interpreted (no-codegen) path agrees with codegen") {
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // capture the pre-test value (not a hardcoded default) so the
+    // shared session's config is restored exactly (round-5 advice)
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val codegen = pairsDf(samples)
       .select(CosineSim(col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
     try {
@@ -50,9 +53,27 @@ class CosineSimSpec extends SparkTestBase {
         .select(CosineSim(col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
       assert(interp == codegen)
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
+  }
+
+  test("array<float> inputs widen implicitly (fixture's native embedding type)") {
+    import spark.implicits._
+    val out = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(CosineSim(col("a"), col("b")))
+      .head()
+    assert(!out.isNullAt(0) && math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    // and via SQL, where the round-5 advice found the hard failure
+    graft.functions.CosineSim.register(spark)
+    val sql = Seq((Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    sql.createOrReplaceTempView("cos_float_in")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM cos_float_in").head()
+    assert(!viaSql.isNullAt(0) && math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
   }
 
   test("null input, null element, and length mismatch yield null") {
