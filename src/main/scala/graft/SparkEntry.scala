@@ -103,6 +103,9 @@ object SparkEntry {
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),
     "dedup_health" -> (ops.LlmData.dedupHealth _),
+    "contamination_ngram" -> ((s, d) => ops.LlmData.contaminationNgram(s, d)),
+    "sample_stratified" -> ((s, d) => ops.LlmData.sampleStratified(s, d)),
+    "pack_token_budget" -> ((s, d) => ops.LlmData.packTokenBudget(s, d)),
     "sim_topk" -> (ops.LlmData.simTopk _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),

@@ -327,6 +327,81 @@ object LlmData {
     ngram.crossJoin(mh).crossJoin(emb)
   }
 
+  /** K23: benchmark-contamination check — the screen a training corpus
+    * runs against its eval sets before training: any candidate document
+    * sharing token-trigram shingles with the benchmark partition (here:
+    * `source = 'src0'`, standing in for an eval set) is suspect, ranked
+    * by how many distinct shingles it shares. Scale shape: the
+    * benchmark shingle set is SMALL (eval sets are thousands of docs,
+    * not billions) so it broadcasts; candidates join against it on the
+    * shingle and aggregate per doc — one narrow pass over candidate
+    * shingles, no doc×doc comparison. */
+  def contaminationNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val shingles = MinHash
+      .shingleRows(docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .distinct() // distinct (doc, shingle): overlap counts count shingles once
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = shingles.join(src, Seq("doc_id"))
+    val bench = tagged.filter(col("source") === "src0")
+      .select(col("shingle")).distinct()
+    tagged.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** K24: stratified corpus sampling — proportional allocation of a
+    * fixed sample budget across languages (the corpus-mixing primitive:
+    * quota_l = round(target × n_l / N), floored at 1 so no stratum
+    * vanishes), then a deterministic per-stratum take of the lowest
+    * doc_ids. One count pass + one per-stratum window ranked inside
+    * each language partition — both partitioned by the stratum key, so
+    * no global sort and no driver-side loop. Quota arithmetic is exact
+    * decimal (HALF_UP in both engines). */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+      target: Int = 100): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val quotas = counts.crossJoin(total)
+      .select(col("lang"), col("n_docs"),
+        greatest(lit(1L),
+          round(dec(col("n_docs") * target) / col("n_total")).cast("long"))
+          .as("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+        count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** K25: token-budget packing — greedily keep each language's documents
+    * (in deterministic doc_id order) while the running token count stays
+    * within a per-language budget; report docs kept and tokens used.
+    * The running sum is a window partitioned by the stratum key with an
+    * explicit ROWS frame (RANGE vs ROWS matters for the oracle match
+    * even though doc_id is unique) — partitioned windows scale; there
+    * is no global order-by over the corpus. */
+  def packTokenBudget(spark: SparkSession, sfDir: String,
+      budget: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("cum_toks")).as("tokens_used"))
+      .orderBy(col("lang"))
+  }
+
   /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs, each optionally absorbing one leading space —
     * the ASCII core of the GPT-2 pre-tokenizer regex (public; the

@@ -721,6 +721,68 @@ object OracleSql {
          |  CAST(0 AS BIGINT) AS embedding_overflow
          |FROM counts""".stripMargin,
 
+    // distinct (doc, shingle) rows are exactly the unnest of the
+    // list_distinct shingle sets; the benchmark partition is source
+    // 'src0' (standing in for an eval set)
+    "contamination_ngram" ->
+      s"""WITH $shingleCtes, s AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM d
+         |), tagged AS (
+         |  SELECT s.doc_id, s.shingle, dd.source
+         |  FROM s JOIN documents dd ON s.doc_id = dd.doc_id
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM tagged WHERE source = 'src0'
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM tagged
+         |WHERE source <> 'src0'
+         |  AND shingle IN (SELECT shingle FROM bench)
+         |GROUP BY doc_id
+         |ORDER BY n_shared DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT SUM(n_docs) AS n_total FROM counts
+        |), quotas AS (
+        |  SELECT lang, n_docs,
+        |    GREATEST(1, CAST(ROUND(
+        |      CAST(n_docs * 100 AS DECIMAL(18,4)) / n_total) AS BIGINT)) AS quota
+        |  FROM counts, tot
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.lang,
+        |  CAST(MAX(q.n_docs) AS BIGINT) AS n_docs,
+        |  CAST(MAX(q.quota) AS BIGINT) AS quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled
+        |FROM ranked r JOIN quotas q ON r.lang = q.lang
+        |WHERE r.rn <= q.quota
+        |GROUP BY r.lang
+        |ORDER BY r.lang""".stripMargin,
+
+    "pack_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), cum AS (
+        |  SELECT lang, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |  FROM toks
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(MAX(cum_toks) AS BIGINT) AS tokens_used
+        |FROM cum
+        |WHERE cum_toks <= 2000
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     "text_tokens_bpe" ->
       s"""SELECT doc_id,
          |  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_ws,

@@ -72,6 +72,35 @@ class PlanAuditSpec extends SparkTestBase {
       assert(plan(n).contains("row_number()"), s"$n lost the bucket cap")
   }
 
+  test("contamination_ngram broadcasts the benchmark shingle set") {
+    // the eval-set side is small by construction; shuffling candidate
+    // shingles against it instead of broadcasting would add a full
+    // corpus-shingle shuffle at scale
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), "benchmark join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("stratified sampling and budget packing keep windows partitioned") {
+    // both ops rank/accumulate INSIDE the lang stratum — a global
+    // (unpartitioned) window would move the corpus to one task
+    for (n <- Seq("sample_stratified", "pack_token_budget")) {
+      val p = plan(n)
+      assert(p.contains("windowspecdefinition(lang"),
+        s"$n must partition its window by the stratum key")
+    }
+    assert(plan("sample_stratified").contains("BroadcastHashJoin"),
+      "the 5-row quota table must broadcast")
+  }
+
+  test("dedup_end_to_end joins keep flags on the build side (no corpus self-shuffle of docs)") {
+    // the cluster-flag frame is tiny relative to documents; the summary
+    // aggregate must run partial before its single-row shuffle
+    val p = plan("dedup_end_to_end")
+    assert(p.contains("partial"), "summary aggregate must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
     // the two-pass design ranks locally per bucket (windowspecdefinition
     // partitioned on pid) and derives ntile/percent_rank/cume_dist as
