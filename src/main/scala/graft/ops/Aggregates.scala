@@ -157,6 +157,22 @@ object Aggregates {
         Array(col("size"), col("price_cents")), "metric", "value")
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** D15: approximate percentile sketch — the quantile counterpart of
+    * the D9 HLL sketch: at 100 TB an exact per-group percentile sorts
+    * every group, while Greenwald-Khanna summaries (`percentile_approx`)
+    * keep a fixed-size buffer per group through the shuffle with rank
+    * error ≤ 1/accuracy. accuracy=1000 → 0.1% rank error, verified
+    * per group against exact ranks at all three fixture scales in
+    * `AggregatesSpec`. Registered rows-only: the sketch estimate is
+    * engine-specific, so there is no DuckDB oracle. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("tpc"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile_approx(tpc, 0.5, 1000)").as("median_cents_approx"),
+        expr("percentile_approx(tpc, 0.99, 1000)").as("p99_cents_approx"))
+      .orderBy(col("o_orderstatus"))
+
   /** D13: exact interpolated percentiles per group. Quartile fractions
     * (0.25/0.5) are binary-exact, so the linear interpolation over
     * integer cents is bit-identical between Spark's `percentile` and

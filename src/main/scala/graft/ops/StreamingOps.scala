@@ -117,6 +117,51 @@ object StreamingOps {
       .partitionBy("batch_id")
       .parquet(out)
 
+  /** J10: timeout-driven sessionization via `flatMapGroupsWithState` —
+    * the arbitrary-state form of `session_window` (J3): per-user
+    * session state (start, last, count) accumulates while events
+    * arrive, and the session is EMITTED (then cleared) only when the
+    * event-time watermark passes last_event + gap, i.e. the session
+    * provably cannot grow anymore. This is the pattern for session
+    * logic `session_window` can't express (custom close conditions,
+    * enriched summaries). State is one small tuple per active user key,
+    * partitioned by the grouping key and evicted by the timeout — no
+    * unbounded growth. Output: (user_id, session_start_epoch_s,
+    * n_events, duration_us) per closed session. */
+  def sessionizeWithTimeout(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed — emit
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator((user, start / 1000L, n, (last - start) * 1000L))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val (start0, last0, n0) =
+              state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
+            val merged = (math.min(start0, ts.min), math.max(last0, ts.max),
+              n0 + ts.length)
+            state.update(merged)
+            // re-arm: close once the watermark passes last + gap
+            state.setTimeoutTimestamp(merged._2 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "session_start", "n_events", "duration_us")
+  }
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

@@ -10,6 +10,8 @@ package graft.oracle
   * Deliberately absent (driver records a rows-only check; semantics are
   * pinned by unit tests instead):
   *  - agg_approx_distinct (HLL sketch estimate is engine-specific),
+  *  - agg_approx_percentile (Greenwald-Khanna summary is
+  *    engine-specific; rank-error bound unit-tested at all scales),
   *  - dedup_minhash (Murmur3 LSH signatures aren't portable SQL),
   *  - dedup_simhash (xxhash64 fingerprints aren't portable SQL),
   *  - dedup_embedding / sim_ann_topk (fixed-seed Gaussian hyperplanes

@@ -47,6 +47,32 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("D15: percentile_approx within its rank-error bound at every fixture scale") {
+    // Greenwald-Khanna guarantee: the returned value's true rank is
+    // within n/accuracy of the target rank (accuracy=1000 → 0.1%)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val approx = ops.Aggregates.aggApproxPercentile(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val exact = graft.ops.Util.t(spark, dir, "orders")
+        .select(col("o_orderstatus"),
+          graft.ops.Util.cents(col("o_totalprice")).as("tpc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+      assert(approx.keySet == exact.keySet, s"group keys diverge at $dir")
+      for ((k, sorted) <- exact; (p, v) <- Seq(0.5 -> approx(k)._1, 0.99 -> approx(k)._2)) {
+        val n = sorted.length
+        // true rank interval of v: [#(x < v), #(x <= v)]
+        val lo = sorted.count(_ < v)
+        val hi = sorted.count(_ <= v)
+        val target = p * n
+        val eps = n / 1000.0 + 1 // bound + 1-element slack at tiny n
+        assert(lo - eps <= target && target <= hi + eps,
+          s"$dir group $k p=$p: value $v rank [$lo,$hi] vs target $target ± $eps")
+      }
+    }
+  }
+
   test("D9: approx_count_distinct within 5% of exact per group at every fixture scale") {
     // the HLL++ error bound must hold across the full cardinality range
     // the fixtures span (~1.5k to 150k orders), not just the CI scale

@@ -132,6 +132,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J10: flatMapGroupsWithState sessionization emits on event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithTimeout(in.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("j10")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "view"))
+      q.processAllAvailable()
+      // session still open: watermark (9:55) hasn't passed 10:05 + 30min
+      assert(spark.table("j10").isEmpty)
+      // advance the watermark beyond 10:35 via another user's event...
+      in.addData(Ev(3, ts("2024-01-01 11:00:00"), 2, "view"))
+      q.processAllAvailable()
+      // ...and trigger the timeout batch
+      in.addData(Ev(4, ts("2024-01-01 11:01:00"), 2, "view"))
+      q.processAllAvailable()
+      val sessions = spark.table("j10").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(sessions.toSeq == Seq(
+        (1L, ts("2024-01-01 10:00:00").getTime / 1000, 2L, 300000000L)),
+        s"expected user 1's closed 2-event session, got ${sessions.toSeq}")
+      // user 2's session is still open — must NOT have been emitted
+      assert(!sessions.exists(_._1 == 2L))
+    }
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
