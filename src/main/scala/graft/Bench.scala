@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * whole-loop wall clock including repeats.
   */
 object Bench {
-  val Reps = 3
+  val DefaultReps = 3
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -30,6 +30,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_BENCH_REPS=1 restores single-run timing if a harness
+    // needs the old wall-clock envelope
+    val Reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(DefaultReps)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

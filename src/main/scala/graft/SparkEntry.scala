@@ -107,6 +107,7 @@ object SparkEntry {
     "contamination_ngram" -> ((s, d) => ops.LlmData.contaminationNgram(s, d)),
     "sample_stratified" -> ((s, d) => ops.LlmData.sampleStratified(s, d)),
     "pack_token_budget" -> ((s, d) => ops.LlmData.packTokenBudget(s, d)),
+    "corpus_curation" -> (ops.LlmData.corpusCuration _),
     "sim_topk" -> (ops.LlmData.simTopk _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),

@@ -431,6 +431,53 @@ object LlmData {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
     "zh" -> Seq("的", "是", "在", "了", "我"))
 
+  /** The langid argmax as a single Column over a distinct-token array:
+    * per-language stopword-overlap scores, alphabetical-first
+    * tie-break. Shared by [[textLangid]] (which also exposes the
+    * scores) and [[corpusCuration]] (which only needs the pick). */
+  private def langidExpr(toksD: Column): Column = {
+    val langs = langProfiles.map(_._1)
+    val score = langProfiles.map { case (l, ws) =>
+      l -> size(array_intersect(toksD, array(ws.map(lit): _*)))
+    }.toMap
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), rest) =>
+        val beatsLater = langs.drop(i + 1)
+          .map(m => score(l) >= score(m)).reduce(_ && _)
+        when(beatsLater, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** K26: the curation funnel — the per-language survivor accounting a
+    * corpus build reports after its standard screens: token-count
+    * quality band (20-80), declared-vs-detected language agreement
+    * (the [[langidExpr]] heuristic must reproduce the `lang` column),
+    * and exact-dedup survivorship (keep-min doc_id per text hash).
+    * Output per language: total docs, docs passing each screen, final
+    * survivors, and surviving token mass. One pass computes all flags
+    * (the dedup window shuffles on the 256-bit text hash, never the
+    * text itself), then a single partial-agg rollup. */
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_sha")).orderBy(col("doc_id"))
+    t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("q", col("n_tokens").between(20, 80))
+      .withColumn("agree", langidExpr(array_distinct(col("toks"))) === col("lang"))
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withColumn("keep1", row_number().over(w) === 1)
+      .withColumn("fin", col("q") && col("agree") && col("keep1"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("n_lang_agree"),
+        sum(when(col("keep1"), 1L).otherwise(0L)).as("n_dedup_keep"),
+        sum(when(col("fin"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("fin"), col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_final"))
+      .orderBy(col("lang"))
+  }
+
   /** Heuristic language ID: per-language stopword-overlap score over
     * the distinct token set, argmax with alphabetical tie-break — the
     * standard cheap n-gram/stopword-profile heuristic, fully

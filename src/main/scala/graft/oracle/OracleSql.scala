@@ -42,6 +42,28 @@ object OracleSql {
       |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
       |)""".stripMargin
 
+  /** The langid stopword profiles as DuckDB list literals (mirror of
+    * `LlmData.langProfiles`). */
+  private val langProfilesSql: Seq[(String, String)] = Seq(
+    "de" -> "['der','die','das','und','ist','nicht','ein','ich']",
+    "en" -> "['the','a','of','and','to','in','is','that']",
+    "es" -> "['el','la','de','los','que','y','en','un']",
+    "fr" -> "['le','la','les','et','des','un','une','est']",
+    "zh" -> "['的','是','在','了','我']")
+
+  /** The langid argmax (alphabetical-first tie-break) as a CASE over a
+    * distinct-token list column — shared by text_langid and
+    * corpus_curation, mirroring `LlmData.langidExpr`. */
+  private def langidCaseSql(toks: String): String = {
+    def sc(p: String) = s"len(list_intersect($toks, $p))"
+    val whens = langProfilesSql.init.zipWithIndex.map { case ((l, p), i) =>
+      val conds = langProfilesSql.drop(i + 1)
+        .map { case (_, q) => s"${sc(p)} >= ${sc(q)}" }
+      s"WHEN ${conds.mkString("\n     AND ")} THEN '$l'"
+    }
+    s"CASE\n    ${whens.mkString("\n    ")}\n    ELSE '${langProfilesSql.last._1}'\n  END"
+  }
+
   /** Shared by dedup_ngram_jaccard and (as the edge set of the
     * dedup_clusters recursive closure) dedup_clusters — both oracles
     * must see the identical pair relation. */
@@ -766,6 +788,34 @@ object OracleSql {
         |WHERE r.rn <= q.quota
         |GROUP BY r.lang
         |ORDER BY r.lang""".stripMargin,
+
+    // the dedup window partitions on the raw text (grouping-equivalent
+    // to the engine's 256-bit text hash — same equality classes)
+    "corpus_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    len(str_split(text, ' ')) AS n_tokens,
+         |    list_distinct(str_split(text, ' ')) AS toksd
+         |  FROM documents
+         |), flags AS (
+         |  SELECT lang, n_tokens,
+         |    (n_tokens BETWEEN 20 AND 80) AS q,
+         |    (${langidCaseSql("toksd")} = lang) AS agree,
+         |    (ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1) AS keep1
+         |  FROM base
+         |)
+         |SELECT lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_agree,
+         |  CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_keep,
+         |  CAST(SUM(CASE WHEN q AND agree AND keep1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_final,
+         |  CAST(SUM(CASE WHEN q AND agree AND keep1 THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS tokens_final
+         |FROM flags
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
 
     "pack_token_budget" ->
       """WITH toks AS (
