@@ -24,7 +24,8 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -33,7 +34,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS=1 restores single-run timing if a harness
     // needs the old wall-clock envelope
     val Reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
-      .getOrElse(DefaultReps)
+      .getOrElse(DefaultReps).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

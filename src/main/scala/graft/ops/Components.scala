@@ -47,13 +47,21 @@ object Components {
     * driver-side scalars, like any iterative graph algorithm on
     * Spark). */
   def connected(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical orientation (hi > lo); self-loops carry no information
-    var e = edges
+    // canonical orientation (hi > lo); materialized once so the vertex
+    // set and the self-loop-free working set share one upstream scan
+    val canon = edges
       .select(greatest(col(aCol), col(bCol)).as("hi"),
         least(col(aCol), col(bCol)).as("lo"))
-      .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(true)
+    // every vertex appearing in `edges` gets a label — taken BEFORE the
+    // self-loop filter so a vertex whose only edge is (v, v) is still
+    // labeled (as its own singleton) rather than silently dropped
+    val verts = canon.select(col("hi").as("id"))
+      .union(canon.select(col("lo").as("id")))
+      .distinct()
+    // self-loops carry no information
+    var e = canon.filter(col("hi") =!= col("lo")).localCheckpoint(true)
     var eCount = e.count()
     var converged = eCount == 0
     var round = 0
@@ -96,7 +104,12 @@ object Components {
           "refusing to return partial (wrong) cluster labels")
     // star forest: every non-min vertex points at its component min, so
     // `lo` values are exactly the component roots
-    e.select(col("hi").as("id"), col("lo").as("lbl"))
+    val labeled = e.select(col("hi").as("id"), col("lo").as("lbl"))
       .union(e.select(col("lo").as("id"), col("lo").as("lbl")).distinct())
+    // vertices with no surviving (non-self-loop) edge are their own
+    // singleton components
+    labeled.union(
+      verts.join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
   }
 }

@@ -431,15 +431,19 @@ object LlmData {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
     "zh" -> Seq("的", "是", "在", "了", "我"))
 
-  /** The langid argmax as a single Column over a distinct-token array:
-    * per-language stopword-overlap scores, alphabetical-first
-    * tie-break. Shared by [[textLangid]] (which also exposes the
-    * scores) and [[corpusCuration]] (which only needs the pick). */
-  private def langidExpr(toksD: Column): Column = {
-    val langs = langProfiles.map(_._1)
-    val score = langProfiles.map { case (l, ws) =>
+  /** Per-language stopword-overlap scores over a distinct-token
+    * array. */
+  private def langScores(toksD: Column): Map[String, Column] =
+    langProfiles.map { case (l, ws) =>
       l -> size(array_intersect(toksD, array(ws.map(lit): _*)))
     }.toMap
+
+  /** The langid argmax over per-language score Columns,
+    * alphabetical-first tie-break — the ONE copy of the tie-break
+    * logic, shared by [[textLangid]] (scores as named columns) and
+    * [[corpusCuration]] (inline scores via [[langidExpr]]). */
+  private def langidPick(score: Map[String, Column]): Column = {
+    val langs = langProfiles.map(_._1)
     langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((l, i), rest) =>
         val beatsLater = langs.drop(i + 1)
@@ -447,6 +451,11 @@ object LlmData {
         when(beatsLater, lit(l)).otherwise(rest)
     }
   }
+
+  /** The langid argmax as a single Column over a distinct-token
+    * array. */
+  private def langidExpr(toksD: Column): Column =
+    langidPick(langScores(toksD))
 
   /** K26: the curation funnel — the per-language survivor accounting a
     * corpus build reports after its standard screens: token-count
@@ -484,18 +493,13 @@ object LlmData {
     * SQL-portable and oracle-checked. */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     val toksD = array_distinct(split(col("text"), " "))
-    val scored = t(spark, sfDir, "documents")
-      .select(col("doc_id") +: langProfiles.map { case (l, ws) =>
-        size(array_intersect(toksD, array(ws.map(lit): _*))).as(s"s_$l")
-      }: _*)
-    // alphabetical-first argmax: de beats en beats es … on ties
     val langs = langProfiles.map(_._1)
-    val pick = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
-      case ((l, i), rest) =>
-        val beatsLater = langs.drop(i + 1)
-          .map(m => col(s"s_$l") >= col(s"s_$m")).reduce(_ && _)
-        when(beatsLater, lit(l)).otherwise(rest)
-    }
+    val scored = t(spark, sfDir, "documents")
+      .select(col("doc_id") +:
+        langScores(toksD).toSeq.sortBy(_._1)
+          .map { case (l, s) => s.as(s"s_$l") }: _*)
+    // alphabetical-first argmax (shared tie-break: langidPick)
+    val pick = langidPick(langs.map(l => l -> col(s"s_$l")).toMap)
     scored.select((col("doc_id") +: langs.map(l => col(s"s_$l"))) :+
         pick.as("langid"): _*)
       .orderBy(col("doc_id"))

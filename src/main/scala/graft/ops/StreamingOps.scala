@@ -148,15 +148,30 @@ object StreamingOps {
             state.remove()
             Iterator((user, start / 1000L, n, (last - start) * 1000L))
           } else {
-            val ts = rows.map(_._2.getTime).toSeq
-            val (start0, last0, n0) =
-              state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
-            val merged = (math.min(start0, ts.min), math.max(last0, ts.max),
-              n0 + ts.length)
-            state.update(merged)
+            // walk the batch's events in event-time order, SPLITTING on
+            // any forward gap > gapMs — merging unconditionally would
+            // collapse gapped activity delivered in one batch (or
+            // before the watermark advances) into one overlong session.
+            // Events older than the open session extend it backward
+            // (min-start); like the canonical Spark sessionization
+            // example, an event that is late enough to belong to an
+            // already-emitted session starts a new one instead.
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[(Long, Long, Long, Long)]
+            var (start, last, n) =
+              state.getOption.getOrElse((ts.head, ts.head, 0L))
+            for (t <- ts) {
+              if (n > 0 && t > last + gapMs) {
+                closed ::= ((user, start / 1000L, n, (last - start) * 1000L))
+                start = t; last = t; n = 1
+              } else {
+                start = math.min(start, t); last = math.max(last, t); n += 1
+              }
+            }
+            state.update((start, last, n))
             // re-arm: close once the watermark passes last + gap
-            state.setTimeoutTimestamp(merged._2 + gapMs)
-            Iterator.empty
+            state.setTimeoutTimestamp(last + gapMs)
+            closed.reverseIterator
           }
       }
       .toDF("user_id", "session_start", "n_events", "duration_us")

@@ -739,7 +739,7 @@ object OracleSql {
          |)
          |SELECT CAST(COUNT(*) AS BIGINT) AS ngram_buckets,
          |  CAST(COALESCE(MAX(n), 0) AS BIGINT) AS ngram_max_bucket,
-         |  CAST(COALESCE(SUM(GREATEST(n - 256, 0)), 0) AS BIGINT)
+         |  CAST(COALESCE(SUM(GREATEST(n - ${graft.ops.Buckets.MaxBucket}, 0)), 0) AS BIGINT)
          |    AS ngram_overflow,
          |  CAST(0 AS BIGINT) AS minhash_overflow,
          |  CAST(0 AS BIGINT) AS embedding_overflow

@@ -37,6 +37,14 @@ class ComponentsSpec extends SparkTestBase {
     assert(c.keySet == (0L to 40L).toSet)
   }
 
+  test("self-loop-only vertices are labeled as their own singletons") {
+    // (7,7) must yield (7 -> 7), not an empty frame; mixed case: 9's
+    // only edge is a self-loop while 1-2 form a real component
+    assert(clustersOf(Seq((7L, 7L))) == Map(7L -> 7L))
+    val c = clustersOf(Seq((1L, 2L), (9L, 9L), (2L, 2L)))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
+
   test("min id wins regardless of edge orientation") {
     val c = clustersOf(Seq((9L, 4L), (4L, 7L)))
     assert(c == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))

@@ -163,6 +163,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J10: a same-batch gap splits into two sessions (no merge-across-gap)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithTimeout(in.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("j10gap")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      // 10:00 and 11:00 arrive in ONE batch: 60min > 30min gap — the
+      // old unconditional merge collapsed these into a single 10:00-
+      // 11:00 session; they must be two
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 11:00:00"), 1, "view"))
+      q.processAllAvailable()
+      val first = spark.table("j10gap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(first.toSeq == Seq(
+        (1L, ts("2024-01-01 10:00:00").getTime / 1000, 1L, 0L)),
+        s"the pre-gap session must close in-batch, got ${first.toSeq}")
+      // advance the watermark past 11:00 + 30min, then trigger timeout
+      in.addData(Ev(3, ts("2024-01-01 11:45:00"), 2, "view"))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("2024-01-01 11:46:00"), 2, "view"))
+      q.processAllAvailable()
+      val all = spark.table("j10gap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.toSet.contains(
+        (1L, ts("2024-01-01 11:00:00").getTime / 1000, 1L, 0L)),
+        s"the post-gap session must close on timeout, got ${all.toSeq}")
+      assert(all.count(_._1 == 1L) == 2, "exactly two sessions for user 1")
+    }
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
