@@ -144,53 +144,13 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
-  /** Near-dup detection: token-trigram shingles, candidates bucketed by
-    * min-shingle (k=1 identity-hash MinHash band — no all-pairs), Jaccard
-    * ≥ 0.5 on distinct-shingle sets. Oracle-checkable because the bucket
-    * function is expressible in portable SQL; the scale path with a
-    * skew-free candidate generator is [[MinHash]] / [[dedupMinhash]]. */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // Codegen-friendly shingling (posexplode + element_at, no
-    // interpreted HOF), then bucket members are gathered with one
-    // groupBy + sorted collect_list and pairs expanded from each
-    // bucket's list — a self-join would recompute the shingle sets once
-    // per branch. sort_array orders struct items by doc_id, so i<j ⇒
-    // doc_a < doc_b, exactly the oracle's pair set.
-    val docs = MinHash.shingleSets(
-      MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text"),
-      "doc_id")
-    val pairs = docs
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
-        .as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(Buckets.sortedPairs(col("items"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.a.shingles").as("sh_a"),
-        col("p.b.doc_id").as("doc_b"), col("p.b.shingles").as("sh_b"))
-    pairs
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union",
-        size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
-      .withColumn("jaccard", dbl(dec(col("n_int")) / col("n_union")))
-      .filter(col("jaccard") >= 0.5d)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** K2: banded-MinHash near-dup pairs — [[MinHash.candidatePairs]] for
-    * candidate generation (8 bands × 4 rows, skew-free LSH buckets), then
-    * exact-Jaccard verification at ≥ 0.5. Registered rows-only (the
-    * Murmur3 signatures aren't portable SQL); the LSH machinery is
-    * unit-tested with planted near-dups in `MinHashSpec`, and precision
-    * is exact by construction (only recall depends on the bands). */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
-    val cand = MinHash.candidatePairs(rows, "doc_id")
-    // verification melts each pair to its two member ids and joins the
-    // per-doc shingle sets ONCE (two separate join-backs would
-    // recompute them per branch). After regrouping, sort_array puts the
-    // doc_a member first (doc_a < doc_b).
-    val docs = MinHash.shingleSets(rows, "doc_id").drop("bucket")
+  /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
+    * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
+    * ([[dedupMinhash]]) generators. Melts each pair to its two member
+    * ids and joins the per-doc shingle sets ONCE (two separate
+    * join-backs would recompute them per branch); after regrouping,
+    * sort_array puts the doc_a member first (doc_a < doc_b). */
+  private def jaccardVerified(cand: DataFrame, docs: DataFrame): DataFrame = {
     val two = cand
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -209,6 +169,49 @@ object LlmData {
       .filter(col("jaccard") >= 0.5d)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup detection: token-trigram shingles, candidates bucketed by
+    * min-shingle (k=1 identity-hash MinHash band — no all-pairs), Jaccard
+    * ≥ 0.5 on distinct-shingle sets. Oracle-checkable because the bucket
+    * function is expressible in portable SQL; the scale path with a
+    * skew-free candidate generator is [[MinHash]] / [[dedupMinhash]]. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(MinHash.shingleRows(
+      t(spark, sfDir, "documents"), "doc_id", "text"))
+
+  /** K6 core over (id, shingle) rows, cap-parameterized for the
+    * adversarial-skew spec (`BucketCapSpec`). Candidate ids are
+    * gathered per min-shingle bucket through the skew-capped
+    * [[Buckets.members]] (round-6 verdict #1: an uncapped collect_list
+    * of full shingle arrays is one giant row + quadratic expansion the
+    * moment a corpus-common min-shingle appears — the exact shape the
+    * cap exists to prevent, and the one MinHash/SimHash/AnnLsh already
+    * use). Only bounded id lists are collected; the shingle sets join
+    * back at verification exactly like [[dedupMinhash]]. Each doc has
+    * exactly one bucket (its min shingle), so no cross-bucket duplicate
+    * pairs arise and no distinct is needed. The oracle mirrors the cap
+    * with the same keep-the-cap-smallest-ids rank. */
+  def ngramJaccardPairs(rows: DataFrame,
+      cap: Int = Buckets.MaxBucket): DataFrame = {
+    val docs = MinHash.shingleSets(rows, "doc_id")
+    val cand = Buckets.members(docs.select(col("bucket"), col("doc_id")),
+        Seq("bucket"), col("doc_id"), col("doc_id"), cap)
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    jaccardVerified(cand, docs.drop("bucket"))
+  }
+
+  /** K2: banded-MinHash near-dup pairs — [[MinHash.candidatePairs]] for
+    * candidate generation (8 bands × 4 rows, skew-free LSH buckets), then
+    * exact-Jaccard verification at ≥ 0.5. Registered rows-only (the
+    * Murmur3 signatures aren't portable SQL); the LSH machinery is
+    * unit-tested with planted near-dups in `MinHashSpec`, and precision
+    * is exact by construction (only recall depends on the bands). */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
+    jaccardVerified(MinHash.candidatePairs(rows, "doc_id"),
+      MinHash.shingleSets(rows, "doc_id").drop("bucket"))
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit fingerprints) over

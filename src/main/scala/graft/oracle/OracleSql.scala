@@ -66,14 +66,25 @@ object OracleSql {
 
   /** Shared by dedup_ngram_jaccard and (as the edge set of the
     * dedup_clusters recursive closure) dedup_clusters — both oracles
-    * must see the identical pair relation. */
+    * must see the identical pair relation. The rk CTE mirrors the
+    * engine's skew cap (`Buckets.members`, round-6 verdict #1): only
+    * the cap smallest doc_ids per min-shingle bucket generate pairs
+    * (fixture buckets are all far below the cap, so results are
+    * bit-identical; a degenerate corpus truncates identically in both
+    * engines). */
   private val ngramJaccardSql: String =
-    s"""WITH $shingleCtes, pairs AS (
+    s"""WITH $shingleCtes, rk AS (
+       |  SELECT doc_id, shingles, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       |  FROM bk
+       |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
        |    len(a.shingles) + len(b.shingles)
        |      - len(list_intersect(a.shingles, b.shingles)) AS n_union
-       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.rn <= ${graft.ops.Buckets.MaxBucket}
+       |    AND b.rn <= ${graft.ops.Buckets.MaxBucket}
        |)
        |SELECT doc_a, doc_b,
        |  ${dbl(s"${dec("n_int")} / n_union")} AS jaccard

@@ -39,6 +39,43 @@ class BucketCapSpec extends SparkTestBase {
     assert(n == Cap.toLong * (Cap - 1) / 2)
   }
 
+  test("ngram-Jaccard bucket path is capped on identical docs (K6)") {
+    // 10k identical docs share one min-shingle bucket; uncapped this is
+    // a ~50M-pair expansion from one giant collected row (round-6
+    // verdict #1). Capped, only the Cap smallest doc_ids generate
+    // pairs, all verified at jaccard 1.0.
+    val rows = MinHash.shingleRows(identicalDocs(), "doc_id", "text")
+    val pairs = graft.ops.LlmData.ngramJaccardPairs(rows, Cap).collect()
+    assert(pairs.length == Cap * (Cap - 1) / 2)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (0L until Cap.toLong).toSet) // keeps the Cap smallest
+  }
+
+  test("K6 cap does not change fixture-shaped results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20 random docs + a near-dup of each (last token changed) — the
+    // dup pairs share min-shingle buckets and survive verification
+    val base = (0L until 20L)
+      .map(i => (i, Seq.fill(25)(s"w${rnd.nextInt(5000)}")))
+    val docs = (base.map { case (i, ts) => (i, ts.mkString(" ")) } ++
+        base.map { case (i, ts) => (i + 20L, (ts.init :+ "zz").mkString(" ")) })
+      .toDF("doc_id", "text")
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+    val capped = graft.ops.LlmData.ngramJaccardPairs(rows, Cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = graft.ops.LlmData.ngramJaccardPairs(rows, 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // small-bucket corpora are unaffected by the cap
+    val bucketMax = MinHash.shingleSets(rows, "doc_id")
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assume(bucketMax <= Cap)
+    assert(loose.nonEmpty)
+    assert(capped == loose)
+  }
+
   test("SimHash candidatePairs respects the cap on identical docs") {
     val toks = identicalDocs()
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
