@@ -360,10 +360,12 @@ object LlmData {
     * fixed sample budget across languages (the corpus-mixing primitive:
     * quota_l = round(target × n_l / N), floored at 1 so no stratum
     * vanishes), then a deterministic per-stratum take of the lowest
-    * doc_ids. One count pass + one per-stratum window ranked inside
-    * each language partition — both partitioned by the stratum key, so
-    * no global sort and no driver-side loop. Quota arithmetic is exact
-    * decimal (HALF_UP in both engines). */
+    * doc_ids. The per-stratum rank is [[Strata.rank]]'s two-pass
+    * range-bucketed shape (round-6 verdict #2: `Window.partitionBy(
+    * lang)` put every document of a language in ONE task — 'en' at web
+    * scale is half the corpus on one reducer); no global sort, no
+    * driver-side loop. Quota arithmetic is exact decimal (HALF_UP in
+    * both engines). */
   def sampleStratified(spark: SparkSession, sfDir: String,
       target: Int = 100): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
@@ -374,8 +376,7 @@ object LlmData {
         greatest(lit(1L),
           round(dec(col("n_docs") * target) / col("n_total")).cast("long"))
           .as("quota"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    docs.withColumn("rn", row_number().over(w))
+    Strata.rank(docs, Seq("lang"), "doc_id")
       .join(broadcast(quotas), Seq("lang"))
       .filter(col("rn") <= col("quota"))
       .groupBy(col("lang"))
@@ -387,23 +388,22 @@ object LlmData {
   /** K25: token-budget packing — greedily keep each language's documents
     * (in deterministic doc_id order) while the running token count stays
     * within a per-language budget; report docs kept and tokens used.
-    * The running sum is a window partitioned by the stratum key with an
-    * explicit ROWS frame (RANGE vs ROWS matters for the oracle match
-    * even though doc_id is unique) — partitioned windows scale; there
-    * is no global order-by over the corpus. */
+    * The running sum is [[Strata.prefixSum]]'s two-pass distributed
+    * prefix sum (round-6 verdict #3: a `Window.partitionBy(lang)`
+    * running sum accumulates a whole stratum in one task) — ROWS-frame
+    * semantics over unique doc_ids, identical to the oracle's
+    * single-window form; there is no global order-by over the corpus. */
   def packTokenBudget(spark: SparkSession, sfDir: String,
-      budget: Long = 2000L): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      budget: Long = 2000L): DataFrame =
+    Strata.prefixSum(
+        t(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks")),
+        Seq("lang"), "doc_id", "n_toks", out = "cum_toks")
       .filter(col("cum_toks") <= budget)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), max(col("cum_toks")).as("tokens_used"))
       .orderBy(col("lang"))
-  }
 
   /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs, each optionally absorbing one leading space —

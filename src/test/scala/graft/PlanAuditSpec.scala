@@ -81,13 +81,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
   }
 
-  test("stratified sampling and budget packing keep windows partitioned") {
-    // both ops rank/accumulate INSIDE the lang stratum — a global
-    // (unpartitioned) window would move the corpus to one task
+  test("stratified sampling and budget packing range-bucket their stratum windows") {
+    // round-6 verdict #2/#3: a window partitioned by the bare stratum
+    // key ranks/accumulates EVERY document of a language in one task.
+    // The two-pass Strata shape partitions the doc-level window by
+    // (lang, range-bucket); the only lang-only window left is the
+    // cumulative-offset pass over the per-bucket totals (≤ 32 rows per
+    // stratum, ordered by the bucket id — never by doc_id).
     for (n <- Seq("sample_stratified", "pack_token_budget")) {
       val p = plan(n)
-      assert(p.contains("windowspecdefinition(lang"),
-        s"$n must partition its window by the stratum key")
+      assert("windowspecdefinition\\(lang#\\d+, __pid#\\d+, doc_id#\\d+".r
+          .findFirstIn(p).isDefined,
+        s"$n must bucket its doc-level stratum window")
+      assert("windowspecdefinition\\(lang#\\d+, doc_id#\\d+".r
+          .findFirstIn(p).isEmpty,
+        s"$n has a single-task window over the bare stratum key")
     }
     assert(plan("sample_stratified").contains("BroadcastHashJoin"),
       "the 5-row quota table must broadcast")
