@@ -339,8 +339,12 @@ object LlmData {
     * not billions) so it broadcasts; candidates join against it on the
     * shingle and aggregate per doc — one narrow pass over candidate
     * shingles, no doc×doc comparison. */
-  def contaminationNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
+  def contaminationNgram(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationScreen(t(spark, sfDir, "documents"))
+
+  /** K23 core over a (doc_id, text, source) frame — separated so the
+    * NULL-source policy is unit-testable (`LlmDataSpec`). */
+  def contaminationScreen(docs: DataFrame): DataFrame = {
     val shingles = MinHash
       .shingleRows(docs.select(col("doc_id"), col("text")), "doc_id", "text")
       .distinct() // distinct (doc, shingle): overlap counts count shingles once
@@ -348,7 +352,10 @@ object LlmData {
     val tagged = shingles.join(src, Seq("doc_id"))
     val bench = tagged.filter(col("source") === "src0")
       .select(col("shingle")).distinct()
-    tagged.filter(col("source") =!= "src0")
+    // null-safe complement (round-6 verdict #5): `=!=` is NULL-unsafe,
+    // so a NULL-source document would silently escape screening — the
+    // wrong default for a contamination gate. NULL source = candidate.
+    tagged.filter(not(col("source") <=> "src0"))
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

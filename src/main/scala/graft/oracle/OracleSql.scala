@@ -770,7 +770,7 @@ object OracleSql {
          |)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM tagged
-         |WHERE source <> 'src0'
+         |WHERE source IS DISTINCT FROM 'src0'
          |  AND shingle IN (SELECT shingle FROM bench)
          |GROUP BY doc_id
          |ORDER BY n_shared DESC, doc_id
