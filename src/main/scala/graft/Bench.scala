@@ -71,7 +71,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"wall_sec":$wallSec,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // field order matters: the driver records only the TAIL of stdout,
+    // so the headline scalars (value/reps/wall_sec) come AFTER the
+    // ~3k-char per-query map — a head-truncated capture still carries
+    // the binding total (round-6/7 verdict #4: the old head-first order
+    // made every round's total unrecoverable).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total,"reps":$Reps,"wall_sec":$wallSec}""")
     spark.stop()
   }
 }
