@@ -85,8 +85,17 @@ case class FetchPolicy(maxAttempts: Int, baseWaitMs: Long,
     * retry the (fetch → parse) unit with capped exponential backoff —
     * each attempt re-opens the transport, exactly the reference's
     * per-GET tenacity loop. */
-  def fetchArrays(target: String): Vector[Vector[String]] = {
-    if (throttleMs > 0) Thread.sleep(throttleMs)
+  def fetchArrays(target: String): Vector[Vector[String]] =
+    fetchArrays(target, throttle = true)
+
+  /** `throttle = false` is the driver-side metadata path (schema
+    * inference, partition planning): the R15 throttle paces per-chunk
+    * DATA fetches against the upstream API; sleeping during planning
+    * just stalls the driver (round-6 advice — a reference-style
+    * throttleMs=10000 slept the driver before any task ran). Retry
+    * still applies. */
+  def fetchArrays(target: String, throttle: Boolean): Vector[Vector[String]] = {
+    if (throttle && throttleMs > 0) Thread.sleep(throttleMs)
     val f = fetcher
     Retry.withBackoff(maxAttempts, baseWaitMs, maxWaitMs)(
       CensusSource.readArrays(f.fetch(target)))
@@ -125,8 +134,10 @@ object CensusSource {
     }.toVector
   }
 
+  /** Driver-side metadata read: unthrottled (see
+    * [[FetchPolicy.fetchArrays]]), header row only. */
   private[sources] def header(policy: FetchPolicy, target: String): Vector[String] =
-    policy.fetchArrays(target).headOption
+    policy.fetchArrays(target, throttle = false).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"census source $target has no header row"))
 
@@ -205,6 +216,12 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The parsed file header, fetched AT MOST ONCE per scan (round-6
+    * advice: routing every planning call through a fresh fetch
+    * re-downloaded and re-parsed the target on the driver). */
+  private lazy val fileHeader: Vector[String] =
+    CensusSource.header(policy, path)
+
   /** Partition pruning: a chunk whose states are all excluded by the
     * pushed predicate is never planned — the reference simply does not
     * issue that GET. A fixture without a `state` column (the
@@ -219,7 +236,7 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     * match: on unfiltered scans, and when a pushed predicate names an
     * out-of-domain state. */
   override def planInputPartitions(): Array[InputPartition] =
-    if (!CensusSource.header(policy, path).contains("state"))
+    if (!fileHeader.contains("state"))
       Array(CensusPartition(Seq.empty))
     else {
       val domain = CensusSource.stateFips.toSet

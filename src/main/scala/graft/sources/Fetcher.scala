@@ -28,6 +28,38 @@ class FileFetcher extends CensusFetcher {
     new java.io.FileInputStream(target)
 }
 
+/** HTTP transport — the reference's actual chunk fetch
+  * (`/root/reference/Test_census_tract.py:143-176`: a GET whose
+  * non-2xx statuses raise and are retried by tenacity). The target is
+  * the full request URL (the projection/geography query string is part
+  * of the target, exactly as the reference builds it). A non-2xx
+  * response THROWS so [[Retry.withBackoff]] treats it like any
+  * transport failure — one retry policy for refused sockets, resets,
+  * and HTTP errors alike. The client is transient: fetcher instances
+  * are constructed reflectively per use (driver for schema/planning,
+  * executors for partition reads), never serialized with live
+  * sockets. */
+class HttpFetcher extends CensusFetcher {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+
+  override def fetch(target: String): InputStream = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(target)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() / 100 != 2) {
+      try resp.body().close() catch { case _: java.io.IOException => () }
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} fetching $target")
+    }
+    resp.body()
+  }
+}
+
 object CensusFetcher {
   val DefaultClass: String = classOf[FileFetcher].getName
 

@@ -19,6 +19,20 @@ object FlakyFetcher {
   val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** Test transport: counts every fetch through the seam (metadata +
+  * partition reads share the one counter; local-mode executors live in
+  * this JVM). */
+class CountingFetcher extends CensusFetcher {
+  override def fetch(target: String): java.io.InputStream = {
+    CountingFetcher.attempts.incrementAndGet()
+    new java.io.FileInputStream(target)
+  }
+}
+
+object CountingFetcher {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** DSv2 census source (reference R1/R2/R5/R6/R18): API-shaped
   * array-of-arrays input, all-string schema, expected-column
   * reconciliation, state-chunk partitions, and predicate/projection
@@ -181,6 +195,90 @@ class CensusSourceSpec extends SparkTestBase {
       .load()
       .filter(col("state") === "06")
     assert(df.count() == 2)
+  }
+
+  test("HttpFetcher reads the wire format over localhost, retrying real 503s") {
+    // the reference transport end-to-end (R1 + R14): an in-process HTTP
+    // server serves the JSON array-of-arrays fixture but fails the
+    // first two requests with 503 — Retry.withBackoff must recover
+    // over real sockets, schema inference and partition reads both
+    // going through HttpFetcher.
+    import java.util.concurrent.atomic.AtomicInteger
+    val failuresLeft = new AtomicInteger(2)
+    val requests = new AtomicInteger(0)
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(CensusFixture.path))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/acs", exchange => {
+      requests.incrementAndGet()
+      if (failuresLeft.getAndDecrement() > 0) {
+        exchange.sendResponseHeaders(503, -1)
+      } else {
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        exchange.getResponseBody.write(body)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/acs?get=NAME&for=tract:*"
+      val df = spark.read.format("graft.sources.CensusSource")
+        .option("path", url)
+        .option("fetcherClass", classOf[graft.sources.HttpFetcher].getName)
+        .option("retryBaseWaitMs", "1")
+        .option("retryMaxWaitMs", "2")
+        .load()
+        .filter(col("state") === "06")
+      assert(df.count() == 2, "HTTP transport must serve the census scan")
+      assert(failuresLeft.get() <= 0 && requests.get() >= 3,
+        s"expected the 503s to be retried over the socket (saw ${requests.get()} requests)")
+    } finally server.stop(0)
+  }
+
+  test("HttpFetcher surfaces persistent HTTP errors as bounded-retry failures") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/down", exchange => {
+      exchange.sendResponseHeaders(500, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.CensusSource")
+          .option("path", s"http://127.0.0.1:${server.getAddress.getPort}/down")
+          .option("fetcherClass", classOf[graft.sources.HttpFetcher].getName)
+          .option("maxAttempts", "2")
+          .option("retryBaseWaitMs", "1")
+          .load()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+          Option(t.getMessage).exists(_.contains("after 2 attempts"))),
+        s"expected a bounded-retry failure, got $e")
+      assert(chain(e).exists(t =>
+          Option(t.getMessage).exists(_.contains("HTTP 500"))),
+        "the HTTP status must be the retried cause")
+    } finally server.stop(0)
+  }
+
+  test("planning does exactly one metadata fetch per scan (cached header, unthrottled)") {
+    CountingFetcher.attempts.set(0)
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("fetcherClass", classOf[CountingFetcher].getName)
+      .load()
+    val afterSchema = CountingFetcher.attempts.get()
+    assert(afterSchema == 1, s"schema inference must fetch once, saw $afterSchema")
+    val filtered = df.filter(col("state") === "06")
+    assert(filtered.count() == 2)
+    // one metadata fetch at planning (cached lazy header) + one
+    // single-partition data read — nothing else
+    val total = CountingFetcher.attempts.get()
+    assert(total == afterSchema + 2,
+      s"expected planning+read to add exactly 2 fetches, saw ${total - afterSchema}")
   }
 
   test("scan_census_dsv2 registered query returns the expected relation") {
