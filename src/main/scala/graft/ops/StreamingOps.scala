@@ -127,7 +127,16 @@ object StreamingOps {
     * enriched summaries). State is one small tuple per active user key,
     * partitioned by the grouping key and evicted by the timeout — no
     * unbounded growth. Output: (user_id, session_start_epoch_s,
-    * n_events, duration_us) per closed session. */
+    * n_events, duration_us) per closed session.
+    *
+    * The watermark delay is DERIVED from the gap (round-6 verdict #6:
+    * a hardcoded 10-minute watermark let a surviving late event — when
+    * gap < 10 — stretch an open session backward across more than a
+    * gap). With delay = gap this cannot happen: a surviving event has
+    * t ≥ wm = global_max − gap, and a session start never exceeds
+    * global_max, so t < start − gap would need start > global_max —
+    * impossible. The in-batch interval merge below additionally splits
+    * every same-batch gap in either direction. */
   def sessionizeWithTimeout(events: DataFrame,
       gapMinutes: Int = 30): DataFrame = {
     val spark = events.sparkSession
@@ -135,7 +144,7 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMs = gapMinutes * 60000L
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", s"$gapMinutes minutes")
       .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
@@ -148,30 +157,31 @@ object StreamingOps {
             state.remove()
             Iterator((user, start / 1000L, n, (last - start) * 1000L))
           } else {
-            // walk the batch's events in event-time order, SPLITTING on
-            // any forward gap > gapMs — merging unconditionally would
-            // collapse gapped activity delivered in one batch (or
-            // before the watermark advances) into one overlong session.
-            // Events older than the open session extend it backward
-            // (min-start); like the canonical Spark sessionization
-            // example, an event that is late enough to belong to an
-            // already-emitted session starts a new one instead.
-            val ts = rows.map(_._2.getTime).toSeq.sorted
-            var closed = List.empty[(Long, Long, Long, Long)]
-            var (start, last, n) =
-              state.getOption.getOrElse((ts.head, ts.head, 0L))
-            for (t <- ts) {
-              if (n > 0 && t > last + gapMs) {
-                closed ::= ((user, start / 1000L, n, (last - start) * 1000L))
-                start = t; last = t; n = 1
-              } else {
-                start = math.min(start, t); last = math.max(last, t); n += 1
-              }
+            // merge the batch's events and the open-session interval as
+            // SORTED INTERVALS, splitting on any gap > gapMs in either
+            // direction — an event that is earlier than the open
+            // session by more than a gap forms its own (earlier)
+            // session instead of stretching the open one backward
+            // (the old min-start merge did exactly that); same-batch
+            // forward gaps split as before.
+            val ivs = (rows.map { case (_, t) => (t.getTime, t.getTime, 1L) }
+              ++ state.getOption.iterator).toSeq.sortBy(_._1)
+            var merged = List.empty[(Long, Long, Long)]
+            for (iv <- ivs) merged = merged match {
+              case (s0, l0, n0) :: tail if iv._1 <= l0 + gapMs =>
+                (s0, math.max(l0, iv._2), n0 + iv._3) :: tail
+              case _ => iv :: merged
             }
+            // every session but the newest is followed by a gap inside
+            // this batch — it provably cannot grow; emit now. The
+            // newest stays as state, armed to close once the watermark
+            // passes its last + gap.
+            val (start, last, n) = merged.head
             state.update((start, last, n))
-            // re-arm: close once the watermark passes last + gap
             state.setTimeoutTimestamp(last + gapMs)
-            closed.reverseIterator
+            merged.reverse.init.iterator.map { case (s0, l0, n0) =>
+              (user, s0 / 1000L, n0, (l0 - s0) * 1000L)
+            }
           }
       }
       .toDF("user_id", "session_start", "n_events", "duration_us")
