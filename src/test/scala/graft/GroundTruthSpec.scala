@@ -31,9 +31,13 @@ class GroundTruthSpec extends SparkTestBase {
     a.crossJoin(b).filter(col("pa") < col("pb"))
   }
 
-  test("K2 dedup_minhash: precision 1.0 vs brute-force Jaccard truth; recall on-curve") {
+  /** K2 check at any fixture scale: precision must be 1.0 with
+    * bit-exact jaccards; fixture-wide recall must clear the S-curve
+    * floor. */
+  private def k2Check(dir: String): Unit = {
+    val d = Util.t(spark, dir, "documents")
     val sets = MinHash.shingleSets(
-        MinHash.shingleRows(docs, "doc_id", "text"), "doc_id")
+        MinHash.shingleRows(d, "doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("shingles")).cache()
     // identical decimal arithmetic to the query under test, so emitted
     // jaccard values must match the truth bit-for-bit
@@ -46,7 +50,7 @@ class GroundTruthSpec extends SparkTestBase {
       .select(col("pa"), col("pb"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     sets.unpersist()
-    val emitted = LlmData.dedupMinhash(spark, sfDir)
+    val emitted = LlmData.dedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(truth.nonEmpty,
       "fixture must contain true J>=0.5 pairs for this check to be non-vacuous")
@@ -55,14 +59,17 @@ class GroundTruthSpec extends SparkTestBase {
       assert(truth(p) == j, s"pair $p: emitted jaccard $j != truth ${truth(p)}")
     }
     val recall = emitted.keysIterator.count(truth.contains).toDouble / truth.size
-    info(s"K2 truth=${truth.size} emitted=${emitted.size} recall=$recall")
+    info(s"K2 $dir truth=${truth.size} emitted=${emitted.size} recall=$recall")
     // class-doc S-curve (1-(1-j^4)^8): >=0.96 at j=0.8; fixture dups are
     // high-overlap edits, so fixture-wide recall must clear this floor
     assert(recall >= 0.9, s"K2 fixture recall $recall below the S-curve floor")
   }
 
-  test("K11 dedup_simhash: equals brute-force Hamming<=3 truth (complete at 0 overflow)") {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+  /** K11 check at any fixture scale: pigeonhole-complete bands at zero
+    * overflow must equal the brute-force Hamming≤3 truth exactly. */
+  private def k11Check(dir: String): Unit = {
+    val d = Util.t(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val fps = SimHash.fingerprints(toks, "doc_id", "token").cache()
     val truth = allPairs(fps, "doc_id", "simhash")
       .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
@@ -70,7 +77,7 @@ class GroundTruthSpec extends SparkTestBase {
       .select(col("pa"), col("pb"), col("hamming"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     fps.unpersist()
-    val emitted = LlmData.dedupSimhash(spark, sfDir)
+    val emitted = LlmData.dedupSimhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(truth.nonEmpty,
       "fixture must contain true Hamming<=3 pairs for this check to be non-vacuous")
@@ -80,9 +87,28 @@ class GroundTruthSpec extends SparkTestBase {
     }
     // 4x16 bands are pigeonhole-complete for d<=3 among uncapped bucket
     // members; with zero overflow on the fixture, recall must be exactly 1
-    info(s"K11 truth=${truth.size} emitted=${emitted.size}")
+    info(s"K11 $dir truth=${truth.size} emitted=${emitted.size}")
     assert(emitted.keySet == truth.keySet,
       "zero-overflow pigeonhole bands must recover the full Hamming<=3 truth set")
+  }
+
+  test("K2 dedup_minhash: precision 1.0 vs brute-force Jaccard truth; recall on-curve") {
+    k2Check(sfDir)
+  }
+
+  test("K11 dedup_simhash: equals brute-force Hamming<=3 truth (complete at 0 overflow)") {
+    k11Check(sfDir)
+  }
+
+  // one scale up (round-6 verdict task 8): ~5k docs → 12.5M brute-force
+  // pairs, still Spark-feasible in a test; pins recall on a 10×
+  // distribution instead of extrapolating from 500 docs
+  test("K2 dedup_minhash: ground truth holds one scale up (sf0.01)") {
+    k2Check("/root/testdata/sf0.01")
+  }
+
+  test("K11 dedup_simhash: ground truth holds one scale up (sf0.01)") {
+    k11Check("/root/testdata/sf0.01")
   }
 
   test("K12 dedup_embedding: emitted cosines exact; recall vs true top-10 on-curve") {
