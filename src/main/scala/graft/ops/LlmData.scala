@@ -194,12 +194,17 @@ object LlmData {
     * with the same keep-the-cap-smallest-ids rank. */
   def ngramJaccardPairs(rows: DataFrame,
       cap: Int = Buckets.MaxBucket): DataFrame = {
-    val docs = MinHash.shingleSets(rows, "doc_id")
-    val cand = Buckets.members(docs.select(col("bucket"), col("doc_id")),
+    // the bucket branch needs only the min shingle — a plain min-agg
+    // (map-side partial, no array building); the full collect_set
+    // relation is built once, on the verification branch (min over
+    // non-distinct rows equals min over the set, so both branches see
+    // the same bucket function)
+    val buckets = rows.groupBy(col("doc_id")).agg(min(col("shingle")).as("bucket"))
+    val cand = Buckets.members(buckets,
         Seq("bucket"), col("doc_id"), col("doc_id"), cap)
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    jaccardVerified(cand, docs.drop("bucket"))
+    jaccardVerified(cand, MinHash.shingleSets(rows, "doc_id").drop("bucket"))
   }
 
   /** K2: banded-MinHash near-dup pairs — [[MinHash.candidatePairs]] for
@@ -314,7 +319,9 @@ object LlmData {
   def dedupHealth(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
     val cap = lit(Buckets.MaxBucket)
-    val ngram = MinHash.shingleSets(rows, "doc_id")
+    // bucket population needs only min(shingle) per doc — no
+    // collect_set array building on this branch
+    val ngram = rows.groupBy(col("doc_id")).agg(min(col("shingle")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(count(lit(1)).as("ngram_buckets"),

@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkTestBase {
     // rows under adversarial skew (Buckets.members); an 'optimization'
     // that collapses it back to a bare collect_list reintroduces the
     // giant-bucket OOM at scale
-    for (n <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding"))
+    for (n <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "dedup_ngram_jaccard")) // K6 joined the capped family in round 8
       assert(plan(n).contains("row_number()"), s"$n lost the bucket cap")
   }
 
