@@ -41,7 +41,12 @@ object Strata {
 
   /** Per-stratum running `SUM(valueCol) OVER (PARTITION BY strata
     * ORDER BY orderCol ROWS UNBOUNDED PRECEDING)` as an `out` column,
-    * computed two-pass (the distributed prefix-sum shape). */
+    * computed two-pass (the distributed prefix-sum shape). `valueCol`
+    * must be NON-NEGATIVE: each bucket's total is read off as the max
+    * running value (so the offsets aggregate consumes the window
+    * output and the corpus shuffle is shared, not recomputed), which
+    * equals the bucket sum only when the running sum is
+    * non-decreasing. */
   def prefixSum(df: DataFrame, strata: Seq[String], orderCol: String,
       valueCol: String, out: String = "cum", buckets: Int = 32): DataFrame =
     twoPass(df, strata, orderCol, Some(valueCol), out, buckets)
@@ -64,12 +69,16 @@ object Strata {
         parts.withColumn("__loc", row_number().over(localW).cast("long"))
       case Some(v) => parts.withColumn("__loc", sum(col(v)).over(cumW))
     }
-    // one row per (stratum, bucket); the offsets window scans ≤ buckets
-    // rows per stratum — metadata-scale, broadcast back to the data
-    val tot = valueCol.map(v => sum(col(v))).getOrElse(count(lit(1)))
+    // one row per (stratum, bucket); aggregated FROM THE WINDOW OUTPUT
+    // (the bucket total is the max local cumulative — the last row of
+    // the bucket), so the corpus scan + (stratum, bucket) exchange
+    // subtree is byte-identical in both join branches and the shuffle
+    // is computed once and reused, not re-scanned (verified by the
+    // exchange-reuse plan audit). The offsets window then runs over
+    // ≤ `buckets` rows per stratum — metadata-scale, broadcast back.
     val offW = Window.partitionBy(strata.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parts.groupBy(keys: _*).agg(tot.as("__tot"))
+    val offsets = local.groupBy(keys: _*).agg(max(col("__loc")).as("__tot"))
       .select((strata.map(col) :+ col("__pid") :+
         coalesce(sum(col("__tot")).over(offW), lit(0L)).as("__off")): _*)
     local.join(broadcast(offsets), strata :+ "__pid")
