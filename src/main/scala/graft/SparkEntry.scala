@@ -119,6 +119,8 @@ object SparkEntry {
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),
+    "text_repetition" -> (ops.LlmData.textRepetition _),
+    "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
     "multimodal_decode" -> (ops.LlmData.multimodalDecode _),
     "multimodal_features" -> (ops.LlmData.multimodalFeatures _),

@@ -144,6 +144,71 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K27: repetition-based quality filtering — the Gopher repetition
+    * signals (Rae et al. 2021, "Scaling Language Models", §A1.1,
+    * public): the fraction of tokens taken by the single most frequent
+    * token, and the fraction of duplicate token-bigrams. Repetitive
+    * machine-generated or boilerplate text scores high on both and is
+    * filtered before training. Shapes: two explode → per-(doc, gram)
+    * count → per-doc aggregate passes (map-side partial, keyed
+    * shuffles — no windows, no collects); ratios are exact decimal.
+    * Docs with < 2 tokens have no bigrams → NULL ratio (explicit in
+    * both engines). */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val uni = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_toks"))
+    val bi = base
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(col("doc_id"), concat_ws(" ",
+        col("col"), element_at(col("toks"), col("pos") + 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), count(lit(1)).as("n_bi_d"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        dbl(dec(col("top_c")) / col("n_toks")).as("top_tok_ratio"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
+        when(col("n_bi").isNull, lit(null).cast("double"))
+          .otherwise(dbl(dec(col("n_bi") - col("n_bi_d")) / col("n_bi")))
+          .as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** K28: deterministic hash-Bernoulli corpus sampling — the
+    * reproducible downsampling primitive for rebalancing an
+    * over-represented stratum (downsample 'lang0'-style head languages;
+    * standard corpus-mixing practice). Each doc's keep decision is a
+    * pure function of its id: the first 8 hex chars of
+    * md5(salt ++ doc_id) interpreted as a uniform 32-bit draw, kept
+    * when below the per-stratum threshold. No RNG state, no seed
+    * coordination across executors, stable under re-partitioning and
+    * retries — the properties `rand()`-based sampling loses at scale.
+    * The comparison is INTEGER (threshold = rate × 2^32), so both
+    * engines decide identically with no float edge. One narrow
+    * projection + one partial-agg pass. */
+  def sampleHashBernoulli(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = conv(substring(md5(concat(lit("graft"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    // downsample the corpus-head stratum ('en' dominates the fixture as
+    // it dominates web corpora) to 25%, keep the rest whole
+    val threshold = when(col("lang") === "en", lit(1073741824L))
+      .otherwise(lit(4294967296L))
+    t(spark, sfDir, "documents")
+      .select(col("lang"), (draw < threshold).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        dbl(dec(col("n_kept")) / col("n_docs")).as("keep_ratio"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
     * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
     * ([[dedupMinhash]]) generators. Melts each pair to its two member

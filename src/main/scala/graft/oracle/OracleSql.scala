@@ -846,6 +846,55 @@ object OracleSql {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // Gopher repetition filters (Rae et al. 2021, public): top-token
+    // fraction + duplicate-bigram fraction per doc; <2-token docs have
+    // no bigrams -> NULL ratio in both engines
+    "text_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), uni AS (
+         |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_toks FROM (
+         |    SELECT doc_id, tok, COUNT(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+         |    GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |), bg AS (
+         |  SELECT doc_id, SUM(c) AS n_bi, COUNT(*) AS n_bi_d FROM (
+         |    SELECT doc_id, b, COUNT(*) AS c FROM (
+         |      SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         |        i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS b
+         |      FROM tk WHERE len(toks) >= 2)
+         |    GROUP BY doc_id, b)
+         |  GROUP BY doc_id
+         |)
+         |SELECT u.doc_id, CAST(u.n_toks AS BIGINT) AS n_toks,
+         |  ${dbl(s"${dec("u.top_c")} / u.n_toks")} AS top_tok_ratio,
+         |  CAST(COALESCE(b.n_bi, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN b.n_bi IS NULL THEN NULL
+         |    ELSE ${dbl(s"${dec("b.n_bi - b.n_bi_d")} / b.n_bi")} END
+         |    AS dup_bigram_ratio
+         |FROM uni u LEFT JOIN bg b ON u.doc_id = b.doc_id
+         |ORDER BY u.doc_id""".stripMargin,
+
+    // deterministic hash-Bernoulli sampling: keep iff the first 8 md5
+    // hex chars of 'graft'||doc_id, as a 32-bit draw, fall below the
+    // per-stratum threshold (en -> 0.25 * 2^32; integer compare, no
+    // float edge — byte-identical decisions in both engines)
+    "sample_hash_bernoulli" ->
+      s"""WITH draws AS (
+         |  SELECT lang,
+         |    (('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      < CASE WHEN lang = 'en' THEN 1073741824 ELSE 4294967296 END) AS keep
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${dbl(s"${dec("SUM(CASE WHEN keep THEN 1 ELSE 0 END)")} / COUNT(*)")}
+         |    AS keep_ratio
+         |FROM draws
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+
     "text_tokens_bpe" ->
       s"""SELECT doc_id,
          |  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_ws,
