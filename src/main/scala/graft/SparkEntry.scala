@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),
     "dedup_health" -> (ops.LlmData.dedupHealth _),
     "contamination_ngram" -> ((s, d) => ops.LlmData.contaminationNgram(s, d)),
+    "decontaminate" -> ((s, d) => ops.LlmData.decontaminate(s, d)),
     "sample_stratified" -> ((s, d) => ops.LlmData.sampleStratified(s, d)),
     "pack_token_budget" -> ((s, d) => ops.LlmData.packTokenBudget(s, d)),
     "corpus_curation" -> (ops.LlmData.corpusCuration _),

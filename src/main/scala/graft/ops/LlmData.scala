@@ -435,6 +435,45 @@ object LlmData {
       .limit(20)
   }
 
+  /** K29: decontamination decision — the screen ([[contaminationScreen]])
+    * composed to the per-language removal summary a pipeline acts on:
+    * any non-benchmark document sharing ≥ `minShared` distinct
+    * token-trigram shingles with the benchmark partition is REMOVED
+    * (the GPT-3-style n-gram-overlap decontamination step, public);
+    * report docs and token mass kept/removed per language. Same scale
+    * shape as K23 — the benchmark shingle set broadcasts, candidates
+    * make one narrow pass, the removal flags are tiny and join back
+    * broadcastable — plus a single partial-agg rollup. NULL-source
+    * docs are candidates (null-safe complement, as in K23). */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      minShared: Int = 5): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val shingles = MinHash
+      .shingleRows(docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .distinct()
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = shingles.join(src, Seq("doc_id"))
+    val bench = tagged.filter(col("source") === "src0")
+      .select(col("shingle")).distinct()
+    val removed = tagged.filter(not(col("source") <=> "src0"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), lit(true).as("removed"))
+    docs.filter(not(col("source") <=> "src0"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("removed"), lit(false)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("rm"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("rm"), col("n_toks")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** K24: stratified corpus sampling — proportional allocation of a
     * fixed sample budget across languages (the corpus-mixing primitive:
     * quota_l = round(target × n_l / N), floored at 1 so no stratum
