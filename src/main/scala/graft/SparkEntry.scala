@@ -95,6 +95,8 @@ object SparkEntry {
     "stream_tumbling" -> (ops.StreamingOps.streamTumbling _),
     "stream_sliding" -> (ops.StreamingOps.streamSliding _),
     "stream_session" -> (ops.StreamingOps.streamSession _),
+    "funnel_conversion" -> (ops.Events.funnelConversion _),
+    "retention_cohorts" -> (ops.Events.retentionCohorts _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Event-sequence analytics over the `events` stream table — the batch
+  * companions to the J-family event-time windows (SURVEY.md §2.2
+  * J11/J12): ordered-funnel conversion and cohort retention, the two
+  * queries every event warehouse runs daily.
+  *
+  * Scale shapes: all times are integer epoch micros/days (exact in both
+  * engines — the `unix_micros` ↔ `epoch_us` parity idiom of the
+  * J-family); per-user stage frames collapse to one row per converting
+  * user before joining, so the stage joins are user-cardinality (tiny
+  * vs the event log) and broadcast; each stage pass pushes its
+  * `event_type` equality into the scan.
+  */
+object Events {
+
+  /** J11: ordered funnel — users who viewed, then clicked AT OR AFTER
+    * their first view, then purchased at or after that first qualifying
+    * click. Event order matters: a click before any view does not
+    * qualify (the sequencing the naive type-count funnel gets wrong).
+    * One row: stage user counts. */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("tus") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("tus") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(col("v_us")).as("n_view_users"),
+        count(col("c_us")).as("n_click_after_view"),
+        count(col("p_us")).as("n_purchase_after_click"))
+  }
+
+  /** J12: cohort retention — users grouped by first-activity day
+    * (integer epoch day), counted distinct per week offset from their
+    * cohort day. The retention triangle every growth dashboard draws;
+    * exact integer day/week arithmetic in both engines. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohort), Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        expr("(day - cohort_day) DIV 7").as("offset_week"))
+      .groupBy(col("cohort_day"), col("offset_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_week"))
+  }
+}

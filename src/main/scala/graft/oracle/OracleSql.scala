@@ -671,6 +671,41 @@ object OracleSql {
         |GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin,
 
+    // ordered funnel: click qualifies only at/after the user's first
+    // view, purchase only at/after the first qualifying click
+    "funnel_conversion" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click""".stripMargin,
+
+    // cohort = first-activity epoch day; weekly offsets, distinct
+    // active users — integer day arithmetic in both engines
+    "retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, (e.day - c.cohort_day) // 7 AS offset_week,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY c.cohort_day, (e.day - c.cohort_day) // 7
+        |ORDER BY cohort_day, offset_week""".stripMargin,
+
     // ---------------- K: LLM-data ops ----------------
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
