@@ -474,6 +474,33 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K30: sliding-window token chunking — split each document into
+    * fixed-size token windows with overlap (window 32, stride 24),
+    * the preprocessing step between curation and tokenization that
+    * turns documents into training sequences. Chunk COUNT is
+    * ceil(max(n−W, 0)/S) + 1 (every doc yields at least one chunk;
+    * the last may be short). Emits per chunk the token count and the
+    * sha256 of the reassembled chunk text — content-exact
+    * verification without shipping chunk strings. One narrow
+    * generate (sequence + explode) per doc, O(1) slice per chunk,
+    * no shuffle until the output sort. */
+  def chunkTokens(spark: SparkSession, sfDir: String,
+      window: Int = 32, stride: Int = 24): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        (greatest(col("n") - window, lit(0)) + (stride - 1))
+          .divide(stride).cast("int") + 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start", col("chunk_id") * stride + 1)
+      .withColumn("len", least(lit(window), col("n") - col("start") + 1))
+      .select(col("doc_id"), col("chunk_id"), col("len").as("n_chunk_toks"),
+        sha2(array_join(slice(col("toks"), col("start"), col("len")), " "), 256)
+          .as("chunk_sha"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** K24: stratified corpus sampling — proportional allocation of a
     * fixed sample budget across languages (the corpus-mixing primitive:
     * quota_l = round(target × n_l / N), floored at 1 so no stratum

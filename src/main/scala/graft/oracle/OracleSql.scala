@@ -914,6 +914,28 @@ object OracleSql {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // sliding-window token chunking (window 32, stride 24): chunk count
+    // = ceil(max(n-32,0)/24)+1, last chunk may be short; sha256 of the
+    // reassembled chunk text pins content without shipping strings
+    "chunk_tokens" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |), cfg AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    (GREATEST(len(toks) - 32, 0) + 23) // 24 + 1 AS n_chunks
+        |  FROM tk
+        |), ch AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM cfg
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(LEAST(32, n - chunk_id * 24) AS INT) AS n_chunk_toks,
+        |  sha256(array_to_string(
+        |    list_slice(toks, chunk_id * 24 + 1,
+        |      chunk_id * 24 + LEAST(32, n - chunk_id * 24)), ' ')) AS chunk_sha
+        |FROM ch
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // Gopher repetition filters (Rae et al. 2021, public): top-token
     // fraction + duplicate-bigram fraction per doc; <2-token docs have
     // no bigrams -> NULL ratio in both engines
