@@ -110,6 +110,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("round-8 additions keep their scale shapes") {
+    // decontaminate: benchmark shingle set broadcasts; removal flags
+    // join broadcast — never a corpus-vs-corpus shuffle join
+    val de = plan("decontaminate")
+    assert(de.contains("BroadcastHashJoin"), "benchmark set must broadcast")
+    assert(!de.contains("CartesianProduct"))
+    // funnel: event_type equality pushed to the parquet scan; stage
+    // frames broadcast
+    val fu = plan("funnel_conversion")
+    assert(fu.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      "stage type filters must reach the scan")
+    assert(fu.contains("BroadcastHashJoin"), "user-level stage frames must broadcast")
+    // retention: cohort frame broadcasts
+    assert(plan("retention_cohorts").contains("BroadcastHashJoin"))
+    // chunking: a generate over the scan, no exchange before the
+    // output sort (chunk emission is embarrassingly parallel)
+    val ch = plan("chunk_tokens")
+    assert(ch.contains("Generate explode"), "chunk ids must come from a generate")
+    assert(ch.linesIterator.count(_.contains("Exchange")) <= 1,
+      "chunking must not shuffle before the output sort")
+    // repetition: partial aggregation before both gram shuffles
+    assert(plan("text_repetition").contains("partial"))
+    // hash sampling: one partial-agg pass, no join at all
+    val sa = plan("sample_hash_bernoulli")
+    assert(!sa.contains("Join"), "hash sampling must be a single narrow pass")
+    assert(sa.contains("partial"))
+  }
+
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
     // the two-pass design ranks locally per bucket (windowspecdefinition
     // partitioned on pid) and derives ntile/percent_rank/cume_dist as

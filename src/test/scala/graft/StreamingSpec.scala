@@ -350,6 +350,53 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.size == 3) // 10:00, 11:00, 12:00 windows
   }
 
+  test("streaming corpus ingestion: quality filter + exact dedup over a file stream equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the curation pipeline run INCREMENTALLY: documents arrive as
+    // parquet files, are quality-filtered (token band) and
+    // exact-deduped (sha2 text hash — state keyed by the 256-bit hash,
+    // never the text), and land in an idempotent per-batch sink. The
+    // streamed survivors must equal the batch dedup_exact semantics
+    // over the same corpus.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_csrc_").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_csink_").toString + "/sink"
+    val batch1 = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // exact dup of 0
+      (2L, "one two"),                        // fails the >= 3-token band
+      (3L, "zeta eta theta iota kappa"))
+    val batch2 = Seq(
+      (4L, "alpha beta gamma delta epsilon"), // dup of 0, later file
+      (5L, "lambda mu nu xi omicron"))
+    batch1.toDF("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val cur = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .dropDuplicates("text_sha")
+      .select(col("doc_id"), col("text_sha"))
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.idempotentBatchAppend(sinkDir)
+    val q = cur.writeStream.foreachBatch(writer)
+      .option("checkpointLocation", tmpCheckpoint()).start()
+    withQuery(q) {
+      q.processAllAvailable()
+      batch2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    }
+    val out = spark.read.parquet(sinkDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // one survivor per distinct text among quality docs; the dedup
+    // state carries across micro-batches (doc 4 deduped against batch-1
+    // state)
+    assert(out == Seq(0L, 3L, 5L), s"streamed survivors: $out")
+  }
+
   test("J1-J3 batch/stream parity: window() over a bounded stream equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
