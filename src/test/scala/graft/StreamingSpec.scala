@@ -391,10 +391,16 @@ class StreamingSpec extends SparkTestBase {
     }
     val out = spark.read.parquet(sinkDir)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    // one survivor per distinct text among quality docs; the dedup
-    // state carries across micro-batches (doc 4 deduped against batch-1
-    // state)
-    assert(out == Seq(0L, 3L, 5L), s"streamed survivors: $out")
+    // one survivor per distinct text among quality docs. WITHIN a
+    // micro-batch dropDuplicates keeps an arbitrary member (docs 0/1
+    // share a batch — either may win); ACROSS batches the state is
+    // authoritative: doc 4 arrives after batch 1 committed its hash
+    // and must always lose, and doc 2 fails the quality band.
+    assert(out.length == 3, s"streamed survivors: $out")
+    assert(out.contains(3L) && out.contains(5L), s"streamed survivors: $out")
+    assert(out.intersect(Seq(0L, 1L)).length == 1,
+      s"exactly one of the batch-1 dups survives: $out")
+    assert(!out.contains(4L), s"cross-batch dup must lose to the state: $out")
   }
 
   test("J1-J3 batch/stream parity: window() over a bounded stream equals batch") {
