@@ -281,6 +281,25 @@ class CensusSourceSpec extends SparkTestBase {
       s"expected planning+read to add exactly 2 fetches, saw ${total - afterSchema}")
   }
 
+  test("CensusUrl builds the reference's exact request URLs (R1)") {
+    import graft.sources.CensusUrl
+    // tract: NAME prepended, first-occurrence dedupe, comma-joined
+    // state chunk (Test_census_tract.py:155-164,343)
+    assert(CensusUrl.tract(2023, "acs/acs5/profile",
+        Seq("DP02_0001E", "NAME", "DP02_0002E"), Seq("01", "02", "04")) ==
+      "https://api.census.gov/data/2023/acs/acs5/profile" +
+        "?get=NAME,DP02_0001E,DP02_0002E&for=tract:*&in=state:01,02,04")
+    // zcta: no NAME prepend, space-bearing geo level form-encoded,
+    // optional key appended (test_final_zcta.py:96-101)
+    assert(CensusUrl.zcta(2017, "acs/acs5/profile", Seq("DP03_0062E")) ==
+      "https://api.census.gov/data/2017/acs/acs5/profile" +
+        "?get=DP03_0062E&for=zip+code+tabulation+area:*")
+    assert(CensusUrl.zcta(2017, "acs/acs5", Seq("B01003_001E"),
+        zcta = "10001", apiKey = Some("k1")) ==
+      "https://api.census.gov/data/2017/acs/acs5" +
+        "?get=B01003_001E&for=zip+code+tabulation+area:10001&key=k1")
+  }
+
   test("scan_census_dsv2 registered query returns the expected relation") {
     val out = ops.Scans.scanCensusDsv2(spark, sfDir).collect()
     assert(out.length == 6) // 3 states x 2 tracts
