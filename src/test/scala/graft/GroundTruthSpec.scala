@@ -173,6 +173,16 @@ class GroundTruthSpec extends SparkTestBase {
     assert(recall >= 0.4, s"K13 recall@5 $recall below the pinned fixture floor")
   }
 
+  test("K13 sim_ann_topk: recall@5 holds one scale up (sf0.01)") {
+    // deterministic at the 10x distribution too — measured 3/5, pinned
+    val dir = "/root/testdata/sf0.01"
+    val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val ann = LlmData.simAnnTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = ann.count(exact.contains).toDouble / exact.size
+    info(s"K13 sf0.01 recall@5 = $recall")
+    assert(recall >= 0.6, s"K13 sf0.01 recall@5 $recall below the pinned floor")
+  }
+
   test("K18 sim_ivf_topk: recall@5 vs the oracle-checked exact sim_topk") {
     val exact = LlmData.simTopk(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
@@ -183,5 +193,15 @@ class GroundTruthSpec extends SparkTestBase {
     // probing 2/16 cells: FAISS-style IVF recall on random data ~ nprobe/K
     // per cell mass, but true neighbors concentrate in the query's cell
     assert(recall >= 0.4, s"K18 recall@5 $recall below floor")
+  }
+
+  test("K18 sim_ivf_topk: recall@5 holds one scale up (sf0.01)") {
+    // deterministic (seeded k-means sample) — measured 2/5, pinned
+    val dir = "/root/testdata/sf0.01"
+    val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val ivf = LlmData.simIvfTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    info(s"K18 sf0.01 recall@5 = $recall")
+    assert(recall >= 0.4, s"K18 sf0.01 recall@5 $recall below the pinned floor")
   }
 }
