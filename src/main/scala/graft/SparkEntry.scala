@@ -72,6 +72,7 @@ object SparkEntry {
     "census_states" -> (ops.SortsCensus.censusStates _),
     "census_union_byname" -> (ops.SortsCensus.censusUnionByname _),
     "census_clean_cast" -> (ops.SortsCensus.censusCleanCast _),
+    "layout_zorder" -> (ops.Layout.layoutZorder _),
     // G — set ops
     "set_union_distinct" -> (ops.SetOps.setUnionDistinct _),
     "set_intersect" -> (ops.SetOps.setIntersect _),
@@ -97,8 +98,11 @@ object SparkEntry {
     "stream_session" -> (ops.StreamingOps.streamSession _),
     "funnel_conversion" -> (ops.Events.funnelConversion _),
     "retention_cohorts" -> (ops.Events.retentionCohorts _),
+    "path_transitions" -> (ops.Events.pathTransitions _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
+    "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),
+    "corpus_shard" -> (ops.LlmData.corpusShard _),
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
     "dedup_clusters" -> (ops.LlmData.dedupClusters _),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -42,6 +43,31 @@ object Events {
       .agg(count(col("v_us")).as("n_view_users"),
         count(col("c_us")).as("n_click_after_view"),
         count(col("p_us")).as("n_purchase_after_click"))
+  }
+
+  /** J13: event-path transition matrix — per user, each consecutive
+    * (event_type → next event_type) step in (ts, event_id) order,
+    * counted corpus-wide, with each transition's share of its source
+    * type. The first-order Markov view of user journeys (what follows
+    * a view? how often does an error end the path?). Scale shape: one
+    * window pass partitioned by user_id (high-cardinality key — no
+    * single-task stratum), partial-agg counts, and a 25-row totals
+    * join that broadcasts. */
+  def pathTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        dbl(dec(col("n")) / col("n_from")).as("share"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** J12: cohort retention — users grouped by first-activity day

@@ -209,6 +209,28 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K31: deterministic corpus sharding — the balance report a corpus
+    * build runs before writing N output shards. Shard assignment is a
+    * pure function of doc_id (the [[sampleHashBernoulli]] md5 draw,
+    * mod 16): reproducible across runs, stable under repartitioning
+    * and task retries, and needing no coordination — the properties a
+    * `rand()`- or `monotonically_increasing_id()`-based sharder loses
+    * at 1000 executors. Per shard: document count and token mass (the
+    * two balance measures that matter — a shard-skewed corpus skews
+    * training-data loaders). One narrow projection + one partial-agg
+    * pass; at production scale the same key feeds
+    * `df.repartition(n, shard)` for the physical write. */
+  def corpusShard(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = conv(substring(md5(concat(lit("shard"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    t(spark, sfDir, "documents")
+      .select(pmod(draw, lit(16L)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
     * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
     * ([[dedupMinhash]]) generators. Melts each pair to its two member
@@ -400,6 +422,52 @@ object LlmData {
         Seq("table_id", "code"), col("vec_id"), col("vec_id"))
       .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("embedding_overflow"))
     ngram.crossJoin(mh).crossJoin(emb)
+  }
+
+  /** K32: duplicated-span detection — substring-level dedup accounting
+    * (the signal behind exact-substring dedup, Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * public): document-level dedup (K1/K2/K6) misses long passages
+    * copied between otherwise-distinct documents, which LMs memorize.
+    * Every `window`-token span (stride 1) is pinned by the sha256 of
+    * its reassembled text; a span is duplicated when its hash occurs
+    * in ≥ 2 distinct documents. Per doc: span count, duplicated-span
+    * count, duplicated fraction (NULL for docs shorter than the
+    * window). Scale shape: the span explode carries (doc_id, 256-bit
+    * hash) — never window text; the dup set is one hash-keyed
+    * partial-agg pass; the join back is hash-to-hash. No doc×doc
+    * comparison, no uncapped collects — at 100 TB only the candidate
+    * generator would change (suffix-array sharding), not this
+    * accounting. */
+  def dedupSubstring(spark: SparkSession, sfDir: String,
+      window: Int = 16): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val spans = docs
+      .filter(size(col("toks")) >= window)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - window)).as("p"),
+        col("toks"))
+      .select(col("doc_id"),
+        sha2(array_join(slice(col("toks"), col("p") + 1, lit(window)), " "), 256)
+          .as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val perDoc = spans.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (window - 1), lit(0)).as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_spans").cast("long").as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") === 0, lit(null).cast("double"))
+          .otherwise(dbl(dec(coalesce(col("n_dup"), lit(0L))) / col("n_spans")))
+          .as("dup_span_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** K23: benchmark-contamination check — the screen a training corpus

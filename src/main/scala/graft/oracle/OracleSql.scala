@@ -706,6 +706,53 @@ object OracleSql {
         |GROUP BY c.cohort_day, (e.day - c.cohort_day) // 7
         |ORDER BY cohort_day, offset_week""".stripMargin,
 
+    // first-order Markov transition matrix: consecutive per-user
+    // (type -> next type) steps in (ts, event_id) order, with each
+    // transition's share of its source type
+    "path_transitions" ->
+      s"""WITH nx AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type
+         |  FROM events
+         |), tr AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+         |), tot AS (
+         |  SELECT from_type, SUM(n) AS n_from FROM tr GROUP BY from_type
+         |)
+         |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+         |  ${dbl(s"${dec("tr.n")} / t.n_from")} AS share
+         |FROM tr JOIN tot t ON tr.from_type = t.from_type
+         |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
+    // Z-order layout audit: Morton-interleave the low 16 bits of
+    // (l_partkey, l_suppkey) — the same magic-number dilation as
+    // graft.ops.Layout.spread16 — and report per-16-bit-prefix-bucket
+    // row counts and dimension min/max (the per-file skipping stats)
+    "layout_zorder" ->
+      """WITH s0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+        |  FROM lineitem
+        |), s1 AS (SELECT l_partkey, l_suppkey,
+        |    (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM s0
+        |), s2 AS (SELECT l_partkey, l_suppkey,
+        |    (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+        |), s3 AS (SELECT l_partkey, l_suppkey,
+        |    (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+        |), s4 AS (SELECT l_partkey, l_suppkey,
+        |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+        |), z AS (
+        |  SELECT l_partkey, l_suppkey, (a | (b << 1)) AS z FROM s4
+        |)
+        |SELECT CAST(z >> 16 AS INT) AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+        |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        |FROM z
+        |GROUP BY z >> 16
+        |ORDER BY z_bucket""".stripMargin,
+
     // ---------------- K: LLM-data ops ----------------
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
@@ -984,6 +1031,44 @@ object OracleSql {
          |FROM draws
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+
+    // deterministic md5-draw sharding (same draw idiom as
+    // sample_hash_bernoulli, salt 'shard', mod 16): per-shard doc count
+    // and token mass — the pre-write balance report
+    "corpus_shard" ->
+      """SELECT CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin,
+
+    // duplicated-span accounting: every 16-token window (stride 1)
+    // hashed by the sha256 of its reassembled text; a span is
+    // duplicated when seen in >= 2 distinct docs; per-doc counts and
+    // fraction (NULL for docs shorter than the window)
+    "dedup_substring" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), sp AS (
+         |  SELECT doc_id,
+         |    sha256(array_to_string(list_slice(toks, p + 1, p + 16), ' ')) AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15)) AS p
+         |        FROM tk WHERE len(toks) >= 16)
+         |), dup AS (
+         |  SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |), pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_dup FROM sp JOIN dup USING (h)
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CAST(GREATEST(len(t.toks) - 15, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  CASE WHEN GREATEST(len(t.toks) - 15, 0) = 0 THEN NULL
+         |    ELSE ${dbl(s"${dec("COALESCE(p.n_dup, 0)")} / GREATEST(len(t.toks) - 15, 0)")}
+         |  END AS dup_span_ratio
+         |FROM tk t LEFT JOIN pd p ON t.doc_id = p.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "text_tokens_bpe" ->
       s"""SELECT doc_id,

@@ -138,6 +138,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(sa.contains("partial"))
   }
 
+  test("path/shard/substring/zorder additions keep their scale shapes") {
+    // path_transitions: the doc window partitions on the
+    // high-cardinality user_id; the 25-row totals join broadcasts
+    val pt = plan("path_transitions")
+    assert(pt.contains("BroadcastHashJoin"), "totals join must broadcast")
+    assert(pt.contains("windowspecdefinition(user_id"),
+      "transition window must partition by user")
+    // corpus_shard: a single narrow pass — no join, map-side combine
+    val cs = plan("corpus_shard")
+    assert(!cs.contains("Join"), "sharding must be one narrow pass")
+    assert(cs.contains("partial"))
+    // dedup_substring: span rows carry only (doc_id, hash) — the text
+    // never reaches an exchange; dup detection is partial-agg'd
+    val ds = plan("dedup_substring")
+    assert(ds.contains("partial"))
+    assert(!ds.contains("CartesianProduct"))
+    assert(!ds.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("toks")), "shuffles must never carry token arrays")
+    // layout_zorder: pure bit arithmetic + one partial-agg pass
+    val lz = plan("layout_zorder")
+    assert(!lz.contains("Join"))
+    assert(lz.contains("partial"))
+  }
+
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
     // the two-pass design ranks locally per bucket (windowspecdefinition
     // partitioned on pid) and derives ntile/percent_rank/cume_dist as
