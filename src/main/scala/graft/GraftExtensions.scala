@@ -15,12 +15,17 @@ import graft.functions.{CharNGrams, CosineSim, RollingHash}
   *  - `rolling_hash(str)` — the native-codegen
   *    [[graft.functions.RollingHash]] fingerprint,
   *  - `cosine_sim(arr, arr)` — the native-codegen
-  *    [[graft.functions.CosineSim]] similarity kernel.
+  *    [[graft.functions.CosineSim]] similarity kernel,
+  *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy — plans the
+  *    custom [[graft.plans.AsOfJoin]] logical operator.
   * Verified in `graft.GraftExtensionsSpec` (the shared test session is
   * built with this extensions class, exactly like a configured cluster).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the whole-operator extension: plans graft.plans.AsOfJoin nodes
+    // to the co-partitioned single-pass merge AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),

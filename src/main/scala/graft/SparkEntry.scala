@@ -42,6 +42,7 @@ object SparkEntry {
     "join_theta" -> (ops.Joins.joinTheta _),
     "join_range_interval" -> (ops.Joins.joinRangeInterval _),
     "join_asof" -> (ops.Joins.joinAsof _),
+    "join_asof_native" -> (ops.Joins.joinAsofNative _),
     // D — aggregations
     "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _),
     "agg_distinct" -> (ops.Aggregates.aggDistinct _),

@@ -109,6 +109,34 @@ object Joins {
       .orderBy(col("view_id"), col("click_id"))
   }
 
+  /** C11: the SAME as-of semantics as [[joinAsof]], through the native
+    * whole-operator path — [[graft.plans.AsOfJoin]], a custom
+    * LogicalPlan planned by [[graft.plans.AsOfJoinStrategy]] to a
+    * co-partitioned single-pass merge ([[graft.plans.AsOfJoinExec]]).
+    * Against the C10 window trick this needs no union and carries no
+    * window state; probe (purchases) and build (all events) shuffle
+    * once each and merge forward with O(1) state. Checked against the
+    * identical DuckDB oracle as C10, and row-for-row against C10 in
+    * `AsOfJoinSpec`. */
+  def joinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val lhs = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // a separate scan: fresh attribute ids for the self-join's right
+    // side, with columns pre-renamed (the standard self-join contract)
+    val rhs = t(spark, sfDir, "events")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+    graft.plans.AsOf.joinAsOf(lhs, rhs,
+        Seq("user_id"), Seq("r_user_id"),
+        Seq("ts", "event_id"), Seq("r_ts", "r_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("prev_event_id"),
+        col("r_event_type").as("prev_event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** C10: as-of join — for each purchase, the latest prior event of the
     * same user. Single window pass (lag over user_id), no join: the
     * 100 TB-safe as-of shape (one shuffle, no candidate blowup). */

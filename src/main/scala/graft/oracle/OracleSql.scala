@@ -239,6 +239,22 @@ object OracleSql {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    // the native-operator path (graft.plans.AsOfJoin) computes the SAME
+    // as-of semantics as the C10 window trick — one oracle, two engine
+    // implementations, both must match it
+    "join_asof_native" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER win AS prev_event_id,
+        |    lag(event_type) OVER win AS prev_event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id, prev_event_id, prev_event_type, gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     // ---------------- D: aggregations ----------------
     "agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native as-of join — the whole-operator Catalyst extension
+  * (SURVEY.md §7.3's capability ladder: after custom expressions
+  * (RollingHash), generators (CharNGrams), aggregators (SecondMax) and
+  * a DSv2 source (CensusSource), this is the custom
+  * LogicalPlan + Strategy + SparkPlan rung).
+  *
+  * Semantics: for every left row, the single GREATEST right row (by the
+  * right `order` tuple, compared lexicographically) with equal join
+  * keys and order tuple STRICTLY below the left row's — "the latest
+  * prior event". Left rows without a match keep NULLs on the right
+  * (left-outer). NULL keys group together (same as
+  * `Window.partitionBy`, which the window-trick form C10 uses — the two
+  * implementations agree row-for-row, pinned by `AsOfJoinSpec`).
+  *
+  * Scale shape: both sides hash-partition on the keys and sort within
+  * partitions by (keys, order) — one shuffle each, exactly a
+  * sort-merge join's movement — then a single forward merge pass per
+  * partition with O(1) state (the current candidate row). No window
+  * over a union (the C10 trick carries every probe row through the
+  * window state), no range-join candidate blowup; the right side
+  * streams — it is never buffered per key.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+  extends BinaryNode {
+  require(leftKeys.length == rightKeys.length &&
+    leftOrder.length == rightOrder.length && leftOrder.nonEmpty)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] to [[AsOfJoinExec]] — injected via
+  * `graft.GraftExtensions` (production) or
+  * `spark.experimental.extraStrategies` ([[AsOf.ensureStrategy]]). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lo, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned on the keys (one shuffle per
+  * side, inserted by EnsureRequirements), sorted within partitions by
+  * (keys, order), merged in one forward pass. */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys ++ leftOrder).map(SortOrder(_, Ascending)),
+    (rightKeys ++ rightOrder).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val ordTypes = leftOrder.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lOrdProj = UnsafeProjection.create(leftOrder, left.output)
+      val rOrdProj = UnsafeProjection.create(rightOrder, right.output)
+      // natural ascending, nulls first: null keys compare equal (the
+      // partitionBy-grouping semantics documented above)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ordOrd = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+      val nullRight = new GenericInternalRow(right.output.length)
+      val joined = new JoinedRow
+      // bind against `output` (right side nullability forced true), NOT
+      // left.output ++ right.output: binding to the original
+      // non-nullable right attrs would skip the null check and read
+      // garbage zeros from the null-padding row on unmatched left rows
+      val outProj = UnsafeProjection.create(output, output)
+
+      new Iterator[InternalRow] {
+        private var rCur: InternalRow = advanceRight()
+        // the greatest right row seen with key == candKey and order
+        // below the current left row — O(1) merge state
+        private var cand: InternalRow = _
+        private var candKey: UnsafeRow = _
+        private def advanceRight(): InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lo = lOrdProj(l)
+          var advancing = true
+          while (advancing && rCur != null) {
+            val kc = keyOrd.compare(rKeyProj(rCur), lk)
+            if (kc < 0) rCur = advanceRight() // behind every future left key too
+            else if (kc == 0 && ordOrd.compare(rOrdProj(rCur), lo) < 0) {
+              // qualifies; later qualifying rows overwrite it (sorted
+              // ascending, so the last one consumed is the greatest)
+              cand = rCur.copy(); candKey = lk.copy(); rCur = advanceRight()
+            } else advancing = false // right is at/after the left row
+          }
+          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+          outProj(joined(l, if (matched) cand else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry point for the native as-of join. */
+object AsOf {
+
+  /** Register [[AsOfJoinStrategy]] on the session if absent — the
+    * imperative path for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsOfJoinStrategy +: spark.experimental.extraStrategies
+
+  /** As-of join `left` with `right`: per left row, the greatest right
+    * row with equal `keys` and (order tuple) strictly before the left
+    * row's; unmatched left rows keep NULL right columns. Column names
+    * are resolved case-sensitively against each side; the caller
+    * renames the right side first when names collide (as with any
+    * self-join). */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftOrder: Seq[String], rightOrder: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = org.apache.spark.sql.graft.Bridge.analyzedPlan(left)
+    val rPlan = org.apache.spark.sql.graft.Bridge.analyzedPlan(right)
+    def resolve(plan: LogicalPlan, name: String): Expression =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan,
+        leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+        leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _))))
+  }
+}

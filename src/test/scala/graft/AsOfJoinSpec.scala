@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.plans.AsOf
+
+/** The native as-of operator (custom LogicalPlan + Strategy +
+  * SparkPlan) against the oracle-checked C10 window trick, plus the
+  * merge edge cases a fixture can't guarantee to hit. */
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("native as-of equals the window-trick C10 row-for-row") {
+    val native = Joins.joinAsofNative(spark, sfDir).collect().toSeq
+    val trick = Joins.joinAsof(spark, sfDir).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == trick)
+  }
+
+  test("the plan contains AsOfJoinExec and shuffles each side exactly once") {
+    val p = Joins.joinAsofNative(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin")) // nodeName renders without the Exec suffix
+    // two inputs co-partitioned on the key + the final presentation
+    // sort — nothing else may move data
+    assert(p.linesIterator.count(_.contains("Exchange")) == 3, p)
+    assert(!p.contains("Window"), "the native path must not fall back to a window")
+  }
+
+  test("merge edges: ties, no prior, null keys, unmatched right keys") {
+    import spark.implicits._
+    // left: probes; right: timeline. Order tuple is (t, id) — a right
+    // row with equal t but smaller id IS prior (lexicographic strict <)
+    val left = Seq(
+      (1L, "u1", 10L), // right (10,6): tie on t but 6 !< 1 → picks (5,0)
+      (2L, "u1", 5L),  // right (5,0): tie on t, 0 < 2 → prior
+      (3L, "u2", 7L),  // u2's only right row is at t=8 → no match
+      (4L, null, 9L),  // null key groups with the null-key right row
+      (5L, "u9", 9L)   // u9 absent from right → no match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (0L, "u1", 5L), (6L, "u1", 10L), (7L, "u1", 11L),
+      (8L, "u2", 8L), (9L, null, 2L)
+    ).toDF("r_id", "r_k", "r_t")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+        Seq("t", "id"), Seq("r_t", "r_id"))
+      .select($"id", $"r_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong)).toMap
+    assert(got == Map(
+      1L -> Some(0L), 2L -> Some(0L), 3L -> None, 4L -> Some(9L),
+      5L -> None), got.toString)
+  }
+
+  test("every left row of an empty-right partition keeps NULLs") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 3L), (2L, "b", 4L)).toDF("id", "k", "t")
+    val right = Seq.empty[(Long, String, Long)].toDF("r_id", "r_k", "r_t")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+        Seq("t"), Seq("r_t"))
+      .select($"id", $"r_id").collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(1)))
+  }
+}
