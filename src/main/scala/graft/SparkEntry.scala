@@ -25,6 +25,7 @@ object SparkEntry {
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
+    "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),

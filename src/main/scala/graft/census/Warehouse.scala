@@ -34,4 +34,37 @@ object Warehouse {
       case f => writer.format(f).saveAsTable(table)
     }
   }
+
+  /** MERGE upsert (SCD type 1) — the third load mode between the
+    * reference's drop-and-recreate (ZCTA) and blind append (tract):
+    * `updates` rows replace target rows with equal `keys`
+    * (when-matched UPDATE), unmatched `updates` rows insert, unmatched
+    * target rows survive — `MERGE INTO t USING u ON t.k = u.k WHEN
+    * MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`, expressed
+    * as one full-outer join + row-existence switch. Both frames must
+    * share the target's schema.
+    *
+    * The switch tests an `__exists` marker, not `coalesce` per column:
+    * a matched update row whose NON-key column is legitimately NULL
+    * must overwrite the old value with NULL, which a column-wise
+    * coalesce would silently keep.
+    *
+    * Scale shape: ONE shuffle on the merge keys (the same movement a
+    * warehouse MERGE does); when `updates` is small relative to the
+    * target, a production run can feed this a broadcast hint. Keys
+    * compare null-safely (`<=>`) so NULL-keyed rows merge rather than
+    * duplicate. */
+  def merge(target: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"updates schema ${updates.columns.mkString(",")} != target ${cols.mkString(",")}")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val u = updates.withColumn("__exists", lit(true)).alias("u")
+    target.alias("t").join(u, cond, "full_outer")
+      .select(cols.map(c =>
+        when(col("u.__exists").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
 }

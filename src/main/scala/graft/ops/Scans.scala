@@ -121,4 +121,27 @@ object Scans {
       .json(out)
       .orderBy(col("event_id"))
   }
+
+  /** A6: MERGE upsert load ([[graft.census.Warehouse.merge]]) — the
+    * third load mode beside R21's drop-and-recreate and R22's blind
+    * append: a deterministic update batch (every 10th customer gains
+    * 1000.00 balance) plus an insert batch (every 100th customer
+    * re-keyed past the key domain) merged into the customer dimension.
+    * Matched rows take the update, unmatched updates insert, untouched
+    * target rows survive — the oracle rebuilds the same row set with
+    * the identical FULL OUTER + existence-switch composition. */
+  def warehouseMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = target.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"))
+    val inserts = target.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal"))
+    graft.census.Warehouse.merge(target, updates.union(inserts), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -130,6 +130,28 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // MERGE upsert (Warehouse.merge): FULL OUTER + existence switch —
+    // matched rows take the update batch, unmatched updates insert,
+    // untouched target rows survive. Update keys are never NULL here,
+    // so u.c_custkey IS NOT NULL is the existence test.
+    "warehouse_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+        |  FROM tgt WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || '_new', c_acctbal
+        |  FROM tgt WHERE c_custkey % 100 = 0
+        |)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END
+        |    AS c_name,
+        |  CAST(round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |    ELSE t.c_acctbal END * 100, 0) AS BIGINT) AS acctbal_cents
+        |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
     // ---------------- B: filters / projections ----------------
     "filter_compound" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag

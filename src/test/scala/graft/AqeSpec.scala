@@ -42,6 +42,37 @@ class AqeSpec extends SparkTestBase {
     }
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // the runtime row-level filter that makes selective fact⋈filtered-dim
+    // joins scan-light at 100 TB: the filtered side's keys build a bloom
+    // filter applied to the big side BEFORE its shuffle. Fixture tables
+    // sit below the production thresholds, so the test lowers them —
+    // asserting the capability stays wired, not the default tuning.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = ops.Util.t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = ops.Util.t(spark, sfDir, "lineitem")
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(j.collect().length == 1)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain("),
+        s"fact side must carry the runtime bloom filter:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"filtered dim side must build the bloom filter:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE coalesces undersized shuffle partitions") {
     withTuning {
       import spark.implicits._

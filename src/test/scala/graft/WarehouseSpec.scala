@@ -12,6 +12,22 @@ class WarehouseSpec extends SparkTestBase {
     (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "v")
   }
 
+  test("merge: updates override (incl. NULL overwrite), inserts land, rest survive") {
+    import spark.implicits._
+    val target = Seq((Some(1L), Some("a")), (Some(2L), Some("b")),
+      (None, Some("n"))).toDF("id", "v")
+    val updates = Seq((Some(2L), None: Option[String]), // matched → NULL v wins
+      (Some(3L), Some("c")),                            // unmatched → insert
+      (None, Some("nn"))                                // NULL key merges, not dups
+    ).toDF("id", "v")
+    val got = Warehouse.merge(target, updates, Seq("id")).collect()
+      .map(r => (Option(r.get(0)).map(_.toString.toLong),
+        Option(r.get(1)).map(_.toString))).toSet
+    assert(got == Set(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(3L), Some("c")),
+      (None, Some("nn"))))
+  }
+
   test("append loads accumulate like COPY; overwrite rebuilds") {
     val tbl = "graft_wh_test"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
