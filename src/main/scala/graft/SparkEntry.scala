@@ -60,6 +60,7 @@ object SparkEntry {
     "agg_unpivot" -> (ops.Aggregates.aggUnpivot _),
     "agg_percentile" -> (ops.Aggregates.aggPercentile _),
     "agg_minmax_by" -> (ops.Aggregates.aggMinmaxBy _),
+    "agg_outlier_zscore" -> (ops.Aggregates.aggOutlierZscore _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
     "win_running_sum" -> (ops.Windows.winRunningSum _),

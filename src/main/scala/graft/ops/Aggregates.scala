@@ -201,4 +201,34 @@ object Aggregates {
       .filter(col("second_max_cents").isNotNull)
       .orderBy(col("c_mktsegment"))
   }
+
+  /** D16: per-group z-score outlier screen in EXACT arithmetic — flag
+    * orders whose total deviates more than 1.5σ from their status
+    * group. The float-free trick: compare squared deviations scaled by
+    * integer constants, `(n·x − s)² · (n−1) · 100 > 225 · n · (n·q − s²)`
+    * (s = Σx, q = Σx², all integer cents in DECIMAL(38,0) — fits: the
+    * largest product is ~1e32 at sf0.1), which is
+    * `|x − mean| > 1.5·stddev_samp` with no sqrt, no division, no
+    * float — so Spark and DuckDB agree bit-for-bit where a
+    * DOUBLE-stddev formulation could flip rows at the boundary.
+    * Scale shape: one partial-agg stats pass (3 groups → broadcast
+    * back), one narrow filter pass. */
+  def aggOutlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cts"))
+    val st = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cts").cast(D38)).as("s"),
+        sum(col("cts").cast(D38) * col("cts").cast(D38)).as("q"))
+    val nD = col("n").cast(D38)
+    val dev = nD * col("cts").cast(D38) - col("s")
+    o.join(broadcast(st), Seq("o_orderstatus"))
+      .filter(col("n") > 1 &&
+        dev * dev * (col("n") - 1).cast(D38) * lit(100).cast(D38) >
+        lit(225).cast(D38) * nD * (nD * col("q") - col("s") * col("s")))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cts"), col("n"))
+      .orderBy(col("o_orderkey"))
+  }
 }

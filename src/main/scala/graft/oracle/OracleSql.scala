@@ -307,6 +307,31 @@ object OracleSql {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // 1.5-sigma outlier screen in exact DECIMAL(38,0) arithmetic:
+    // (n*x - s)^2 * (n-1) * 100 > 225 * n * (n*q - s^2) — squared
+    // comparison, no sqrt/division/float, identical decisions in both
+    // engines at the sigma boundary
+    "agg_outlier_zscore" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cts
+        |  FROM orders
+        |), st AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    SUM(CAST(cts AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(cts AS DECIMAL(38,0)) * CAST(cts AS DECIMAL(38,0))) AS q
+        |  FROM o GROUP BY o_orderstatus
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.cts, CAST(st.n AS BIGINT) AS n
+        |FROM o JOIN st USING (o_orderstatus)
+        |WHERE st.n > 1 AND
+        |  (CAST(st.n AS DECIMAL(38,0)) * o.cts - st.s)
+        |    * (CAST(st.n AS DECIMAL(38,0)) * o.cts - st.s)
+        |    * (st.n - 1) * 100
+        |  > 225 * CAST(st.n AS DECIMAL(38,0))
+        |    * (CAST(st.n AS DECIMAL(38,0)) * st.q - st.s * st.s)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     // CAST to BIGINT: DuckDB's SUM over integers is HUGEINT, which the
     // driver's hasher reads as float64 and hash-mismatches against
     // Spark's BIGINT pivot counts (round-4 verdict). SUM(CASE) (not
