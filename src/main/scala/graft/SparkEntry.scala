@@ -130,6 +130,7 @@ object SparkEntry {
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),
     "text_repetition" -> (ops.LlmData.textRepetition _),
+    "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),

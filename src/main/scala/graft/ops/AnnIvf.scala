@@ -87,4 +87,16 @@ object AnnIvf {
       queryId: Long, k: Int): DataFrame =
     ivfTopK(df, idCol, vecCol, queryId, k,
       codebook(df, vecCol, FitSampleFraction))
+
+  /** Persist a fitted codebook — the offline index-build artifact of a
+    * production IVF deployment (fit once on a sample, save, serve every
+    * query from the loaded model; the fit never runs in the query
+    * path). MLlib-native persistence: metadata + centers land under
+    * `path` as parquet, loadable from any executor-visible FS. */
+  def saveCodebook(model: KMeansModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a persisted codebook for the online query path
+    * ([[ivfTopK]]). Round-trip identity is pinned in `AnnIvfSpec`. */
+  def loadCodebook(path: String): KMeansModel = KMeansModel.load(path)
 }

@@ -209,6 +209,30 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K33: per-document unigram Shannon entropy — the
+    * information-density quality signal (low entropy = repetitive /
+    * template text; complements the K27 repetition ratios):
+    * H = ln(n) − (Σ c·ln c)/n over token counts c. Float-sum hazard
+    * handled explicitly: each c·ln(c) term is rounded to 9 dp and
+    * summed as EXACT DECIMAL (associative — a raw DOUBLE sum would
+    * hash-flap with aggregation order), then one IEEE division +
+    * subtraction and a 6 dp final round, so both engines agree
+    * bit-for-bit. One explode + two partial-agg passes. */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(28, 9)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log(col("c")), 9).cast(DL)).as("scl"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        round(log(col("n_toks")) -
+          col("scl").cast("double") / col("n_toks"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K31: deterministic corpus sharding — the balance report a corpus
     * build runs before writing N output shards. Shard assignment is a
     * pure function of doc_id (the [[sampleHashBernoulli]] md5 draw,

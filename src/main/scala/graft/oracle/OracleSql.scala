@@ -1095,6 +1095,27 @@ object OracleSql {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
+    // unigram Shannon entropy: per-term c*ln(c) rounded to 9dp and
+    // summed as exact decimal (associative — a raw float SUM would
+    // flap with aggregation order), then one IEEE divide/subtract and
+    // a 6dp final round
+    "text_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), agg AS (
+        |  SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_distinct,
+        |    SUM(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS scl
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(ln(n_toks) - CAST(scl AS DOUBLE) / n_toks, 6) AS entropy
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
     // deterministic md5-draw sharding (same draw idiom as
     // sample_hash_bernoulli, salt 'shard', mod 16): per-shard doc count
     // and token mass — the pre-write balance report

@@ -37,6 +37,18 @@ class AnnIvfSpec extends SparkTestBase {
     assert(top.forall(_.getLong(0) != 0L))
   }
 
+  test("a saved+loaded codebook answers queries identically (offline index build)") {
+    val vs = randomVecs(60, 77)
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val fitted = AnnIvf.codebook(df, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    AnnIvf.saveCodebook(fitted, s"$dir/codebook")
+    val loaded = AnnIvf.loadCodebook(s"$dir/codebook")
+    val a = AnnIvf.ivfTopK(df, "vec_id", "embedding", 0L, 5, fitted).collect().toSeq
+    val b = AnnIvf.ivfTopK(df, "vec_id", "embedding", 0L, 5, loaded).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("sim_ivf_topk query executes on the fixture corpus") {
     val out = ops.LlmData.simIvfTopk(spark, sfDir).collect()
     assert(out.length <= 5)

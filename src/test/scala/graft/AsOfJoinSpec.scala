@@ -50,6 +50,40 @@ class AsOfJoinSpec extends SparkTestBase {
       5L -> None), got.toString)
   }
 
+  test("randomized differential: native merge equals a plain-Scala reference") {
+    import spark.implicits._
+    // tight domains force the shapes the fixture can't guarantee:
+    // heavy (user, ts) ties, single-event users, probe-first users
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0L until 300L).map { id =>
+        (id, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          rnd.nextInt(4) == 0) // ~25% probes
+      } // (id, user, t, isProbe)
+      // reference: per user, sort by (t, id); match = greatest strictly
+      // smaller (t, id) among ALL events of the user
+      val expected = {
+        val ord = Ordering.Tuple2[Long, Long]
+        val byUser = events.groupBy(_._2)
+        events.filter(_._4).map { case (id, u, t, _) =>
+          val prior = byUser(u).filter(e => ord.lt((e._3, e._1), (t, id)))
+          id -> (if (prior.isEmpty) None
+            else Some(prior.maxBy(e => (e._3, e._1))(ord)._1))
+        }.toMap
+      }
+      val left = events.filter(_._4).map(e => (e._1, e._2, e._3))
+        .toDF("id", "u", "t")
+      val right = events.map(e => (e._1, e._2, e._3))
+        .toDF("r_id", "r_u", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("u"), Seq("r_u"),
+          Seq("t", "id"), Seq("r_t", "r_id"))
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+        .toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("every left row of an empty-right partition keeps NULLs") {
     import spark.implicits._
     val left = Seq((1L, "a", 3L), (2L, "b", 4L)).toDF("id", "k", "t")
