@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_project" -> (ops.Scans.scanProject _),
     "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
+    "sink_roundtrip_orc" -> (ops.Scans.sinkRoundtripOrc _),
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
     "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),

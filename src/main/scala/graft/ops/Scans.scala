@@ -84,6 +84,21 @@ object Scans {
       .orderBy(col("r_regionkey"))
   }
 
+  /** A7: ORC sink round-trip — the second columnar format beside
+    * parquet (the reference's warehouse world is format-plural: CSV
+    * staging, columnar at rest — `images/dp02_metadata.png` shows
+    * lzo/az64 encodings). A typed slice of `orders` (bigint, string,
+    * double, date) writes as ORC and reads back; the oracle scans the
+    * ORIGINAL table, so any encode/decode drift fails the hash. */
+  def sinkRoundtripOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "orc_roundtrip_")
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_odate"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy(col("o_orderkey"))
+  }
+
   /** A5: the DSv2 census scan (reference R1/R2 — SURVEY §3.3): reads
     * the API-shaped JSON array-of-arrays fixture through
     * [[graft.sources.CensusSource]]. The `isin` geo predicate pushes

@@ -108,6 +108,14 @@ object OracleSql {
     "sink_roundtrip_csv" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
+    // the ORC writer/reader must be lossless for bigint/string/double/
+    // date — the oracle reads the ORIGINAL table
+    "sink_roundtrip_orc" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_odate
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     "sink_append_audit_log" ->
       """SELECT event_id,
         |  CAST(json_object('x-ratelimit-remaining', CAST(event_id AS VARCHAR))
