@@ -22,13 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `Window.partitionBy`, which the window-trick form C10 uses — the two
   * implementations agree row-for-row, pinned by `AsOfJoinSpec`).
   *
-  * Scale shape: both sides hash-partition on the keys and sort within
-  * partitions by (keys, order) — one shuffle each, exactly a
-  * sort-merge join's movement — then a single forward merge pass per
-  * partition with O(1) state (the current candidate row). No window
-  * over a union (the C10 trick carries every probe row through the
-  * window state), no range-join candidate blowup; the right side
-  * streams — it is never buffered per key.
+  * Scale shape — two physical forms, selected by [[AsOfJoinStrategy]]
+  * on the right side's estimated size (mirroring Spark's own
+  * JoinSelection):
+  *  - [[AsOfJoinExec]] (merge): both sides hash-partition on the keys
+  *    and sort within partitions by (keys, order) — one shuffle each,
+  *    exactly a sort-merge join's movement — then a single forward
+  *    merge pass per partition with O(1) state. No window over a
+  *    union (the C10 trick carries every probe row through window
+  *    state), no range-join candidate blowup; the right side streams,
+  *    never buffered per key.
+  *  - [[BroadcastAsOfJoinExec]]: a small right side broadcasts and
+  *    the big probe side moves NOTHING — no shuffle, no sort; hash
+  *    lookup + binary search per probe row.
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -44,13 +50,22 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] to [[AsOfJoinExec]] — injected via
-  * `graft.GraftExtensions` (production) or
-  * `spark.experimental.extraStrategies` ([[AsOf.ensureStrategy]]). */
+/** Plans [[AsOfJoin]] — injected via `graft.GraftExtensions`
+  * (production) or `spark.experimental.extraStrategies`
+  * ([[AsOf.ensureStrategy]]). Physical selection mirrors Spark's own
+  * JoinSelection: a right side whose estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold` plans as the zero-shuffle
+  * [[BroadcastAsOfJoinExec]]; otherwise the co-partitioned merge
+  * [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
     case _ => Nil
   }
 }
@@ -130,6 +145,86 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join: the whole (small) right side broadcasts and
+  * the left side is consumed AS-IS — no shuffle, no sort on either
+  * side, exactly the movement a BroadcastHashJoin saves over a
+  * sort-merge join. Each task groups the broadcast rows per key with
+  * order-sorted arrays (built per task from the shared broadcast — the
+  * build is O(|right| log |right|) on an already-small side) and
+  * answers every left row with one hash lookup + binary search for the
+  * greatest order tuple strictly below the probe's. */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val broadcastRel = right.executeBroadcast[Array[InternalRow]]()
+    val ordTypes = leftOrder.map(_.dataType)
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val rOrdProj = UnsafeProjection.create(rightOrder, right.output)
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val lOrdProj = UnsafeProjection.create(leftOrder, left.output)
+      val ordOrd = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+      // group the broadcast rows by key; each group sorted by order
+      // tuple (precomputed — a shared projection buffer can't serve
+      // two operands of one comparison)
+      val byKey = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+      for (r <- broadcastRel.value) {
+        val k = rKeyProj(r).copy()
+        var buf = byKey.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          byKey.put(k, buf)
+        }
+        buf += ((rOrdProj(r).copy(), r))
+      }
+      val entryOrd = Ordering.fromLessThan[(UnsafeRow, InternalRow)](
+        (a, b) => ordOrd.compare(a._1, b._1) < 0)
+      byKey.values().forEach(buf => { buf.sortInPlace()(entryOrd); () })
+      val nullRight = new GenericInternalRow(right.output.length)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(output, output)
+      lIter.map { l =>
+        val group = byKey.get(lKeyProj(l))
+        var matched: InternalRow = null
+        if (group != null) {
+          val lo = lOrdProj(l)
+          // greatest entry with ord strictly below lo
+          var low = 0
+          var high = group.length // exclusive; invariant: [0,low) < lo
+          while (low < high) {
+            val mid = (low + high) >>> 1
+            if (ordOrd.compare(group(mid)._1, lo) < 0) low = mid + 1
+            else high = mid
+          }
+          if (low > 0) matched = group(low - 1)._2
+        }
+        outProj(joined(l, if (matched != null) matched else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

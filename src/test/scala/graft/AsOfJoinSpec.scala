@@ -6,27 +6,59 @@ import graft.plans.AsOf
 
 /** The native as-of operator (custom LogicalPlan + Strategy +
   * SparkPlan) against the oracle-checked C10 window trick, plus the
-  * merge edge cases a fixture can't guarantee to hit. */
+  * merge edge cases a fixture can't guarantee to hit. Every
+  * equivalence case runs through BOTH physical forms — the
+  * co-partitioned merge and the broadcast lookup — by toggling the
+  * broadcast threshold. */
 class AsOfJoinSpec extends SparkTestBase {
 
-  test("native as-of equals the window-trick C10 row-for-row") {
-    val native = Joins.joinAsofNative(spark, sfDir).collect().toSeq
-    val trick = Joins.joinAsof(spark, sfDir).collect().toSeq
-    assert(native.nonEmpty)
-    assert(native == trick)
+  /** Run `body` once per physical path: broadcast (default threshold —
+    * test inputs are tiny, so the right side always qualifies) and
+    * merge (threshold -1 disables broadcast). */
+  private def bothPaths[A](body: String => A): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10MB"); body("broadcast")
+      spark.conf.set(key, "-1"); body("merge")
+    } finally spark.conf.set(key, prev)
+    ()
   }
 
-  test("the plan contains AsOfJoinExec and shuffles each side exactly once") {
-    val p = Joins.joinAsofNative(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("AsOfJoin")) // nodeName renders without the Exec suffix
-    // two inputs co-partitioned on the key + the final presentation
-    // sort — nothing else may move data
-    assert(p.linesIterator.count(_.contains("Exchange")) == 3, p)
-    assert(!p.contains("Window"), "the native path must not fall back to a window")
+  test("native as-of equals the window-trick C10 row-for-row (both paths)") {
+    bothPaths { path =>
+      val native = Joins.joinAsofNative(spark, sfDir).collect().toSeq
+      val trick = Joins.joinAsof(spark, sfDir).collect().toSeq
+      assert(native.nonEmpty, path)
+      assert(native == trick, path)
+    }
+  }
+
+  test("strategy picks broadcast for a small right side, merge above threshold") {
+    bothPaths { path =>
+      val p = Joins.joinAsofNative(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        "the native path must not fall back to a window")
+      if (path == "broadcast") {
+        // nodeName renders without the Exec suffix
+        assert(p.contains("BroadcastAsOfJoin"), p)
+        assert(p.contains("BroadcastExchange"), p)
+        // probe side moves nothing: the only hash exchange would be a
+        // regression (the presentation sort is a range exchange)
+        assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning")), p)
+      } else {
+        assert(p.contains("AsOfJoin") && !p.contains("BroadcastAsOfJoin"), p)
+        // two inputs co-partitioned on the key + the final
+        // presentation sort — nothing else may move data
+        assert(p.linesIterator.count(_.contains("Exchange")) == 3, p)
+      }
+    }
   }
 
   test("merge edges: ties, no prior, null keys, unmatched right keys") {
+    bothPaths { path =>
     import spark.implicits._
     // left: probes; right: timeline. Order tuple is (t, id) — a right
     // row with equal t but smaller id IS prior (lexicographic strict <)
@@ -47,13 +79,15 @@ class AsOfJoinSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong)).toMap
     assert(got == Map(
       1L -> Some(0L), 2L -> Some(0L), 3L -> None, 4L -> Some(9L),
-      5L -> None), got.toString)
+      5L -> None), s"$path: $got")
+    }
   }
 
-  test("randomized differential: native merge equals a plain-Scala reference") {
+  test("randomized differential: both native paths equal a plain-Scala reference") {
     import spark.implicits._
     // tight domains force the shapes the fixture can't guarantee:
     // heavy (user, ts) ties, single-event users, probe-first users
+    bothPaths { path =>
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
       val events = (0L until 300L).map { id =>
@@ -80,17 +114,20 @@ class AsOfJoinSpec extends SparkTestBase {
         .select($"id", $"r_id").collect()
         .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
         .toMap
-      assert(got == expected, s"seed $seed")
+      assert(got == expected, s"$path seed $seed")
+    }
     }
   }
 
-  test("every left row of an empty-right partition keeps NULLs") {
-    import spark.implicits._
-    val left = Seq((1L, "a", 3L), (2L, "b", 4L)).toDF("id", "k", "t")
-    val right = Seq.empty[(Long, String, Long)].toDF("r_id", "r_k", "r_t")
-    val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
-        Seq("t"), Seq("r_t"))
-      .select($"id", $"r_id").collect()
-    assert(got.length == 2 && got.forall(_.isNullAt(1)))
+  test("every left row of an empty right side keeps NULLs") {
+    bothPaths { path =>
+      import spark.implicits._
+      val left = Seq((1L, "a", 3L), (2L, "b", 4L)).toDF("id", "k", "t")
+      val right = Seq.empty[(Long, String, Long)].toDF("r_id", "r_k", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t"), Seq("r_t"))
+        .select($"id", $"r_id").collect()
+      assert(got.length == 2 && got.forall(_.isNullAt(1)), path)
+    }
   }
 }
