@@ -17,7 +17,10 @@ import graft.functions.{CharNGrams, CosineSim, RollingHash}
   *  - `cosine_sim(arr, arr)` — the native-codegen
   *    [[graft.functions.CosineSim]] similarity kernel,
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy — plans the
-  *    custom [[graft.plans.AsOfJoin]] logical operator.
+  *    custom [[graft.plans.AsOfJoin]] logical operator,
+  *  - the [[graft.plans.AsOfJoinOptimization]] optimizer rule —
+  *    predicate pushdown + column pruning through [[graft.plans.AsOfJoin]]
+  *    (opaque to Catalyst's built-in pushdown rules otherwise).
   * Verified in `graft.GraftExtensionsSpec` (the shared test session is
   * built with this extensions class, exactly like a configured cluster).
   */
@@ -26,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the whole-operator extension: plans graft.plans.AsOfJoin nodes
     // to the co-partitioned single-pass merge AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // runs inside the operator-optimization fixed-point batch, so the
+    // filters/projects it moves below AsOfJoin continue into the scans
+    // via Spark's own pushdown rules in the same batch
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),

@@ -231,13 +231,17 @@ case class BroadcastAsOfJoinExec(
 /** Public entry point for the native as-of join. */
 object AsOf {
 
-  /** Register [[AsOfJoinStrategy]] on the session if absent — the
-    * imperative path for sessions built without
-    * `spark.sql.extensions=graft.GraftExtensions`. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Register [[AsOfJoinStrategy]] + [[AsOfJoinOptimization]] on the
+    * session if absent — the imperative path for sessions built
+    * without `spark.sql.extensions=graft.GraftExtensions`. */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinOptimization))
+      spark.experimental.extraOptimizations =
+        AsOfJoinOptimization +: spark.experimental.extraOptimizations
+  }
 
   /** As-of join `left` with `right`: per left row, the greatest right
     * row with equal `keys` and (order tuple) strictly before the left
