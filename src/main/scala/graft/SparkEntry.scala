@@ -27,6 +27,8 @@ object SparkEntry {
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
     "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),
+    "sink_partitioned_prune" -> (ops.Scans.sinkPartitionedPrune _),
+    "join_bucketed_colocated" -> (ops.Scans.joinBucketedColocated _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),

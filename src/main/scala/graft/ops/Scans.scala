@@ -137,6 +137,59 @@ object Scans {
       .orderBy(col("event_id"))
   }
 
+  /** A8: hive-partitioned layout + partition pruning — the 100-TB
+    * first line of defense. Orders write out hive-partitioned by
+    * order year (`.../o_year=1997/part-*.parquet`); the read-back
+    * filters on the partition column, so Spark's partition pruning
+    * plans ONLY the matching directory — the other years' files are
+    * never opened (pinned in `PlanAuditSpec`: one selected partition,
+    * no data filter needed). The oracle computes the same aggregate
+    * from the unpartitioned original, so a row leaking in from an
+    * unpruned partition fails the hash. */
+  def sinkPartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "part_prune_")
+    t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumDbl(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A9: bucketed co-located join — the zero-shuffle fact-fact join
+    * layout. Both sides persist as bucketed tables on the join key
+    * (same bucket count), so each side's scan already satisfies the
+    * join's clustering requirement and the sort-merge join plans with
+    * NO exchange on either side (pinned in `PlanAuditSpec`). At 100 TB
+    * this converts the two biggest shuffles of a fact-fact join into
+    * a bucket-aligned local merge — the bucketing cost is paid once at
+    * load, amortized over every subsequent join. The merge hint forces
+    * SMJ so the pin is meaningful at fixture scale (Spark would
+    * otherwise broadcast the small side). */
+  def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = 8
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    spark.table("graft_bkt_lineitem").hint("merge")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        decSumDbl(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A6: MERGE upsert load ([[graft.census.Warehouse.merge]]) — the
     * third load mode beside R21's drop-and-recreate and R22's blind
     * append: a deterministic update batch (every 10th customer gains

@@ -138,6 +138,26 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // partition pruning must be value-transparent: the oracle computes
+    // the same aggregate from the UNPARTITIONED original, so a row
+    // leaking in from an unpruned partition fails the hash
+    "sink_partitioned_prune" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${dbl(s"sum(${dec("o_totalprice")})")} AS total_price
+         |FROM orders
+         |WHERE year(o_orderdate) = 1997
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // bucketing must be value-transparent: the oracle joins the
+    // original unbucketed tables
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${dbl(s"sum(${dec("l_extendedprice")})")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
     // MERGE upsert (Warehouse.merge): FULL OUTER + existence switch —
     // matched rows take the update batch, unmatched updates insert,
     // untouched target rows survive. Update keys are never NULL here,

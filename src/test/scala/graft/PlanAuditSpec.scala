@@ -30,6 +30,44 @@ class PlanAuditSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("CensusScan")).mkString("\n"))
   }
 
+  test("sink_partitioned_prune reads only the matching year partition") {
+    val df = SparkEntry.queries("sink_partitioned_prune")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the year filter is a PARTITION filter (directory-level skip),
+    // not a data filter evaluated per row
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    // the fixture spans multiple years — pruning must read exactly the
+    // one matching directory (the scan's driver-side metric)
+    df.collect()
+    // walk through the AQE wrappers: AdaptiveSparkPlanExec hides its
+    // final subplan, and materialized stages appear as QueryStageExec
+    // leaves whose real plan is nested inside
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numPartitions").value == 1,
+      s"expected exactly 1 partition read: ${scan.metrics("numPartitions").value}")
+  }
+
+  test("join_bucketed_colocated joins with no exchange on either side") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    // no shuffle may feed the join keys — bucket layout already
+    // satisfies the clustering requirement (the only exchange allowed
+    // is the group-by after the join)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("dim joins broadcast, never sort-merge") {
     val p = plan("join_broadcast_inner")
     assert(p.contains("BroadcastHashJoin"))
