@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
     "dedup_clusters" -> (ops.LlmData.dedupClusters _),
+    "dedup_keep_best" -> (ops.LlmData.dedupKeepBest _),
     "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),
     "text_repetition" -> (ops.LlmData.textRepetition _),
+    "text_pii_scrub" -> (ops.LlmData.textPiiScrub _),
     "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),

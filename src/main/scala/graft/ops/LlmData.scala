@@ -144,6 +144,42 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K35: PII scrub — the redaction pass a pre-training pipeline runs
+    * before anything else: emails and IPv4 addresses found in document
+    * text are counted and replaced with typed placeholder tokens, and
+    * the scrubbed text is pinned by its sha256. The fixture corpus
+    * carries no organic PII, so both engines deterministically inject
+    * synthetic PII first (an email for every 7th doc, an IP for every
+    * 11th — a pure function of doc_id), which makes the redaction
+    * mechanics — match counting, global replace, replace order —
+    * hash-checked rather than vacuously zero.
+    *
+    * The regexes stay inside the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repetition, \b) so Spark and DuckDB
+    * compile identical automata. One narrow projection, no shuffle
+    * before the output sort; codegen'd string kernels. */
+  def textPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val injected = t(spark, sfDir, "documents")
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".25 logged"))).otherwise(lit(""))))
+    injected.select(col("doc_id"),
+        size(regexp_extract_all(col("text2"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        sha2(regexp_replace(
+          regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"), 256).as("scrub_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K27: repetition-based quality filtering — the Gopher repetition
     * signals (Rae et al. 2021, "Scaling Language Models", §A1.1,
     * public): the fraction of tokens taken by the single most frequent
@@ -390,6 +426,33 @@ object LlmData {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** K34: quality-aware cluster representative selection — the dedup
+    * decision a production pipeline actually wants: within each
+    * near-dup cluster keep the HIGHEST-QUALITY member (longest
+    * document, tie-broken to the smallest doc_id), not the arbitrary
+    * min-id canonical of [[dedupClusters]]. One compact row per
+    * cluster: representative, member count, byte mass.
+    *
+    * Scale shape: the cluster frame holds only clustered docs (tiny
+    * vs the corpus), so the members join broadcasts; the per-cluster
+    * argmax is a single `max_by` partial-agg pass over (n_chars,
+    * -doc_id) — no window, no per-cluster task. Oracle: the identical
+    * recursive-CTE closure with a row_number() pick. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = Components.connected(
+        dedupNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("n_chars"))
+    docs.join(broadcast(clusters), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("kept_doc"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("bytes_cluster"))
+      .orderBy(col("cluster_id"))
+  }
 
   /** K22: the end-to-end dedup pipeline probe — pairs → connected
     * clusters → canonical survivors → ONE summary row: document count,

@@ -171,6 +171,21 @@ object Scans {
     * otherwise broadcast the small side). */
   def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
     val buckets = 8
+    // a fresh session's in-memory catalog forgets managed tables but
+    // their warehouse directories survive the JVM — saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS. Drop both the entry and any
+    // orphaned location before writing (idempotent re-run contract,
+    // same reasoning as freshSinkDir).
+    for (name <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(new java.io.File(loc))
+    }
     t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").format("parquet")

@@ -880,6 +880,37 @@ object OracleSql {
          |GROUP BY id
          |ORDER BY cluster_id, doc_id""".stripMargin,
 
+    // the same recursive closure, composed to the quality-aware
+    // representative pick: per cluster, the longest member wins
+    // (tie-break: smallest doc_id) — mirrored as row_number() = 1
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |), und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jacc
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jacc
+         |), verts AS (
+         |  SELECT DISTINCT src AS id FROM und
+         |), reach(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+         |), clusters AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+         |), m AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+         |)
+         |SELECT cluster_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |  count(*) AS n_members,
+         |  CAST(sum(n_chars) AS BIGINT) AS bytes_cluster
+         |FROM m GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
+
     // the same recursive closure, composed to the one-row dedup
     // decision summary: canonical survivors keep their bytes, the rest
     // are removed; unclustered documents are trivially canonical
@@ -1077,6 +1108,34 @@ object OracleSql {
     // Gopher repetition filters (Rae et al. 2021, public): top-token
     // fraction + duplicate-bigram fraction per doc; <2-token docs have
     // no bigrams -> NULL ratio in both engines
+    // PII scrub: both engines inject the same synthetic PII (a pure
+    // function of doc_id), then count matches and redact with 'g'
+    // (DuckDB replaces first-only by default; Spark replaces all).
+    // Regexes stay in the Java-regex ∩ RE2 common subset.
+    "text_pii_scrub" ->
+      """WITH t2 AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 logged'
+        |      ELSE '' END AS text2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  sha256(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_sha
+        |FROM t2
+        |ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       s"""WITH tk AS (
          |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
