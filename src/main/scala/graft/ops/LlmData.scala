@@ -315,7 +315,11 @@ object LlmData {
       .withColumn("jaccard", dbl(dec(col("n_int")) / col("n_union")))
       .filter(col("jaccard") >= 0.5d)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // NOT sorted: the registered pair queries add their presentation
+    // ORDER BY themselves; compositions (components, keep-best,
+    // end-to-end) consume the pair set unordered — sorting here would
+    // charge every downstream query a global range exchange for an
+    // ordering it immediately destroys
   }
 
   /** Near-dup detection: token-trigram shingles, candidates bucketed by
@@ -324,6 +328,12 @@ object LlmData {
     * function is expressible in portable SQL; the scale path with a
     * skew-free candidate generator is [[MinHash]] / [[dedupMinhash]]. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairsUnsorted(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The K6 pair relation WITHOUT the presentation sort — what the
+    * compositions ([[dedupClusters]], [[dedupKeepBest]],
+    * [[dedupEndToEnd]]) consume. */
+  private def ngramPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardPairs(MinHash.shingleRows(
       t(spark, sfDir, "documents"), "doc_id", "text"))
 
@@ -363,7 +373,8 @@ object LlmData {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
     jaccardVerified(MinHash.candidatePairs(rows, "doc_id"),
-      MinHash.shingleSets(rows, "doc_id").drop("bucket"))
+        MinHash.shingleSets(rows, "doc_id").drop("bucket"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit fingerprints) over
@@ -421,7 +432,7 @@ object LlmData {
     * DuckDB recursive CTE over the identical pair query. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     Components.connected(
-        dedupNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        ngramPairsUnsorted(spark, sfDir).select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_canonical"))
@@ -441,7 +452,7 @@ object LlmData {
     * recursive-CTE closure with a row_number() pick. */
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = Components.connected(
-        dedupNgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        ngramPairsUnsorted(spark, sfDir).select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("n_chars"))
