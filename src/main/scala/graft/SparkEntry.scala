@@ -29,6 +29,7 @@ object SparkEntry {
     "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),
     "sink_partitioned_prune" -> (ops.Scans.sinkPartitionedPrune _),
     "join_bucketed_colocated" -> (ops.Scans.joinBucketedColocated _),
+    "scan_schema_evolution" -> (ops.Scans.scanSchemaEvolution _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),
@@ -47,6 +48,7 @@ object SparkEntry {
     "join_range_interval" -> (ops.Joins.joinRangeInterval _),
     "join_asof" -> (ops.Joins.joinAsof _),
     "join_asof_native" -> (ops.Joins.joinAsofNative _),
+    "join_skew_salted" -> (ops.Joins.joinSkewSalted _),
     // D — aggregations
     "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _),
     "agg_distinct" -> (ops.Aggregates.aggDistinct _),

@@ -137,6 +137,34 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** C12: salted skew join — the shuffle-join counterpart of
+    * D10 `agg_skew_salted`. A deterministic synthetic skew collapses a
+    * third of lineitem onto one nation key (the "one hot key owns one
+    * reducer" shape that stalls a plain shuffle join at 100 TB); the
+    * fact side salts each row into one of 8 sub-keys (pure function of
+    * the row, retry-stable), the dimension side replicates once per
+    * salt, and the join runs on (key, salt) — the hot key's rows
+    * spread across 8 tasks instead of 1. The merge hint forces the
+    * shuffle path so the salted movement is what actually executes
+    * (nation would otherwise broadcast at fixture scale, where salting
+    * is moot). The salt never reaches the output; the oracle is the
+    * plain unsalted join. */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val salts = 8
+    val facts = t(spark, sfDir, "lineitem")
+      .select(col("l_quantity"),
+        when(col("l_orderkey") % 3 === 0, 0L)
+          .otherwise(col("l_orderkey") % 25).as("n_key"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
+    val dim = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_key"), col("n_name"))
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    facts.join(dim.hint("merge"), Seq("n_key", "salt"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), decSumDbl(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("n_name"))
+  }
+
   /** C10: as-of join — for each purchase, the latest prior event of the
     * same user. Single window pass (lag over user_id), no join: the
     * 100 TB-safe as-of shape (one shuffle, no candidate blowup). */

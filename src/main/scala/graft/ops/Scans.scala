@@ -137,6 +137,28 @@ object Scans {
       .orderBy(col("event_id"))
   }
 
+  /** A10: schema evolution across file batches — the file-level
+    * analogue of the census pipeline's union-by-name (R5/R10): batch 1
+    * writes (c_custkey, c_name), batch 2 adds c_acctbal with re-keyed
+    * ids; `mergeSchema` reads both generations as one relation with
+    * the missing column NULL-filled. At 100 TB this is the everyday
+    * reality of a long-lived table root: old files never rewrite when
+    * the schema grows. The oracle rebuilds the same union with an
+    * explicit CAST(NULL AS DOUBLE) leg. */
+  def scanSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "schema_evo_")
+    val customer = t(spark, sfDir, "customer")
+    customer.select(col("c_custkey"), col("c_name"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    customer.select((col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen1", s"$out/gen2")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** A8: hive-partitioned layout + partition pruning — the 100-TB
     * first line of defense. Orders write out hive-partitioned by
     * order year (`.../o_year=1997/part-*.parquet`); the read-back

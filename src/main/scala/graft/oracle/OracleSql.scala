@@ -138,6 +138,15 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // schema evolution must be value-transparent: the merged read of
+    // two file generations equals an explicit NULL-filled union
+    "scan_schema_evolution" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
     // partition pruning must be value-transparent: the oracle computes
     // the same aggregate from the UNPARTITIONED original, so a row
     // leaking in from an unpruned partition fails the hash
@@ -304,6 +313,21 @@ object OracleSql {
         |SELECT event_id, user_id, prev_event_id, prev_event_type, gap_us
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    // salting must be value-transparent: the oracle is the PLAIN
+    // unsalted join over the same synthetic-skew key
+    "join_skew_salted" ->
+      s"""WITH facts AS (
+         |  SELECT l_quantity,
+         |    CASE WHEN l_orderkey % 3 = 0 THEN 0
+         |         ELSE l_orderkey % 25 END AS n_key
+         |  FROM lineitem
+         |)
+         |SELECT n_name, count(*) AS n_items,
+         |  ${dbl(s"sum(${dec("l_quantity")})")} AS sum_qty
+         |FROM facts JOIN nation ON n_key = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
 
     // ---------------- D: aggregations ----------------
     "agg_hash_q1" ->

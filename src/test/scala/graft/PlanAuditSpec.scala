@@ -68,6 +68,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("join_skew_salted shuffles on (key, salt), never broadcasts") {
+    val p = plan("join_skew_salted")
+    // the whole point is spreading the hot key across salt sub-keys —
+    // a broadcast would make the salt dead weight, and a join keyed
+    // only on n_key would re-concentrate the hot key on one task
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).get
+    assert(joinLine.contains("n_key") && joinLine.contains("salt"), joinLine)
+  }
+
   test("dim joins broadcast, never sort-merge") {
     val p = plan("join_broadcast_inner")
     assert(p.contains("BroadcastHashJoin"))
