@@ -187,6 +187,51 @@ object StreamingOps {
       .toDF("user_id", "session_start", "n_events", "duration_us")
   }
 
+  /** J11: streaming as-of enrichment — the streaming rung of the as-of
+    * family (C10 window trick, C11 native Catalyst operator, THIS):
+    * each `purchase` event is enriched with the latest PRIOR event of
+    * the same user, maintained as one small (event_id, event_type,
+    * ts_us) tuple per user key via `flatMapGroupsWithState`. Within a
+    * micro-batch the group's rows are processed in (ts, event_id)
+    * order — exactly C10's lag order — and the state carries the
+    * running latest across batches, so results equal the batch as-of
+    * whenever per-user delivery is in order across batches (the
+    * standard stateful-enrichment contract: an out-of-order straggler
+    * is enriched with the then-current state, never buffered
+    * indefinitely and never a crash). State is O(1) per active user,
+    * partitioned by the grouping key — the same movement as one
+    * shuffled join side, amortized over the stream's lifetime. */
+  def streamingAsOfEnrich(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long),
+          (Long, Long, Option[Long], Option[String], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[(Long, String, Long)]) =>
+          var cur = state.getOption
+          val out = rows.toSeq
+            .sortBy(r => (r._2.getTime, r._3))
+            .flatMap { case (_, ts, id, tpe) =>
+              val tsUs = ts.getTime * 1000L
+              val enriched =
+                if (tpe == "purchase")
+                  Some((id, user, cur.map(_._1), cur.map(_._2),
+                    cur.map(tsUs - _._3)))
+                else None
+              cur = Some((id, tpe, tsUs))
+              enriched
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "prev_event_id", "prev_event_type", "gap_us")
+  }
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

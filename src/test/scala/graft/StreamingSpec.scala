@@ -235,6 +235,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J11: streaming as-of enrichment equals the batch window trick across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingAsOfEnrich(in.toDF())
+      .writeStream.format("memory").queryName("j11")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    // per-user in-order delivery, split MID-USER across two batches so
+    // the state must carry the latest prior event between batches; ties
+    // on ts within a batch exercise the (ts, event_id) order
+    val batch1 = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase"), // prev = 1
+      Ev(3, ts("2024-01-01 10:05:00"), 2, "purchase"), // no prior
+      Ev(4, ts("2024-01-01 10:06:00"), 2, "click"))
+    val batch2 = Seq(
+      Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase"), // prev = 2 (cross-batch)
+      Ev(6, ts("2024-01-01 10:31:00"), 2, "purchase"), // prev = 4 (cross-batch)
+      Ev(7, ts("2024-01-01 10:31:00"), 2, "purchase")) // prev = 6 (same ts as 6? no — later id, same batch)
+    withQuery(q) {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("j11").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString.toLong),
+          Option(r.get(3)).map(_.toString), Option(r.get(4)).map(_.toString.toLong)))
+        .sortBy(_._1).toSeq
+      // the batch truth: C10's lag over the full union
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = (batch1 ++ batch2).toDF()
+        .withColumn("prev_event_id", lag($"event_id", 1).over(w))
+        .withColumn("prev_event_type", lag($"event_type", 1).over(w))
+        .withColumn("gap_us",
+          unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"prev_event_id", $"prev_event_type", $"gap_us")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+          Option(r.get(2)).map(_.toString), Option(r.get(3)).map(_.toString.toLong)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
+    }
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
