@@ -445,8 +445,12 @@ object LlmData {
     * min-id canonical of [[dedupClusters]]. One compact row per
     * cluster: representative, member count, byte mass.
     *
-    * Scale shape: the cluster frame holds only clustered docs (tiny
-    * vs the corpus), so the members join broadcasts; the per-cluster
+    * Scale shape: the cluster frame holds only clustered docs, so the
+    * members join broadcasts when the corpus dup-rate is low — but the
+    * choice is LEFT TO AQE (no broadcast hint): a heavily-duplicated
+    * web corpus clusters a third of its documents, and a forced
+    * broadcast of that frame is an OOM, while the fallback shuffle on
+    * doc_id is exactly one sort-merge join side. The per-cluster
     * argmax is a single `max_by` partial-agg pass over (n_chars,
     * -doc_id) — no window, no per-cluster task. Oracle: the identical
     * recursive-CTE closure with a row_number() pick. */
@@ -456,7 +460,7 @@ object LlmData {
         "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("n_chars"))
-    docs.join(broadcast(clusters), Seq("doc_id"))
+    docs.join(clusters, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(
         max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("kept_doc"),
