@@ -30,6 +30,7 @@ object SparkEntry {
     "sink_partitioned_prune" -> (ops.Scans.sinkPartitionedPrune _),
     "join_bucketed_colocated" -> (ops.Scans.joinBucketedColocated _),
     "scan_schema_evolution" -> (ops.Scans.scanSchemaEvolution _),
+    "scan_corrupt_tolerant" -> (ops.Scans.scanCorruptTolerant _),
     // B — filters / projections
     "filter_compound" -> (ops.Filters.filterCompound _),
     "filter_null_like" -> (ops.Filters.filterNullLike _),

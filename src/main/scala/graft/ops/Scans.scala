@@ -137,6 +137,40 @@ object Scans {
       .orderBy(col("event_id"))
   }
 
+  /** A11: corrupt-tolerant ingest — the PERMISSIVE-mode contract for
+    * messy feeds (the reference's world is hand-maintained CSV/JSON
+    * exports): region rows serialize to JSON, three deterministically
+    * malformed lines are appended, and the read-back maps bad lines to
+    * `_corrupt_record` instead of failing the job (one poison line
+    * must not kill a 100-TB load). Output: good/corrupt line counts
+    * plus an exact value checksum of the good rows — the oracle
+    * derives all three from the original table (+ the constant 3). */
+  def scanCorruptTolerant(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "corrupt_json_")
+    t(spark, sfDir, "region").write.mode("overwrite").json(out)
+    // three malformed lines: truncated object, bare text, wrong bracket
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-corrupt.json"),
+      java.util.Arrays.asList(
+        """{"r_regionkey": 99, "r_name": "TRUNCATED""",
+        """not json at all""",
+        """["also", "not", "an", "object"]"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+    read.agg(
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("r_regionkey"))
+        .otherwise(0L)).cast("long").as("key_checksum"))
+  }
+
   /** A10: schema evolution across file batches — the file-level
     * analogue of the census pipeline's union-by-name (R5/R10): batch 1
     * writes (c_custkey, c_name), batch 2 adds c_acctbal with re-keyed

@@ -138,6 +138,14 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // PERMISSIVE ingest: the 3 malformed lines are a fixed constant of
+    // the query; the good-row stats come from the original table
+    "scan_corrupt_tolerant" ->
+      """SELECT count(*) AS n_good,
+        |  CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(r_regionkey) AS BIGINT) AS key_checksum
+        |FROM region""".stripMargin,
+
     // schema evolution must be value-transparent: the merged read of
     // two file generations equals an explicit NULL-filled union
     "scan_schema_evolution" ->
