@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
     "dedup_clusters" -> (ops.LlmData.dedupClusters _),
     "dedup_keep_best" -> (ops.LlmData.dedupKeepBest _),
+    "dedup_source_overlap" -> (ops.LlmData.dedupSourceOverlap _),
     "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),

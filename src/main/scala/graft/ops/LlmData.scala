@@ -469,6 +469,33 @@ object LlmData {
       .orderBy(col("cluster_id"))
   }
 
+  /** K36: cross-source duplication matrix — near-dup pair counts per
+    * UNORDERED source pair, the attribution report a data team runs
+    * right after "how many dups": which feeds duplicate each other
+    * (mirror sites, re-crawls, syndication) and which only self-dup.
+    *
+    * Scale shape: the pair set melts to its two member ids and joins
+    * the (doc_id, source) projection ONCE (same movement as
+    * [[jaccardVerified]] — never two full joins of the corpus against
+    * the pair set), regroups per pair, normalizes the source pair with
+    * least/greatest, and partial-aggs. Oracle: the shared K6 pair CTE
+    * joined back to documents twice (DuckDB side is fixture-sized). */
+  def dedupSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramPairsUnsorted(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val src = t(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("source")).as("s_min"), max(col("source")).as("s_max"))
+      .select(col("s_min").as("src_a"), col("s_max").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** K22: the end-to-end dedup pipeline probe — pairs → connected
     * clusters → canonical survivors → ONE summary row: document count,
     * survivor count, removed count, and the byte totals kept/removed

@@ -912,6 +912,21 @@ object OracleSql {
          |GROUP BY id
          |ORDER BY cluster_id, doc_id""".stripMargin,
 
+    // cross-source duplication matrix: the shared K6 pair relation
+    // joined back to documents, source pair normalized unordered
+    "dedup_source_overlap" ->
+      s"""WITH jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM jacc j
+         |JOIN documents da ON j.doc_a = da.doc_id
+         |JOIN documents db ON j.doc_b = db.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin,
+
     // the same recursive closure, composed to the quality-aware
     // representative pick: per cluster, the longest member wins
     // (tie-break: smallest doc_id) — mirrored as row_number() = 1
