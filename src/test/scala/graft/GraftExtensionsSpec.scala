@@ -26,4 +26,14 @@ class GraftExtensionsSpec extends SparkTestBase {
     val n = spark.sql("SELECT char_ngrams('xyz')").count()
     assert(n == 1)
   }
+
+  test("the AsOfJoinOptimization rule arrives via the extensions path") {
+    // AsOf.joinAsOf also installs the rule imperatively
+    // (ensureStrategy), so assert the CONFIG path independently: a
+    // cluster session configured with graft.GraftExtensions must carry
+    // the rule in its optimizer batches before any graft call runs
+    val rules = spark.sessionState.optimizer.batches.flatMap(_.rules)
+    assert(rules.contains(graft.plans.AsOfJoinOptimization),
+      "optimizer batches must include the injected AsOfJoinOptimization")
+  }
 }
