@@ -399,13 +399,25 @@ object LlmData {
 
   /** IVF approximate nearest neighbors of vec_id=0 — the trained
     * coarse-quantizer scale path ([[AnnIvf]]: k-means codebook fit on a
-    * seeded sample, probe 2 of 16 cells, exact-cosine re-rank) beside
-    * the LSH variant. The query path only assigns + probes; the fit is
-    * an offline, sampled step at scale. Registered rows-only (k-means
-    * cell ids aren't portable SQL); planted-neighbor recall in
-    * `AnnIvfSpec`. */
-  def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
-    AnnIvf.ivfTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0L, 5)
+    * seeded sample, assignment table materialized ONCE partitioned by
+    * cell, probe 2 of 16 cells via partition pruning, exact-cosine
+    * re-rank) beside the LSH variant. The first execution per fixture
+    * builds the index ([[AnnIvf.ensureIndex]] — the offline step of a
+    * production deployment); every subsequent query reads only the
+    * probed partition directories, never re-assigning the corpus.
+    * Registered rows-only (k-means cell ids aren't portable SQL);
+    * planted-neighbor recall + materialized≡transform equivalence in
+    * `AnnIvfSpec`; partition pruning pinned in `PlanAuditSpec`. */
+  def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val cacheDir = AnnIvf.indexCacheDir(s"$sfDir/embeddings")
+    val model = AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", cacheDir)
+    // single-row bounded lookup of the query vector (documented pattern)
+    val qVec = df.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    AnnIvf.probeIndex(spark, AnnIvf.assignedPath(cacheDir),
+      "vec_id", "embedding", qVec, 5, model, excludeId = Some(0L))
+  }
 
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10

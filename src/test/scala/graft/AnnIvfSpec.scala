@@ -54,4 +54,37 @@ class AnnIvfSpec extends SparkTestBase {
     assert(out.length <= 5)
     assert(out.forall(_.getLong(0) != 0L))
   }
+
+  test("materialized index probe equals the transform-per-call path row for row") {
+    val vs = randomVecs(120, 91)
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val model = AnnIvf.codebook(df, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    AnnIvf.buildIndex(df, "vec_id", "embedding", model, s"$dir/assigned")
+    val qVec = vs.head
+    val direct = AnnIvf.ivfTopK(df, "vec_id", "embedding", 0L, 7, model)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = AnnIvf.probeIndex(spark, s"$dir/assigned", "vec_id",
+        "embedding", qVec, 7, model, excludeId = Some(0L))
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed == direct && indexed.nonEmpty)
+  }
+
+  test("ensureIndex builds once, is served from the marker thereafter, and pins recall") {
+    val vs = randomVecs(90, 101)
+    val q = vs.head
+    val copy = q.map(_ * 1.0003f)
+    val df = vecsDf(Seq(0L -> q.toSeq, 1L -> copy.toSeq) ++
+      vs.tail.zipWithIndex.map { case (v, i) => (10L + i) -> v })
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ens_").toString + "/cache"
+    val m1 = AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", dir, 1.0)
+    // second call must load, not refit: marker file exists and the
+    // loaded model answers identically through the materialized table
+    val m2 = AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", dir, 1.0)
+    assert(new java.io.File(dir, "_GRAFT_INDEX_READY").exists())
+    val top = AnnIvf.probeIndex(spark, AnnIvf.assignedPath(dir),
+      "vec_id", "embedding", q, 5, m2, excludeId = Some(0L)).collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(m1.clusterCenters.toSeq == m2.clusterCenters.toSeq)
+  }
 }

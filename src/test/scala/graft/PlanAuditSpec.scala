@@ -68,6 +68,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("sim_ivf_topk probe prunes to the probed cell partitions at the scan") {
+    val df = SparkEntry.queries("sim_ivf_topk")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // `cell IN (...)` must be a PARTITION filter on the materialized
+    // index — a per-row Filter over a full scan is the round-8 `weak`
+    // shape this test exists to keep dead
+    assert(p.contains("PartitionFilters: [cell"), p)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numPartitions").value <= graft.ops.AnnIvf.Probes,
+      s"probe must read <= ${graft.ops.AnnIvf.Probes} of ${graft.ops.AnnIvf.K} " +
+        s"cell directories, read ${scan.metrics("numPartitions").value}")
+  }
+
   test("join_skew_salted shuffles on (key, salt), never broadcasts") {
     val p = plan("join_skew_salted")
     // the whole point is spreading the hot key across salt sub-keys —
