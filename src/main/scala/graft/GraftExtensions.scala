@@ -20,7 +20,10 @@ import graft.functions.{CharNGrams, CosineSim, RollingHash}
   *    custom [[graft.plans.AsOfJoin]] logical operator,
   *  - the [[graft.plans.AsOfJoinOptimization]] optimizer rule —
   *    predicate pushdown + column pruning through [[graft.plans.AsOfJoin]]
-  *    (opaque to Catalyst's built-in pushdown rules otherwise).
+  *    (opaque to Catalyst's built-in pushdown rules otherwise),
+  *  - the [[graft.plans.SentinelCleanOptimization]] optimizer rule —
+  *    rewrites filters over census sentinel-cleaned columns into plain
+  *    raw-column predicates the stock pushdown carries into scans.
   * Verified in `graft.GraftExtensionsSpec` (the shared test session is
   * built with this extensions class, exactly like a configured cluster).
   */
@@ -33,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filters/projects it moves below AsOfJoin continue into the scans
     // via Spark's own pushdown rules in the same batch
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
+    // census §1.2 sentinel cleaning: filters over cleaned columns
+    // become pushable raw-column predicates in the same fixed point
+    ext.injectOptimizerRule(_ => graft.plans.SentinelCleanOptimization)
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),

@@ -81,6 +81,7 @@ object SparkEntry {
     "census_states" -> (ops.SortsCensus.censusStates _),
     "census_union_byname" -> (ops.SortsCensus.censusUnionByname _),
     "census_clean_cast" -> (ops.SortsCensus.censusCleanCast _),
+    "census_sentinel_filter" -> (ops.SortsCensus.censusSentinelFilter _),
     "layout_zorder" -> (ops.Layout.layoutZorder _),
     // G — set ops
     "set_union_distinct" -> (ops.SetOps.setUnionDistinct _),

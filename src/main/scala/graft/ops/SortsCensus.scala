@@ -73,4 +73,22 @@ object SortsCensus {
       .select(col("p_partkey"), col("raw_size"),
         Normalize.cleanCast(col("raw_size")).cast("long").as("clean_size"))
       .orderBy(col("p_partkey"))
+
+  /** F8: filtering over a sentinel-cleaned column (§1.2 suppressed-value
+    * semantics) — the exact query shape the
+    * [[graft.plans.SentinelCleanOptimization]] optimizer rule rewrites
+    * into plain raw-column predicates. Sentinels are planted on the
+    * p_size % 11 rows; the cleaned filter must reject them (NULL is
+    * never > 25), and on a session configured with
+    * `graft.GraftExtensions` the rewritten predicate reaches the scan
+    * (pinned in `GraftExtensionsSpec`). */
+  def censusSentinelFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        when(col("p_size") % 11 === 0, lit(-666666666L))
+          .otherwise(col("p_size").cast("long")).as("raw_size"))
+      .select(col("p_partkey"),
+        Normalize.sentinelToNull(col("raw_size")).cast("long").as("clean_size"))
+      .filter(col("clean_size").isNotNull && col("clean_size") > 25)
+      .orderBy(col("p_partkey"))
 }

@@ -591,6 +591,14 @@ object OracleSql {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
 
+    // sentinel rows (p_size % 11 = 0) clean to NULL and can never pass
+    // the > 25 filter — the oracle states that directly on the raw col
+    "census_sentinel_filter" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS clean_size
+        |FROM part
+        |WHERE p_size % 11 <> 0 AND p_size > 25
+        |ORDER BY p_partkey""".stripMargin,
+
     // ---------------- G: set ops ----------------
     "set_union_distinct" ->
       """SELECT nationkey FROM (
