@@ -234,13 +234,14 @@ object Scans {
     // same reasoning as freshSinkDir).
     for (name <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$name"
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(new java.io.File(loc))
+      // resolve through the session's Hadoop FileSystem, not
+      // java.io.File — the warehouse may live on HDFS/S3, where a
+      // local-file delete silently no-ops and the idempotent re-run
+      // contract breaks with LOCATION_ALREADY_EXISTS (r8 verdict #2)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
     t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
