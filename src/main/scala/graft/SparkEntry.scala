@@ -49,6 +49,8 @@ object SparkEntry {
     "join_range_interval" -> (ops.Joins.joinRangeInterval _),
     "join_asof" -> (ops.Joins.joinAsof _),
     "join_asof_native" -> (ops.Joins.joinAsofNative _),
+    "join_asof_tolerance" -> (ops.Joins.joinAsofTolerance _),
+    "join_asof_forward" -> (ops.Joins.joinAsofForward _),
     "join_skew_salted" -> (ops.Joins.joinSkewSalted _),
     // D — aggregations
     "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _),

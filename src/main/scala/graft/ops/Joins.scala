@@ -137,6 +137,57 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** C13: the native as-of join with a TOLERANCE bound (pandas
+    * `merge_asof(tolerance=...)`): same latest-prior-event semantics as
+    * [[joinAsofNative]], but a nearest event farther than 6 hours
+    * yields NULLs — never a farther fallback (the "stale quote is no
+    * quote" contract of financial as-of joins). The bound is checked
+    * on the matched candidate inside the single merge pass — no extra
+    * shuffle, no post-filter pass. Oracle: the C10 window CTE with the
+    * gap predicate masking the match columns. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 6L * 3600 * 1000000 // 6 h in the ts column's micros
+    val lhs = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rhs = t(spark, sfDir, "events")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+    graft.plans.AsOf.joinAsOf(lhs, rhs,
+        Seq("user_id"), Seq("r_user_id"),
+        Seq("ts", "event_id"), Seq("r_ts", "r_event_id"),
+        tolerance = Some(tolUs))
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("prev_event_id"),
+        col("r_event_type").as("prev_event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C14: the native as-of join in the FORWARD direction (pandas
+    * `merge_asof(direction='forward')`): per purchase, the EARLIEST
+    * event strictly after it — the "next touch" attribution query.
+    * Same single merge pass; forward needs no candidate state at all
+    * (the first not-yet-consumed right row past the probe is the
+    * answer). Oracle: the C10 CTE with lead() in place of lag(). */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val lhs = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rhs = t(spark, sfDir, "events")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+    graft.plans.AsOf.joinAsOf(lhs, rhs,
+        Seq("user_id"), Seq("r_user_id"),
+        Seq("ts", "event_id"), Seq("r_ts", "r_event_id"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("next_event_id"),
+        col("r_event_type").as("next_event_type"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** C12: salted skew join — the shuffle-join counterpart of
     * D10 `agg_skew_salted`. A deterministic synthetic skew collapses a
     * third of lineitem onto one nation key (the "one hot key owns one

@@ -322,6 +322,38 @@ object OracleSql {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    // tolerance masks the match columns when the nearest prior event
+    // is farther than 6 h (21_600_000_000 us) — NULLs, never a farther
+    // fallback
+    "join_asof_tolerance" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER win AS prev_event_id,
+        |    lag(event_type) OVER win AS prev_event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap_us <= 21600000000 THEN prev_event_id END AS prev_event_id,
+        |  CASE WHEN gap_us <= 21600000000 THEN prev_event_type END AS prev_event_type,
+        |  CASE WHEN gap_us <= 21600000000 THEN gap_us END AS gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lead(event_id) OVER win AS next_event_id,
+        |    lead(event_type) OVER win AS next_event_type,
+        |    lead(epoch_us(ts)) OVER win - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id, next_event_id, next_event_type, gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     // salting must be value-transparent: the oracle is the PLAIN
     // unsalted join over the same synthetic-skew key
     "join_skew_salted" ->

@@ -36,13 +36,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the big probe side moves NOTHING — no shuffle, no sort; hash
   *    lookup + binary search per probe row.
   */
+/** Match direction — the pandas `merge_asof` surface: [[AsOfBackward]]
+  * takes the greatest right row strictly BEFORE the left row (the
+  * default, "latest prior"); [[AsOfForward]] the smallest right row
+  * strictly AFTER it ("earliest next"). Both strict, symmetrically. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length &&
     leftOrder.length == rightOrder.length && leftOrder.nonEmpty)
+  require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+  // tolerance bounds the gap on the FIRST order column (the pandas
+  // `on` key; trailing order columns only tie-break), so it needs a
+  // numeric/temporal primary order — validated here, at plan build
+  if (tolerance.isDefined) {
+    AsOf.firstOrdGetter(leftOrder.head.dataType)
+    AsOf.firstOrdGetter(rightOrder.head.dataType)
+    ()
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,13 +78,13 @@ case class AsOfJoin(
   * [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro) =>
+    case AsOfJoin(l, r, lk, rk, lo, ro, dir, tol) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, dir, tol) :: Nil
       else
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -76,7 +95,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -96,6 +117,11 @@ case class AsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val ordTypes = leftOrder.map(_.dataType)
+    val fwd = direction == AsOfForward
+    val hasTol = tolerance.isDefined
+    val tolV = tolerance.getOrElse(0L)
+    val lOrdGet = if (hasTol) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
+    val rOrdGet = if (hasTol) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -112,15 +138,62 @@ case class AsOfJoinExec(
       // non-nullable right attrs would skip the null check and read
       // garbage zeros from the null-padding row on unmatched left rows
       val outProj = UnsafeProjection.create(output, output)
+      def advanceRightOf(it: Iterator[InternalRow]): InternalRow =
+        if (it.hasNext) it.next() else null
 
-      new Iterator[InternalRow] {
-        private var rCur: InternalRow = advanceRight()
+      if (fwd) new Iterator[InternalRow] {
+        // forward needs NO candidate state: with both sides sorted
+        // ascending, skipping every right row at-or-before the left
+        // row leaves rCur as the earliest strictly-after row — the
+        // match iff its key equals the left's. Nothing is consumed
+        // that a later (larger) left row could still need.
+        private var rCur: InternalRow = advanceRightOf(rIter)
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lo = lOrdProj(l)
+          var skipping = true
+          while (skipping && rCur != null) {
+            val kc = keyOrd.compare(rKeyProj(rCur), lk)
+            if (kc < 0 || (kc == 0 && ordOrd.compare(rOrdProj(rCur), lo) <= 0))
+              rCur = advanceRightOf(rIter)
+            else skipping = false
+          }
+          val matched = rCur != null &&
+            keyOrd.compare(rKeyProj(rCur), lk) == 0 &&
+            (!hasTol || rOrdGet(rOrdProj(rCur)) - lOrdGet(lo) <= tolV)
+          outProj(joined(l, if (matched) rCur else nullRight))
+        }
+      } else new Iterator[InternalRow] {
+        private var rCur: InternalRow = advanceRightOf(rIter)
         // the greatest right row seen with key == candKey and order
-        // below the current left row — O(1) merge state
+        // below the current left row — O(1) merge state. Both live in
+        // REUSED byte[]-backed buffers: one fresh copy per qualifying
+        // right row was O(|right|) allocation in the hot merge loop,
+        // and the key only changes per key GROUP (r8 advice #3)
         private var cand: InternalRow = _
         private var candKey: UnsafeRow = _
-        private def advanceRight(): InternalRow =
-          if (rIter.hasNext) rIter.next() else null
+        private var rowBuf: UnsafeRow = _
+        private var keyBuf: UnsafeRow = _
+        private def saveCand(r: InternalRow): Unit = r match {
+          case u: UnsafeRow =>
+            if (rowBuf == null) {
+              rowBuf = new UnsafeRow(right.output.length)
+              rowBuf.pointTo(new Array[Byte](u.getSizeInBytes), u.getSizeInBytes)
+            }
+            rowBuf.copyFrom(u)
+            cand = rowBuf
+          case other => cand = other.copy() // non-unsafe rows: plain copy
+        }
+        private def saveKey(k: UnsafeRow): Unit = {
+          if (keyBuf == null) {
+            keyBuf = new UnsafeRow(leftKeys.length)
+            keyBuf.pointTo(new Array[Byte](k.getSizeInBytes), k.getSizeInBytes)
+          }
+          keyBuf.copyFrom(k)
+          candKey = keyBuf
+        }
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -129,14 +202,17 @@ case class AsOfJoinExec(
           var advancing = true
           while (advancing && rCur != null) {
             val kc = keyOrd.compare(rKeyProj(rCur), lk)
-            if (kc < 0) rCur = advanceRight() // behind every future left key too
+            if (kc < 0) rCur = advanceRightOf(rIter) // behind every future left key too
             else if (kc == 0 && ordOrd.compare(rOrdProj(rCur), lo) < 0) {
               // qualifies; later qualifying rows overwrite it (sorted
               // ascending, so the last one consumed is the greatest)
-              cand = rCur.copy(); candKey = lk.copy(); rCur = advanceRight()
+              saveCand(rCur)
+              if (candKey == null || keyOrd.compare(candKey, lk) != 0) saveKey(lk)
+              rCur = advanceRightOf(rIter)
             } else advancing = false // right is at/after the left row
           }
-          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
+            (!hasTol || lOrdGet(lo) - rOrdGet(rOrdProj(cand)) <= tolV)
           outProj(joined(l, if (matched) cand else nullRight))
         }
       }
@@ -159,7 +235,9 @@ case class AsOfJoinExec(
 case class BroadcastAsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -177,6 +255,11 @@ case class BroadcastAsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val broadcastRel = right.executeBroadcast[Array[InternalRow]]()
     val ordTypes = leftOrder.map(_.dataType)
+    val fwd = direction == AsOfForward
+    val hasTol = tolerance.isDefined
+    val tolV = tolerance.getOrElse(0L)
+    val lOrdGet = if (hasTol) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
+    val rOrdGet = if (hasTol) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val rOrdProj = UnsafeProjection.create(rightOrder, right.output)
@@ -208,15 +291,31 @@ case class BroadcastAsOfJoinExec(
         var matched: InternalRow = null
         if (group != null) {
           val lo = lOrdProj(l)
-          // greatest entry with ord strictly below lo
-          var low = 0
-          var high = group.length // exclusive; invariant: [0,low) < lo
-          while (low < high) {
-            val mid = (low + high) >>> 1
-            if (ordOrd.compare(group(mid)._1, lo) < 0) low = mid + 1
-            else high = mid
+          if (fwd) {
+            // smallest entry with ord strictly above lo
+            var low = 0
+            var high = group.length // exclusive; invariant: [0,low) <= lo
+            while (low < high) {
+              val mid = (low + high) >>> 1
+              if (ordOrd.compare(group(mid)._1, lo) <= 0) low = mid + 1
+              else high = mid
+            }
+            if (low < group.length &&
+                (!hasTol || rOrdGet(group(low)._1) - lOrdGet(lo) <= tolV))
+              matched = group(low)._2
+          } else {
+            // greatest entry with ord strictly below lo
+            var low = 0
+            var high = group.length // exclusive; invariant: [0,low) < lo
+            while (low < high) {
+              val mid = (low + high) >>> 1
+              if (ordOrd.compare(group(mid)._1, lo) < 0) low = mid + 1
+              else high = mid
+            }
+            if (low > 0 &&
+                (!hasTol || lOrdGet(lo) - rOrdGet(group(low - 1)._1) <= tolV))
+              matched = group(low - 1)._2
           }
-          if (low > 0) matched = group(low - 1)._2
         }
         outProj(joined(l, if (matched != null) matched else nullRight))
       }
@@ -230,6 +329,22 @@ case class BroadcastAsOfJoinExec(
 
 /** Public entry point for the native as-of join. */
 object AsOf {
+
+  /** Long extractor for a tolerance-eligible first order column —
+    * numeric/temporal only (the pandas `merge_asof` tolerance
+    * contract); timestamps compare in microseconds, dates in days. */
+  private[plans] def firstOrdGetter(
+      dt: org.apache.spark.sql.types.DataType): InternalRow => Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => r => r.getLong(0)
+      case IntegerType | DateType => r => r.getInt(0).toLong
+      case ShortType => r => r.getShort(0).toLong
+      case ByteType => r => r.getByte(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance needs an integral/temporal primary order column, got $other")
+    }
+  }
 
   /** Register [[AsOfJoinStrategy]] + [[AsOfJoinOptimization]] on the
     * session if absent — the imperative path for sessions built
@@ -245,13 +360,26 @@ object AsOf {
 
   /** As-of join `left` with `right`: per left row, the greatest right
     * row with equal `keys` and (order tuple) strictly before the left
-    * row's; unmatched left rows keep NULL right columns. Column names
-    * are resolved case-sensitively against each side; the caller
-    * renames the right side first when names collide (as with any
-    * self-join). */
+    * row's (`direction = "backward"`, the default) — or the smallest
+    * strictly after it (`"forward"`); unmatched left rows keep NULL
+    * right columns. `tolerance` (pandas `merge_asof` surface) bounds
+    * the allowed gap on the FIRST order column, in that column's units
+    * (microseconds for timestamps, days for dates): a nearest row
+    * farther than the tolerance yields NULLs, never a farther
+    * fallback. Column names are resolved case-sensitively against
+    * each side; the caller renames the right side first when names
+    * collide (as with any self-join). */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftOrder: Seq[String], rightOrder: Seq[String]): DataFrame = {
+      leftOrder: Seq[String], rightOrder: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val dir = direction match {
+      case "backward" => AsOfBackward
+      case "forward" => AsOfForward
+      case other => throw new IllegalArgumentException(
+        s"""direction must be "backward" or "forward", got "$other"""")
+    }
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = org.apache.spark.sql.graft.Bridge.analyzedPlan(left)
@@ -263,6 +391,7 @@ object AsOf {
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
-        leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _))))
+        leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _)),
+        dir, tolerance))
   }
 }

@@ -130,4 +130,97 @@ class AsOfJoinSpec extends SparkTestBase {
       assert(got.length == 2 && got.forall(_.isNullAt(1)), path)
     }
   }
+
+  test("forward direction picks the earliest strictly-after row (both paths)") {
+    bothPaths { path =>
+      import spark.implicits._
+      val left = Seq(
+        (1L, "u1", 10L), // nexts at 10(no: tie, id 6 but tuple (10,6) > (10,1)? yes strictly greater) — see expected
+        (2L, "u1", 5L),  // tie at t=5 with r_id 0: (5,0) < (5,2) so NOT after; next is (10,6)
+        (3L, "u2", 8L),  // u2's only row is AT t=8, tuple (8,8) > (8,3) → matches
+        (4L, "u9", 1L)   // no u9 rows → NULL
+      ).toDF("id", "k", "t")
+      val right = Seq(
+        (0L, "u1", 5L), (6L, "u1", 10L), (7L, "u1", 11L),
+        (8L, "u2", 8L)
+      ).toDF("r_id", "r_k", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t", "id"), Seq("r_t", "r_id"), direction = "forward")
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong)).toMap
+      assert(got == Map(
+        1L -> Some(6L), 2L -> Some(6L), 3L -> Some(8L), 4L -> None), path)
+    }
+  }
+
+  test("tolerance masks matches farther than the bound (both paths, both directions)") {
+    bothPaths { path =>
+      import spark.implicits._
+      val left = Seq(
+        (1L, "u1", 100L), // prior at 95 (gap 5): inside tol 10
+        (2L, "u1", 200L), // prior at 100-ish? nearest prior 101 → gap 99: outside
+        (3L, "u2", 50L)   // no prior at all
+      ).toDF("id", "k", "t")
+      val right = Seq(
+        (10L, "u1", 95L), (11L, "u1", 101L), (12L, "u2", 60L)
+      ).toDF("r_id", "r_k", "r_t")
+      val back = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t", "id"), Seq("r_t", "r_id"), tolerance = Some(10L))
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong)).toMap
+      assert(back == Map(1L -> Some(10L), 2L -> None, 3L -> None), path)
+      val fwd = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t", "id"), Seq("r_t", "r_id"),
+          direction = "forward", tolerance = Some(10L))
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong)).toMap
+      // 1: next is 101, gap 1 → match; 2: no next → NULL; 3: next 60, gap 10 → match (<=)
+      assert(fwd == Map(1L -> Some(11L), 2L -> None, 3L -> Some(12L)), path)
+    }
+  }
+
+  test("randomized differential: forward + tolerance equal a plain-Scala reference") {
+    import spark.implicits._
+    bothPaths { path =>
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0L until 300L).map { id =>
+        (id, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          rnd.nextInt(4) == 0)
+      }
+      val tol = 5L
+      val ord = Ordering.Tuple2[Long, Long]
+      val byUser = events.groupBy(_._2)
+      val expected = events.filter(_._4).map { case (id, u, t, _) =>
+        val after = byUser(u).filter(e => ord.gt((e._3, e._1), (t, id)))
+        val pick = if (after.isEmpty) None
+          else Some(after.minBy(e => (e._3, e._1))(ord))
+        id -> pick.filter(e => e._3 - t <= tol).map(_._1)
+      }.toMap
+      val left = events.filter(_._4).map(e => (e._1, e._2, e._3))
+        .toDF("id", "u", "t")
+      val right = events.map(e => (e._1, e._2, e._3))
+        .toDF("r_id", "r_u", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("u"), Seq("r_u"),
+          Seq("t", "id"), Seq("r_t", "r_id"),
+          direction = "forward", tolerance = Some(tol))
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+        .toMap
+      assert(got == expected, s"$path seed $seed")
+    }
+    }
+  }
+
+  test("registered tolerance/forward queries execute against the fixture") {
+    val tolRows = Joins.joinAsofTolerance(spark, sfDir).collect()
+    assert(tolRows.nonEmpty)
+    // the tolerance must actually bite: some purchases matched, some masked
+    assert(tolRows.exists(!_.isNullAt(2)) && tolRows.exists(_.isNullAt(2)))
+    assert(tolRows.filterNot(_.isNullAt(4))
+      .forall(_.getLong(4) <= 6L * 3600 * 1000000))
+    val fwdRows = Joins.joinAsofForward(spark, sfDir).collect()
+    assert(fwdRows.nonEmpty)
+    assert(fwdRows.filterNot(_.isNullAt(4)).forall(_.getLong(4) > 0))
+  }
 }
