@@ -53,15 +53,35 @@ object Warehouse {
     * warehouse MERGE does); when `updates` is small relative to the
     * target, a production run can feed this a broadcast hint. Keys
     * compare null-safely (`<=>`) so NULL-keyed rows merge rather than
-    * duplicate. */
+    * duplicate.
+    *
+    * PRECONDITION: `updates` must be unique on `keys`. A duplicate
+    * update key is the warehouse MERGE cardinality violation (ANSI
+    * MERGE errors on multiple matches); the full-outer form would
+    * silently fan the target row out instead, so the violation is
+    * DETECTED IN-FLIGHT: a codegen'd count-window marker on the update
+    * side (no extra job, no driver-side pre-count) fails the action
+    * with `MERGE_CARDINALITY_VIOLATION` the moment a duplicate key
+    * reaches the join. Pinned in `WarehouseSpec`. */
   def merge(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"updates schema ${updates.columns.mkString(",")} != target ${cols.mkString(",")}")
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+    import org.apache.spark.sql.expressions.Window
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
-    val u = updates.withColumn("__exists", lit(true)).alias("u")
+    // the count window rides the SAME shuffle the join needs on the
+    // update side (both hash-partition on the keys), so the guard adds
+    // no data movement; it is folded INTO the `__exists` marker the
+    // output switch reads — a standalone guard column would be pruned
+    // away (and the error with it) as dead by ColumnPruning
+    val existsOrFail = when(
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)) > 1,
+      raise_error(lit("MERGE_CARDINALITY_VIOLATION: updates contain " +
+        s"duplicate merge keys (${keys.mkString(", ")})")))
+      .otherwise(lit(true))
+    val u = updates.withColumn("__exists", existsOrFail).alias("u")
     target.alias("t").join(u, cond, "full_outer")
       .select(cols.map(c =>
         when(col("u.__exists").isNotNull, col(s"u.$c"))

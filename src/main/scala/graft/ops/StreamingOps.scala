@@ -213,11 +213,16 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
             state: GroupState[(Long, String, Long)]) =>
+          // full microsecond precision (r8 advice #1): getTime alone is
+          // ms-truncated, which would quantize gap_us and re-order
+          // same-millisecond events vs the micro-precise batch C10/C11
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
           var cur = state.getOption
           val out = rows.toSeq
-            .sortBy(r => (r._2.getTime, r._3))
+            .sortBy(r => (micros(r._2), r._3))
             .flatMap { case (_, ts, id, tpe) =>
-              val tsUs = ts.getTime * 1000L
+              val tsUs = micros(ts)
               val enriched =
                 if (tpe == "purchase")
                   Some((id, user, cur.map(_._1), cur.map(_._2),

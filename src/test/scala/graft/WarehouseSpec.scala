@@ -28,6 +28,25 @@ class WarehouseSpec extends SparkTestBase {
       (None, Some("nn"))))
   }
 
+  test("merge rejects duplicate update keys (MERGE cardinality violation)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dups = Seq((2L, "x"), (2L, "y"), (3L, "c")).toDF("id", "v")
+    val e = intercept[Exception] {
+      Warehouse.merge(target, dups, Seq("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE_CARDINALITY_VIOLATION")),
+      s"wrong failure: $e")
+    // and a unique-keyed frame still merges fine through the guard
+    val ok = Warehouse.merge(target,
+      Seq((2L, "x"), (3L, "c")).toDF("id", "v"), Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ok == Set((1L, "a"), (2L, "x"), (3L, "c")))
+  }
+
   test("append loads accumulate like COPY; overwrite rebuilds") {
     val tbl = "graft_wh_test"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
