@@ -72,9 +72,14 @@ object AnnIvf {
       idCol, vecCol, qVec, k, excludeId = Some(queryId))
   }
 
-  /** Driver-side: the `Probes` centers nearest to the query vector —
-    * K scalar distance computations, never a Spark job. */
-  def probeCells(qVec: Seq[Float], model: KMeansModel): Seq[Int] = {
+  /** Driver-side: the `probes` centers nearest to the query vector —
+    * K scalar distance computations, never a Spark job. `probes` is
+    * the IVF recall dial (FAISS `nprobe`): more probed cells read more
+    * partitions and recover more of the true neighbors; `probes = K`
+    * is exhaustive and must reproduce brute force exactly (pinned in
+    * `GroundTruthSpec` at sf0.1). */
+  def probeCells(qVec: Seq[Float], model: KMeansModel,
+      probes: Int = Probes): Seq[Int] = {
     val qArr = qVec.map(_.toDouble).toArray
     model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
@@ -83,7 +88,7 @@ object AnnIvf {
         (i, d)
       }
       .sortBy { case (i, d) => (d, i) }
-      .take(Probes).map(_._1).toIndexedSeq
+      .take(probes).map(_._1).toIndexedSeq
   }
 
   /** Exact-cosine re-rank of an (already cell-pruned) candidate frame. */
@@ -116,10 +121,10 @@ object AnnIvf {
     * as in a real ANN serving path. */
   def probeIndex(spark: SparkSession, indexPath: String, idCol: String,
       vecCol: String, qVec: Seq[Float], k: Int, model: KMeansModel,
-      excludeId: Option[Long] = None): DataFrame =
+      excludeId: Option[Long] = None, probes: Int = Probes): DataFrame =
     rerank(
       spark.read.parquet(indexPath)
-        .filter(col("cell").isin(probeCells(qVec, model): _*)),
+        .filter(col("cell").isin(probeCells(qVec, model, probes): _*)),
       idCol, vecCol, qVec, k, excludeId)
 
   /** Convenience form: sampled-seeded fit, then assign + probe. */

@@ -204,4 +204,43 @@ class GroundTruthSpec extends SparkTestBase {
     info(s"K18 sf0.01 recall@5 = $recall")
     assert(recall >= 0.4, s"K18 sf0.01 recall@5 $recall below the pinned floor")
   }
+
+  test("K13 + K18: recall@5 holds at bench scale (sf0.1, 2000 vectors)") {
+    // the largest fixture distribution (r8 verdict task 8): brute-force
+    // exact top-5 over all 2000 embeddings, then both ANN paths against
+    // it — deterministic (fixed hyperplanes / seeded k-means), measured
+    // once and pinned
+    val dir = "/root/testdata/sf0.1"
+    val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val ann = LlmData.simAnnTopk(spark, dir).collect().map(_.getLong(0)).toSet
+    val annRecall = ann.count(exact.contains).toDouble / exact.size
+    info(s"K13 sf0.1 recall@5 = $annRecall")
+    assert(annRecall >= 0.6, s"K13 sf0.1 recall@5 $annRecall below the pinned floor")
+    // K18 at nprobe=2 of 16 on 2000 ISOTROPIC vectors: expected recall
+    // is ~probes/K (no cluster structure for the quantizer to exploit —
+    // true cosine neighbors of a random query scatter uniformly across
+    // cells), measured 0/5 here; the honest pin is the nprobe dial, not
+    // a lucky floor. Record the default, then pin the curve:
+    import graft.ops.AnnIvf
+    val df = graft.ops.Util.t(spark, dir, "embeddings")
+    val cache = AnnIvf.indexCacheDir(s"$dir/embeddings")
+    val model = AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", cache)
+    val qVec = df.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    def recallAt(probes: Int): Double = {
+      val got = AnnIvf.probeIndex(spark, AnnIvf.assignedPath(cache),
+          "vec_id", "embedding", qVec, 5, model,
+          excludeId = Some(0L), probes = probes)
+        .collect().map(_.getLong(0)).toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8); val r16 = recallAt(AnnIvf.K)
+    info(s"K18 sf0.1 recall@5: nprobe=2 → $r2, nprobe=8 → $r8, nprobe=16 → $r16")
+    // the dial must be monotone where it matters, and exhaustive
+    // probing MUST reproduce brute force exactly — proving the index
+    // holds every vector and the re-rank is exact
+    assert(r16 == 1.0, s"exhaustive probe must equal brute force, got $r16")
+    assert(r8 >= r2, s"recall must not fall as nprobe grows: $r2 -> $r8")
+    assert(r8 >= 0.6, s"K18 sf0.1 recall@5 at nprobe=8 was $r8, below the pinned floor")
+  }
 }
