@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
     "sink_roundtrip_orc" -> (ops.Scans.sinkRoundtripOrc _),
+    "sink_roundtrip_json" -> (ops.Scans.sinkRoundtripJson _),
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
     "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "win_range_frame" -> (ops.Windows.winRangeFrame _),
     "win_lead_lag" -> (ops.Windows.winLeadLag _),
     "win_ntile_pct" -> (ops.Windows.winNtilePct _),
+    "win_first_last" -> (ops.Windows.winFirstLast _),
     // F — sorts / limits / census
     "sort_multi_nulls" -> (ops.SortsCensus.sortMultiNulls _),
     "limit_topk" -> (ops.SortsCensus.limitTopk _),
@@ -114,6 +116,7 @@ object SparkEntry {
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),
+    "dedup_fuzzy" -> (ops.LlmData.dedupFuzzy _),
     "corpus_shard" -> (ops.LlmData.corpusShard _),
     "dedup_minhash" -> (ops.LlmData.dedupMinhash _),
     "dedup_ngram_jaccard" -> (ops.LlmData.dedupNgramJaccard _),
@@ -137,6 +140,8 @@ object SparkEntry {
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),
     "text_tokens_bpe" -> (ops.LlmData.textTokensBpe _),
     "text_tfidf" -> (ops.LlmData.textTfidf _),
+    "text_normalize" -> (ops.LlmData.textNormalize _),
+    "text_bigrams" -> (ops.LlmData.textBigrams _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),
     "text_quality" -> (ops.LlmData.textQuality _),

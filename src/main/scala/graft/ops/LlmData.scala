@@ -99,6 +99,46 @@ object LlmData {
           256).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** K37: text normalization + normalized-exact dedup accounting — the
+    * canonicalization pass a dedup pipeline runs BEFORE exact hashing
+    * (case fold, punctuation → space, whitespace collapse, trim):
+    * byte-identical dup detection misses trivially-reformatted copies.
+    * Per doc: the 256-bit hash of the normalized text, its length, and
+    * whether that normalized form occurs in ≥ 2 documents. One narrow
+    * codegen'd projection + one count window keyed on the HASH (the
+    * shuffle moves 32-byte hashes, never text). Regexes in the
+    * Java-regex ∩ RE2 common subset. */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val byHash = Window.partitionBy(col("norm_hash"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(norm, 256).as("norm_hash"),
+        length(norm).as("n_norm_chars"))
+      .withColumn("is_dup_normalized", count(lit(1)).over(byHash) > 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** K39: corpus bigram statistics — the token-adjacency counts behind
+    * n-gram LM scoring and boilerplate detection; top-20 bigrams by
+    * count. One posexplode + one lead window partitioned by doc (the
+    * shuffle key is doc_id — a document's tokens co-locate, no global
+    * sort) + one partial-agg count + TakeOrdered. */
+  def textBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** TF-IDF over the corpus: per token, total term frequency × inverse
     * document frequency (ln(N/df), rounded to 4 dp — libm implementations
     * agree far beyond that), top 20 by weight with token tie-break.
@@ -600,6 +640,42 @@ object LlmData {
         Seq("table_id", "code"), col("vec_id"), col("vec_id"))
       .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("embedding_overflow"))
     ngram.crossJoin(mh).crossJoin(emb)
+  }
+
+  /** K38: edit-distance near-dup detection — the Levenshtein-verified
+    * complement of the token-set Jaccard family (K2/K6): set measures
+    * miss small in-place edits that preserve most tokens' ORDER (typo
+    * farms, template fills with short slots). Candidates bucket by the
+    * first 16 chars of the whitespace-normalized text (near-identical
+    * docs share their head; one narrow projection through the shared
+    * skew-capped [[Buckets.members]] path, same as every LSH family),
+    * then exact Levenshtein over the 200-char normalized prefixes
+    * verifies at distance ≤ 40 (20%). Prefixes join back by doc_id
+    * through the same single melt join as [[jaccardVerified]] — no
+    * doc×doc pass, and the shuffle carries 200-char prefixes, never
+    * full documents. */
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"),
+      substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 200)
+        .as("prefix"))
+    val buckets = docs.select(col("doc_id"),
+      substring(col("prefix"), 1, 16).as("bucket"))
+    val cand = Buckets.members(buckets,
+        Seq("bucket"), col("doc_id"), col("doc_id"))
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("prefix"))))
+        .as("m"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(element_at(col("m"), 1).getField("prefix"),
+          element_at(col("m"), 2).getField("prefix")).as("dist"))
+      .filter(col("dist") <= 40)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** K32: duplicated-span detection — substring-level dedup accounting

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import Util._
 
 /** Category A — scans / sources / sinks (SURVEY.md §2.2 A1-A3).
@@ -82,6 +82,27 @@ object Scans {
       .option("header", "true").option("nullValue", "\\N")
       .schema(schema).csv(out)
       .orderBy(col("r_regionkey"))
+  }
+
+  /** A12: JSON-lines sink round-trip — the interchange format of the
+    * reference's API world (R16: the census payload itself is JSON,
+    * `Test_census_tract.py:117-120`). A typed slice of `customer`
+    * writes as JSON lines and reads back under an EXPLICIT schema
+    * (schemaless JSON reads infer and stringly-type); the oracle scans
+    * the ORIGINAL table, so any serialize/parse drift — double
+    * round-trip included — fails the hash. */
+  def sinkRoundtripJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "json_roundtrip_")
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_bal"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_bal", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .orderBy(col("c_custkey"), col("c_name"), col("c_bal"))
   }
 
   /** A7: ORC sink round-trip — the second columnar format beside

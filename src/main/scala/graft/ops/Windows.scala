@@ -135,4 +135,23 @@ object Windows {
         (col("rnk").cast("double") / lit(n.toDouble)).as("cd"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** E7: first_value / last_value / nth_value over the FULL partition
+    * frame — per order, the customer's first, last and second order
+    * key by date. The frame is pinned to (unbounded preceding,
+    * unbounded following) explicitly: `last_value` over the DEFAULT
+    * frame (... current row) is the classic silent-wrong-answer trap —
+    * it returns the current row. One shuffle on the partition key. */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_orderkey"), col("o_custkey"), col("first_order"),
+        col("last_order"), col("second_order"))
+  }
 }

@@ -116,6 +116,12 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // JSON lines round-trip: the oracle scans the ORIGINAL table
+    "sink_roundtrip_json" ->
+      """SELECT c_custkey, c_name, c_acctbal AS c_bal
+        |FROM customer
+        |ORDER BY c_custkey, c_name, c_bal""".stripMargin,
+
     "sink_append_audit_log" ->
       """SELECT event_id,
         |  CAST(json_object('x-ratelimit-remaining', CAST(event_id AS VARCHAR))
@@ -577,6 +583,18 @@ object OracleSql {
         |      FROM orders)
         |WINDOW win AS (ORDER BY tp_cents, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // last_value/nth_value need the explicit full-partition frame in
+    // BOTH engines — the default frame ends at the current row
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER win AS first_order,
+        |  last_value(o_orderkey) OVER win AS last_order,
+        |  nth_value(o_orderkey, 2) OVER win AS second_order
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey, o_custkey, first_order, last_order, second_order""".stripMargin,
 
     // ---------------- F: sorts / limits / census ----------------
     "sort_multi_nulls" ->
@@ -1336,6 +1354,31 @@ object OracleSql {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    // mirrors the engine's capped prefix-bucket + Levenshtein verify:
+    // only the 256 smallest doc_ids per 16-char-prefix bucket pair up
+    // (fixture buckets are far below the cap — identical truncation in
+    // a degenerate corpus), then exact edit distance on the 200-char
+    // normalized prefix
+    "dedup_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |      1, 200) AS prefix
+        |  FROM documents
+        |), rk AS (
+        |  SELECT doc_id, prefix, substr(prefix, 1, 16) AS bucket,
+        |    row_number() OVER (PARTITION BY substr(prefix, 1, 16)
+        |      ORDER BY doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+        |FROM rk a JOIN rk b
+        |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        | AND a.rn <= 256 AND b.rn <= 256
+        |WHERE levenshtein(a.prefix, b.prefix) <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (
@@ -1371,6 +1414,34 @@ object OracleSql {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 10""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, sha256(norm) AS norm_hash,
+        |  CAST(length(norm) AS BIGINT) AS n_norm_chars,
+        |  count(*) OVER (PARTITION BY norm) > 1 AS is_dup_normalized
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(0, len(l) - 1),
+        |    i -> concat_ws(' ', l[i+1], l[i+2]))) AS bigram
+        |  FROM toks WHERE len(l) >= 2
+        |)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 20""".stripMargin,
 
     "text_tfidf" ->
       """SELECT token, tf, df,
