@@ -105,6 +105,32 @@ object Scans {
       .orderBy(col("c_custkey"), col("c_name"), col("c_bal"))
   }
 
+  /** A13: DSv2 manifest-committed sink round-trip — the WRITE rung of
+    * the DSv2 ladder beside the [[graft.sources.CensusSource]] read
+    * rung: a typed orders slice writes through
+    * [[graft.sources.AuditSink]] (full `BatchWrite` commit protocol —
+    * task-staged files, driver-published manifest, the reference's
+    * stage-then-COPY discipline), and the read-back trusts ONLY the
+    * manifest-listed files, so an uncommitted or aborted task file can
+    * never leak into the result. Oracle scans the ORIGINAL table. */
+  def sinkDsv2Audit(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "dsv2_audit_")
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_price"))
+      .write.format("graft.sources.AuditSink").mode("overwrite")
+      .option("path", out).save()
+    val files = graft.sources.AuditSink.committedFiles(spark, out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_price", DoubleType)))
+    spark.read.schema(schema)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(files: _*)
+      .orderBy(col("o_orderkey"), col("o_orderpriority"), col("o_price"))
+  }
+
   /** A7: ORC sink round-trip — the second columnar format beside
     * parquet (the reference's warehouse world is format-plural: CSV
     * staging, columnar at rest — `images/dp02_metadata.png` shows

@@ -116,6 +116,12 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // DSv2 manifest-committed sink: the oracle scans the ORIGINAL table
+    "sink_dsv2_audit" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice AS o_price
+        |FROM orders
+        |ORDER BY o_orderkey, o_orderpriority, o_price""".stripMargin,
+
     // JSON lines round-trip: the oracle scans the ORIGINAL table
     "sink_roundtrip_json" ->
       """SELECT c_custkey, c_name, c_acctbal AS c_bal

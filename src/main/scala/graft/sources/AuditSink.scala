@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 WRITE path — the sink-side counterpart of the [[CensusSource]]
+  * read rung (SURVEY §7.3's capability ladder): a `TableProvider` with
+  * `SupportsWrite` implementing the full batch commit protocol
+  * (`WriteBuilder` → `BatchWrite` → per-task `DataWriter` → driver
+  * `commit`/`abort`).
+  *
+  * Semantics: the staged-publish discipline of the reference's
+  * warehouse COPY step (`Test_census_tract.py:246-282` — stage to S3,
+  * then one transactional COPY): every task writes its rows to a
+  * TASK-PRIVATE temp file and reports it in its commit message; ONLY
+  * the driver's `commit` publishes, by moving the temp files into
+  * place and writing a `_graft_manifest.json` listing exactly the
+  * committed files. Readers that trust the manifest never observe a
+  * torn write: a failed/speculated task's file is never listed, and
+  * `abort` removes the staging directory wholesale. This is the
+  * manifest-commit pattern of production lake formats, scaled down to
+  * an audit sink: the commit cost is one driver-side manifest write +
+  * one rename per task file, never a directory listing race.
+  *
+  * Format: header-less CSV of primitive columns (long/int/double/
+  * string/boolean; strings always quoted with `""` escaping) — an
+  * audit sink's schema, enforced at write-build time. `mode`:
+  * append adds files to the manifest; overwrite (`SupportsTruncate`)
+  * replaces manifest and files.
+  */
+class AuditSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  // write-only: reads go through the manifest (AuditSink.committedFiles)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft audit sink is write-only; read the manifest-listed files")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new AuditTable(schema, Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("audit sink requires a path option")))
+}
+
+object AuditSink {
+  val ManifestFile = "_graft_manifest.json"
+
+  /** The files a committed write published — what a reader trusts. */
+  def committedFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new Path(dir, ManifestFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // manifest format: {"files":["name",...]} with names relative to dir
+    "\"([^\"]+)\"".r.findAllMatchIn(
+        body.substring(body.indexOf('['), body.indexOf(']') + 1))
+      .map(m => s"$dir/${m.group(1)}").toSeq
+  }
+}
+
+private class AuditTable(tableSchema: StructType, path: String)
+  extends Table with SupportsWrite {
+  override def name(): String = s"graft-audit($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AuditWriteBuilder(info.schema(), path, truncate = false)
+}
+
+private class AuditWriteBuilder(schema: StructType, path: String,
+    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+  schema.fields.foreach { f =>
+    require(AuditWrite.supported(f.dataType),
+      s"audit sink supports primitive columns only, got ${f.name}: ${f.dataType}")
+  }
+  override def truncate(): WriteBuilder =
+    new AuditWriteBuilder(schema, path, truncate = true)
+  override def build(): Write = new AuditWrite(schema, path, truncate)
+}
+
+private object AuditWrite {
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+}
+
+private class AuditWrite(schema: StructType, path: String, truncate: Boolean)
+  extends Write {
+  override def toBatch: BatchWrite = new AuditBatchWrite(schema, path, truncate)
+}
+
+private case class AuditTaskCommit(tempFile: String, finalName: String,
+    rows: Long) extends WriterCommitMessage
+
+private class AuditBatchWrite(schema: StructType, path: String,
+    truncate: Boolean) extends BatchWrite {
+  private val writeId = UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    // the factory ships only (path, writeId, type tags) — executors
+    // rebuild FS/encoder state locally, nothing driver-bound serializes
+    new AuditWriterFactory(path, writeId,
+      schema.fields.map(_.dataType.typeName))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val commits = messages.collect { case m: AuditTaskCommit => m }
+    // previously-manifested files: append keeps them, truncate retires
+    // them (after the new manifest is live)
+    val previous = {
+      val mf = new Path(dir, AuditSink.ManifestFile)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"([^\"]+)\"".r.findAllMatchIn(
+            body.substring(body.indexOf('['), body.indexOf(']') + 1))
+          .map(_.group(1)).toSeq
+      } else Seq.empty
+    }
+    // truncate keeps note of the outgoing files but deletes them only
+    // AFTER the new manifest is live — at every instant the manifest
+    // points at files that exist
+    val outgoing =
+      if (truncate) previous.filterNot(commits.map(_.finalName).contains)
+      else Seq.empty
+    // publish: move task files into place, THEN write the manifest —
+    // a crash between the two leaves unmanifested (invisible) files,
+    // never a manifest pointing at nothing
+    commits.foreach { c =>
+      fs.rename(new Path(c.tempFile), new Path(dir, c.finalName)); ()
+    }
+    val names = (if (truncate) Seq.empty else previous) ++
+      commits.map(_.finalName)
+    val manifest = names.map(n => s""""$n"""").mkString(
+      s"""{"write_id":"$writeId","files":[""", ",", "]}")
+    val out = fs.create(new Path(dir, AuditSink.ManifestFile), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    outgoing.foreach(n => fs.delete(new Path(dir, n), false))
+    fs.delete(new Path(dir, s"_staging_$writeId"), true); ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.delete(new Path(dir, s"_staging_$writeId"), true); ()
+  }
+}
+
+private class AuditWriterFactory(path: String, writeId: String,
+    typeNames: Array[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new AuditDataWriter(path, writeId, typeNames, partitionId, taskId)
+}
+
+/** Task-side writer: rows stream to a task-private staging file; the
+  * task NEVER touches the final name (speculation-safe — two attempts
+  * stage two files, the driver commits exactly one). */
+private class AuditDataWriter(path: String, writeId: String,
+    typeNames: Array[String], partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.csv"
+  private val tempPath =
+    new Path(new Path(path, s"_staging_$writeId"), fileName)
+  private val fs = tempPath.getFileSystem(new Configuration())
+  private val out = fs.create(tempPath, true)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < typeNames.length) {
+      if (i > 0) sb.append(',')
+      if (!row.isNullAt(i)) typeNames(i) match {
+        case "long" => sb.append(row.getLong(i))
+        case "integer" => sb.append(row.getInt(i))
+        case "double" => sb.append(row.getDouble(i))
+        case "boolean" => sb.append(row.getBoolean(i))
+        case "string" =>
+          sb.append('"')
+            .append(row.getUTF8String(i).toString.replace("\"", "\"\""))
+            .append('"')
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes("UTF-8"))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    AuditTaskCommit(tempPath.toString, fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tempPath, false); ()
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import graft.sources.AuditSink
+
+/** The DSv2 WRITE rung: task-staged files published atomically by the
+  * driver's manifest commit. Readers trust only manifest-listed files. */
+class AuditSinkSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_audit_").toString + "/sink"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("s", StringType),
+    StructField("x", DoubleType)))
+
+  private def readBack(dir: String) = {
+    val files = AuditSink.committedFiles(spark, dir)
+    spark.read.schema(schema)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(files: _*)
+  }
+
+  private def df(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("id", "s", "x")
+  }
+
+  test("overwrite publishes a manifest whose files round-trip the data") {
+    val dir = tmp()
+    val in = Seq((1L, "plain", 1.5), (2L, "quo\"ted, with comma", -0.25),
+      (3L, null.asInstanceOf[String], 1e300))
+    df(in).repartition(3).write.format("graft.sources.AuditSink")
+      .mode("overwrite").option("path", dir).save()
+    val got = readBack(dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getDouble(2))).toSet
+    assert(got == in.toSet)
+    // staging directory is gone after commit
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith("_staging_")))
+  }
+
+  test("append accumulates manifested files; overwrite retires them") {
+    val dir = tmp()
+    df(Seq((1L, "a", 1.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("overwrite").option("path", dir).save()
+    df(Seq((2L, "b", 2.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("append").option("path", dir).save()
+    assert(readBack(dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(AuditSink.committedFiles(spark, dir).size == 2)
+    // a new overwrite replaces the manifest AND deletes retired files
+    df(Seq((9L, "z", 9.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("overwrite").option("path", dir).save()
+    assert(readBack(dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val leftover = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".csv"))
+    assert(leftover.length == 1, leftover.mkString(","))
+  }
+
+  test("unmanifested files are invisible to readers") {
+    val dir = tmp()
+    df(Seq((1L, "a", 1.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("overwrite").option("path", dir).save()
+    // simulate an orphaned file from a crashed/speculated task: it sits
+    // in the directory but not in the manifest
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-99999-0.csv"), "99,\"ghost\",0.0\n")
+    assert(readBack(dir).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "reader must trust only the manifest")
+  }
+
+  test("non-primitive columns are rejected at write-build time") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.AuditSink")
+        .mode("overwrite").option("path", tmp()).save()
+    }
+    assert(e.getMessage.contains("primitive columns only"), e.getMessage)
+  }
+
+  test("registered sink_dsv2_audit round-trips the orders slice") {
+    val out = SparkEntry.queries("sink_dsv2_audit")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val orig = graft.ops.Util.t(spark, sfDir, "orders").count()
+    assert(out.length == orig)
+  }
+}

@@ -235,6 +235,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(lz.contains("partial"))
   }
 
+  test("round-9 additions keep their scale shapes") {
+    // text_bigrams: top-k is a TakeOrdered, never a global sort; the
+    // adjacency window partitions on the high-cardinality doc_id
+    val tb = plan("text_bigrams")
+    assert(tb.contains("TakeOrderedAndProject"), tb)
+    assert(tb.contains("windowspecdefinition(doc_id"),
+      "bigram adjacency must window per document")
+    // text_normalize: the dup-count window shuffles the 32-byte hash,
+    // never the text column
+    val tn = plan("text_normalize")
+    assert(tn.contains("windowspecdefinition(norm_hash"),
+      "dup accounting must key on the hash")
+    assert(!tn.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text#")), "shuffles must never carry document text")
+    // dedup_fuzzy: the capped-bucket row_number survives (same skew
+    // family as the LSH paths), and nothing plans a cartesian
+    val dfz = plan("dedup_fuzzy")
+    assert(dfz.contains("row_number()"), "dedup_fuzzy lost the bucket cap")
+    assert(!dfz.contains("CartesianProduct"))
+    // win_first_last: one window pass, one hash exchange on the
+    // partition key + the presentation range exchange — nothing else
+    val wfl = plan("win_first_last")
+    assert(wfl.contains("windowspecdefinition(o_custkey"), wfl)
+    assert(wfl.linesIterator.count(_.contains("Exchange")) <= 2, wfl)
+  }
+
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
     // the two-pass design ranks locally per bucket (windowspecdefinition
     // partitioned on pid) and derives ntile/percent_rank/cume_dist as
