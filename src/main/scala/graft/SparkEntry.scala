@@ -142,6 +142,7 @@ object SparkEntry {
     "text_tokens_bpe" -> (ops.LlmData.textTokensBpe _),
     "text_tfidf" -> (ops.LlmData.textTfidf _),
     "text_normalize" -> (ops.LlmData.textNormalize _),
+    "text_surprisal" -> (ops.LlmData.textSurprisal _),
     "text_bigrams" -> (ops.LlmData.textBigrams _),
     "text_fingerprint" -> (ops.LlmData.textFingerprint _),
     "text_rolling_hash" -> (ops.LlmData.textRollingHash _),

@@ -139,6 +139,36 @@ object LlmData {
       .limit(20)
   }
 
+  /** K40: unigram-LM surprisal quality score (the CCNet filtering
+    * signal — Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", public): per document,
+    * the mean negative log-probability of its tokens under the CORPUS
+    * unigram distribution. Template/boilerplate text scores low,
+    * rare-token noise scores high; a curation pipeline trims both
+    * tails. Numeric discipline as [[textEntropy]]: each (doc, token)
+    * group's c·ln p term is rounded to 9 dp and summed as exact
+    * DECIMAL (associative — a raw DOUBLE sum would hash-flap with agg
+    * order), one IEEE divide + 6 dp final round. Shape: two partial-agg
+    * passes (corpus vocabulary, per-doc counts) + one join keyed on the
+    * token (vocabulary-sized build side — left to AQE, broadcast when
+    * small; at 100 TB a web vocabulary still fits the SMJ fallback). */
+  def textSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(28, 9)
+    val toks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count() // one scalar job: corpus token mass
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctok"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(round(col("c") * log(col("ctok").cast("double") / total), 9)
+          .cast(DL)).as("slp"))
+      .select(col("doc_id"), col("n_toks"),
+        round(-col("slp").cast("double") / col("n_toks"), 6).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF over the corpus: per token, total term frequency × inverse
     * document frequency (ln(N/df), rounded to 4 dp — libm implementations
     * agree far beyond that), top 20 by weight with token tie-break.

@@ -1421,6 +1421,27 @@ object OracleSql {
         |ORDER BY n DESC, token
         |LIMIT 10""".stripMargin,
 
+    // same term-rounded exact-decimal discipline as text_entropy; the
+    // division CAST(ctok AS DOUBLE) / total matches Spark's
+    // ctok.cast(double) / lit(total) operand-for-operand
+    "text_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+        |), n AS (SELECT COUNT(*) AS total FROM tk),
+        |vocab AS (SELECT tok, COUNT(*) AS ctok FROM tk GROUP BY tok),
+        |dc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_toks,
+        |    SUM(CAST(round(c * ln(CAST(ctok AS DOUBLE) / total), 9)
+        |      AS DECIMAL(28,9))) AS slp
+        |  FROM dc JOIN vocab USING (tok), n
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  round(-CAST(slp AS DOUBLE) / n_toks, 6) AS surprisal
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
