@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -53,19 +54,40 @@ class AuditSink extends TableProvider {
 object AuditSink {
   val ManifestFile = "_graft_manifest.json"
 
+  /** Parse one quoted-string array field out of the manifest:
+    * `"key":["a","b"]` → Seq(a, b). */
+  private[sources] def manifestField(body: String, key: String): Seq[String] = {
+    val start = body.indexOf(s""""$key":[""")
+    if (start < 0) return Seq.empty
+    val open = body.indexOf('[', start)
+    val close = body.indexOf(']', open)
+    "\"([^\"]+)\"".r.findAllMatchIn(body.substring(open, close + 1))
+      .map(_.group(1)).toSeq
+  }
+
+  private[sources] def readManifest(fs: FileSystem, dir: Path): String = {
+    val mf = new Path(dir, ManifestFile)
+    if (!fs.exists(mf)) return ""
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** The files a committed write published — what a reader trusts. */
   def committedFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] = {
-    val p = new Path(dir, ManifestFile)
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    // manifest format: {"files":["name",...]} with names relative to dir
-    "\"([^\"]+)\"".r.findAllMatchIn(
-        body.substring(body.indexOf('['), body.indexOf(']') + 1))
-      .map(m => s"$dir/${m.group(1)}").toSeq
+    manifestField(readManifest(fs, p), "files").map(n => s"$dir/$n")
+  }
+
+  /** The epoch ids a streaming write already committed — what makes a
+    * replayed epoch a no-op. */
+  def committedEpochs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    manifestField(readManifest(fs, p), "epochs").map(_.toLong)
   }
 }
 
@@ -74,7 +96,8 @@ private class AuditTable(tableSchema: StructType, path: String)
   override def name(): String = s"graft-audit($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(info.schema(), path, truncate = false)
 }
@@ -100,6 +123,22 @@ private object AuditWrite {
 private class AuditWrite(schema: StructType, path: String, truncate: Boolean)
   extends Write {
   override def toBatch: BatchWrite = new AuditBatchWrite(schema, path, truncate)
+  override def toStreaming: StreamingWrite =
+    new AuditStreamingWrite(schema, path)
+}
+
+/** Shared manifest writer: `files` is what readers scan, `epochs` is
+  * the streaming replay ledger. Written atomically LAST, after every
+  * referenced file exists. */
+private object AuditManifest {
+  def write(fs: FileSystem, dir: Path, writeId: String,
+      epochs: Seq[String], files: Seq[String]): Unit = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    val body = s"""{"write_id":"$writeId","epochs":${arr(epochs)},""" +
+      s""""files":${arr(files)}}"""
+    val out = fs.create(new Path(dir, AuditSink.ManifestFile), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
 }
 
 private case class AuditTaskCommit(tempFile: String, finalName: String,
@@ -123,35 +162,23 @@ private class AuditBatchWrite(schema: StructType, path: String,
     val commits = messages.collect { case m: AuditTaskCommit => m }
     // previously-manifested files: append keeps them, truncate retires
     // them (after the new manifest is live)
-    val previous = {
-      val mf = new Path(dir, AuditSink.ManifestFile)
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        "\"([^\"]+)\"".r.findAllMatchIn(
-            body.substring(body.indexOf('['), body.indexOf(']') + 1))
-          .map(_.group(1)).toSeq
-      } else Seq.empty
-    }
-    // truncate keeps note of the outgoing files but deletes them only
-    // AFTER the new manifest is live — at every instant the manifest
-    // points at files that exist
+    val body = AuditSink.readManifest(fs, dir)
+    val previous = AuditSink.manifestField(body, "files")
+    val prevEpochs =
+      if (truncate) Seq.empty else AuditSink.manifestField(body, "epochs")
     val outgoing =
       if (truncate) previous.filterNot(commits.map(_.finalName).contains)
       else Seq.empty
     // publish: move task files into place, THEN write the manifest —
     // a crash between the two leaves unmanifested (invisible) files,
-    // never a manifest pointing at nothing
+    // never a manifest pointing at nothing; retired files are deleted
+    // only after the new manifest is live
     commits.foreach { c =>
       fs.rename(new Path(c.tempFile), new Path(dir, c.finalName)); ()
     }
     val names = (if (truncate) Seq.empty else previous) ++
       commits.map(_.finalName)
-    val manifest = names.map(n => s""""$n"""").mkString(
-      s"""{"write_id":"$writeId","files":[""", ",", "]}")
-    val out = fs.create(new Path(dir, AuditSink.ManifestFile), true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    AuditManifest.write(fs, dir, writeId, prevEpochs, names)
     outgoing.foreach(n => fs.delete(new Path(dir, n), false))
     fs.delete(new Path(dir, s"_staging_$writeId"), true); ()
   }
@@ -163,23 +190,81 @@ private class AuditBatchWrite(schema: StructType, path: String,
   }
 }
 
+/** Streaming flavor: per-epoch staged files, and a commit that is a
+  * NO-OP for an already-committed epoch — Structured Streaming replays
+  * the last epoch after recovery, and the manifest's epoch ledger is
+  * what turns at-least-once re-delivery into exactly-once publication
+  * (the sink-native form of the J9 idempotent-foreachBatch pattern). */
+private class AuditStreamingWrite(schema: StructType, path: String)
+  extends StreamingWrite {
+  private val writeId = UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new AuditStreamingWriterFactory(path, writeId,
+      schema.fields.map(_.dataType.typeName))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val commits = messages.collect { case m: AuditTaskCommit => m }
+    val body = AuditSink.readManifest(fs, dir)
+    val files = AuditSink.manifestField(body, "files")
+    val epochs = AuditSink.manifestField(body, "epochs")
+    if (epochs.contains(epochId.toString)) {
+      // replayed epoch: already published — drop the re-staged files,
+      // change nothing
+      commits.foreach(c => fs.delete(new Path(c.tempFile), false))
+    } else {
+      commits.foreach { c =>
+        fs.rename(new Path(c.tempFile), new Path(dir, c.finalName)); ()
+      }
+      AuditManifest.write(fs, dir, writeId,
+        epochs :+ epochId.toString, files ++ commits.map(_.finalName))
+    }
+    fs.delete(new Path(new Path(dir, s"_staging_$writeId"), s"e$epochId"), true)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.delete(new Path(new Path(dir, s"_staging_$writeId"), s"e$epochId"), true)
+    ()
+  }
+}
+
 private class AuditWriterFactory(path: String, writeId: String,
     typeNames: Array[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new AuditDataWriter(path, writeId, typeNames, partitionId, taskId)
+    new AuditDataWriter(
+      new Path(new Path(path, s"_staging_$writeId"),
+        f"part-$partitionId%05d-$taskId.csv"),
+      f"part-$partitionId%05d-$taskId.csv", typeNames)
+}
+
+private class AuditStreamingWriterFactory(path: String, writeId: String,
+    typeNames: Array[String]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val name = f"part-e$epochId-$partitionId%05d-$taskId.csv"
+    new AuditDataWriter(
+      new Path(new Path(new Path(path, s"_staging_$writeId"), s"e$epochId"),
+        name),
+      name, typeNames)
+  }
 }
 
 /** Task-side writer: rows stream to a task-private staging file; the
   * task NEVER touches the final name (speculation-safe — two attempts
   * stage two files, the driver commits exactly one). */
-private class AuditDataWriter(path: String, writeId: String,
-    typeNames: Array[String], partitionId: Int, taskId: Long)
-  extends DataWriter[InternalRow] {
+private class AuditDataWriter(tempPath: Path, fileName: String,
+    typeNames: Array[String]) extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.csv"
-  private val tempPath =
-    new Path(new Path(path, s"_staging_$writeId"), fileName)
   private val fs = tempPath.getFileSystem(new Configuration())
   private val out = fs.create(tempPath, true)
   private var rows = 0L

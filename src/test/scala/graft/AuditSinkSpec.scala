@@ -85,6 +85,72 @@ class AuditSinkSpec extends SparkTestBase {
     assert(e.getMessage.contains("primitive columns only"), e.getMessage)
   }
 
+  test("streaming write publishes per-epoch and survives restart exactly-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_audit_ck_").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    def start() = in.toDF().toDF("id", "s", "x").writeStream
+      .format("graft.sources.AuditSink")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData((1L, "a", 1.0)); q1.processAllAvailable()
+      in.addData((2L, "b", 2.0)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(readBack(dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    in.addData((3L, "c", 3.0)) // delivered while the query is down
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = readBack(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"exactly-once across restart, got $ids")
+    assert(AuditSink.committedEpochs(spark, dir).nonEmpty)
+  }
+
+  test("a replayed epoch commit is a published no-op (exactly-once ledger)") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp()
+    // drive the raw DSv2 streaming commit protocol, the way the engine
+    // does after a recovery: stage + commit epoch 7, then REPLAY epoch
+    // 7 with freshly staged files — the manifest's epoch ledger must
+    // publish the first and no-op the second
+    val provider = new graft.sources.AuditSink
+    val table = provider.getTable(schema, Array.empty,
+      Map("path" -> dir).asJava)
+    val lwInfo = new LogicalWriteInfo {
+      override def queryId(): String = "q-test"
+      override def schema() = AuditSinkSpec.this.schema
+      override def options() = new CaseInsensitiveStringMap(
+        Map("path" -> dir).asJava)
+    }
+    val sw = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(lwInfo).build().toStreaming
+    val pwInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def stageEpoch(epochId: Long, id: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = sw.createStreamingWriterFactory(pwInfo).createWriter(0, 0L, epochId)
+      w.write(new GenericInternalRow(
+        Array[Any](id, UTF8String.fromString(s"row$id"), id.toDouble)))
+      w.commit()
+    }
+    sw.commit(7L, Array(stageEpoch(7L, 1L)))
+    assert(readBack(dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the replay: same epoch id, new staged file, different row
+    sw.commit(7L, Array(stageEpoch(7L, 99L)))
+    assert(readBack(dir).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "replayed epoch must not publish")
+    assert(AuditSink.committedEpochs(spark, dir) == Seq(7L))
+    // and a NEW epoch still publishes
+    sw.commit(8L, Array(stageEpoch(8L, 2L)))
+    assert(readBack(dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(AuditSink.committedEpochs(spark, dir) == Seq(7L, 8L))
+  }
+
   test("registered sink_dsv2_audit round-trips the orders slice") {
     val out = SparkEntry.queries("sink_dsv2_audit")(spark, sfDir).collect()
     assert(out.nonEmpty)
