@@ -54,6 +54,7 @@ object SparkEntry {
     "join_asof_tolerance" -> (ops.Joins.joinAsofTolerance _),
     "join_asof_forward" -> (ops.Joins.joinAsofForward _),
     "join_skew_salted" -> (ops.Joins.joinSkewSalted _),
+    "sql_tpch_q3" -> (ops.Joins.sqlTpchQ3 _),
     // D — aggregations
     "agg_hash_q1" -> (ops.Aggregates.aggHashQ1 _),
     "agg_distinct" -> (ops.Aggregates.aggDistinct _),

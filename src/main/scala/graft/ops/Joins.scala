@@ -188,6 +188,20 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** C15: the raw-SQL surface — a TPC-H Q3-shaped shipping-priority
+    * query run through `spark.sql` over registered temp views, with
+    * the LITERALLY IDENTICAL SQL text the DuckDB oracle executes
+    * ([[graft.oracle.OracleSql]] is the single source): the engine's
+    * SQL entry point is itself covered, not just the DataFrame API.
+    * Catalyst plans raw SQL and DataFrame code through the same
+    * optimizer, so the dim filter broadcasts and the fact-fact join
+    * shuffles exactly as in C1/C2. */
+  def sqlTpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q3"))
+  }
+
   /** C12: salted skew join — the shuffle-join counterpart of
     * D10 `agg_skew_salted`. A deterministic synthetic skew collapses a
     * third of lineitem onto one nation key (the "one hot key owns one

@@ -334,6 +334,24 @@ object OracleSql {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    // the ONE SQL text both engines execute verbatim (Spark runs this
+    // exact string via spark.sql over same-named temp views) — keep it
+    // in the ANSI subset both dialects share
+    "sql_tpch_q3" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_odate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
     // tolerance masks the match columns when the nearest prior event
     // is farther than 6 h (21_600_000_000 us) — NULLs, never a farther
     // fallback
