@@ -266,7 +266,10 @@ private class AuditDataWriter(tempPath: Path, fileName: String,
     typeNames: Array[String]) extends DataWriter[InternalRow] {
 
   private val fs = tempPath.getFileSystem(new Configuration())
-  private val out = fs.create(tempPath, true)
+  // buffer the row-sized writes: the FS stream pays checksum + syscall
+  // bookkeeping per write() call, and rows are tens of bytes
+  private val out = new java.io.BufferedOutputStream(
+    fs.create(tempPath, true), 1 << 16)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
