@@ -335,6 +335,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.find(_._1 == 4L).get._3.contains(150L))
   }
 
+  test("J12: streaming CDC upsert merges change batches into the state table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("graft_cdc_").toString + "/state"
+    val in = MemoryStream[(Long, String, Long)] // (id, value, change_seq)
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.cdcUpsertBatch(state, Seq("id"), "seq")
+    val q = in.toDF().toDF("id", "v", "seq").writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable() // batch 0: two inserts
+      // batch 1: update 2 TWICE in one batch (last change wins),
+      // insert 3, leave 1 untouched
+      in.addData((2L, "x", 3L), (2L, "y", 4L), (3L, "c", 5L))
+      q.processAllAvailable()
+    }
+    val got = spark.read.parquet(state).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "y"), (3L, "c")),
+      s"SCD1 state after two batches, got $got")
+    // re-applying an already-applied batch is a no-op (restart replay)
+    writer(Seq((2L, "x", 3L), (2L, "y", 4L), (3L, "c", 5L))
+      .toDF("id", "v", "seq"), 1L)
+    val again = spark.read.parquet(state).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got, "replayed batch must not change the state")
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
