@@ -72,6 +72,7 @@ object SparkEntry {
     "agg_percentile" -> (ops.Aggregates.aggPercentile _),
     "agg_minmax_by" -> (ops.Aggregates.aggMinmaxBy _),
     "agg_outlier_zscore" -> (ops.Aggregates.aggOutlierZscore _),
+    "agg_heavy_hitters" -> (ops.Aggregates.aggHeavyHitters _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
     "win_running_sum" -> (ops.Windows.winRunningSum _),

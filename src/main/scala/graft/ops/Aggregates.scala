@@ -91,6 +91,29 @@ object Aggregates {
         max(col("c_custkey")).as("max_k"))
       .orderBy(col("c_nationkey"))
 
+  /** D17: count-min-sketch heavy-hitter estimates — the third sketch
+    * beside D9's HLL (distinct) and D15's GK (quantiles): fixed-size
+    * frequency estimation for a probe vocabulary without materializing
+    * the full count table (the CMS of Cormode & Muthukrishnan 2005,
+    * public; Spark's `stat.countMinSketch` builds it as one aggregate
+    * pass with counter-addition merges — commutative, so the estimate
+    * is deterministic under any partitioning for a fixed seed).
+    * Registered rows-only (the Murmur3 counter layout is
+    * engine-specific); the CMS never under-counts and the εN
+    * over-count bound is pinned against exact truth at two scales in
+    * `GroundTruthSpec`. */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cms = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .stat.countMinSketch("token", eps = 0.0005, confidence = 0.99, seed = 7)
+    // a fixed probe set, as in production (CMS answers point queries —
+    // it does not enumerate)
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+      .map(p => (p, cms.estimateCount(p))).toDF("token", "est_count")
+      .orderBy(col("token"))
+  }
+
   /** D9 (unit-tested for the 5% error bound at all three fixture scales
     * in `AggregatesSpec`): HyperLogLog++ approximate distinct — the
     * sketch shape that replaces exact distinct at 100 TB (fixed-size

@@ -205,6 +205,27 @@ class GroundTruthSpec extends SparkTestBase {
     assert(recall >= 0.4, s"K18 sf0.01 recall@5 $recall below the pinned floor")
   }
 
+  test("D17 agg_heavy_hitters: CMS never under-counts; over-count within the eps*N bound") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val est = LlmData.t(spark, dir, "documents") // exact truth per probe
+      val toks = est.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      val n = toks.count()
+      val exact = toks.groupBy("token").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = SparkEntry.queries("agg_heavy_hitters")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(got.nonEmpty)
+      got.foreach { case (tok, e) =>
+        val t = exact.getOrElse(tok, 0L)
+        assert(e >= t, s"$dir/$tok: CMS must never under-count ($e < $t)")
+        assert(e <= t + (0.0005 * n).ceil.toLong,
+          s"$dir/$tok: over-count $e beyond eps*N of exact $t (N=$n)")
+      }
+    }
+  }
+
   test("K13 + K18: recall@5 holds at bench scale (sf0.1, 2000 vectors)") {
     // the largest fixture distribution (r8 verdict task 8): brute-force
     // exact top-5 over all 2000 embeddings, then both ANN paths against

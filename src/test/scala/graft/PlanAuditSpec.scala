@@ -259,6 +259,12 @@ class PlanAuditSpec extends SparkTestBase {
     val wfl = plan("win_first_last")
     assert(wfl.contains("windowspecdefinition(o_custkey"), wfl)
     assert(wfl.linesIterator.count(_.contains("Exchange")) <= 2, wfl)
+    // sql_tpch_q3: raw SQL plans like the DataFrame queries — the
+    // filtered customer dim broadcasts, top-10 is a TakeOrdered
+    val q3 = plan("sql_tpch_q3")
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), q3)
   }
 
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
