@@ -207,7 +207,7 @@ class GroundTruthSpec extends SparkTestBase {
 
   test("D17 agg_heavy_hitters: CMS never under-counts; over-count within the eps*N bound") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val est = LlmData.t(spark, dir, "documents") // exact truth per probe
+      val est = Util.t(spark, dir, "documents") // exact truth per probe
       val toks = est.select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.split(
           org.apache.spark.sql.functions.col("text"), " ")).as("token"))
