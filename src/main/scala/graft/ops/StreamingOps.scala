@@ -131,20 +131,38 @@ object StreamingOps {
     * itself (one key-shuffle full-outer) is the scale shape that
     * carries over. Restart-safe the same way J9 is: re-merging an
     * already-applied batch is a no-op (SCD1 is idempotent for
-    * identical updates). */
+    * identical updates), and the swap never destroys the pre-batch
+    * state — the old dir is renamed ASIDE (not deleted) before the
+    * staged result renames in, and a replayed batch first restores a
+    * set-aside state a crash between the two renames left behind. */
   def cdcUpsertBatch(stateDir: String, keys: Seq[String],
       seqCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldPrefix = statePath.getName + "__old_"
+    // crash recovery: a crash between "rename state aside" and "rename
+    // staged result in" leaves no live state dir but a set-aside copy;
+    // the replayed batch must merge into THAT state, not rebuild from
+    // its own rows. A live state dir supersedes any set-aside leftovers.
+    val setAside =
+      if (fs.exists(statePath.getParent))
+        fs.listStatus(statePath.getParent).map(_.getPath)
+          .filter(_.getName.startsWith(oldPrefix))
+          .sortBy(_.getName.stripPrefix(oldPrefix).toLong)
+      else Array.empty[Path]
+    if (!fs.exists(statePath) && setAside.nonEmpty) {
+      fs.rename(setAside.last, statePath); ()
+    }
     val cols = batch.columns.toSeq
     // last change per key wins within the batch: single max_by pass
     val collapsed = batch
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("r"))
       .select(cols.map(c => col(s"r.$c").as(c)): _*)
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+      if (fs.exists(statePath))
         graft.census.Warehouse.merge(
           spark.read.parquet(stateDir), collapsed, keys)
       else collapsed
@@ -152,9 +170,15 @@ object StreamingOps {
     // overwritten (read and write of the same path cannot overlap)
     val tmp = stateDir + s"__stage_$batchId"
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(stateDir))
+    val old = new Path(stateDir + s"__old_$batchId")
+    fs.delete(old, true) // stale from a crashed attempt of this batch
+    if (fs.exists(statePath)) { fs.rename(statePath, old); () }
+    fs.rename(new Path(tmp), statePath)
+    // only after the new state is live: retire the set-aside copy and
+    // any superseded leftovers (the recovered dir no longer exists
+    // under its old name — delete is a no-op there)
+    fs.delete(old, true)
+    setAside.foreach(p => fs.delete(p, true))
     ()
   }
 

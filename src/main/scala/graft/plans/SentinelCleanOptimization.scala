@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, Decimal}
+import org.apache.spark.sql.types.{BooleanType, DateType, Decimal, NumericType, TimestampNTZType, TimestampType}
 
 /** Census sentinel-cleaning pushdown (SURVEY §4.2, §1.2 semantics —
   * `/root/reference/README.md` suppressed-value sentinels, e.g.
@@ -45,13 +45,29 @@ object SentinelCleanOptimization extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The rewrite replaces predicates over `cast(raw)` with predicates
+    * over `raw` itself, which is only sound when coercion cannot turn a
+    * clean value into NULL: numeric/temporal raw columns widen
+    * losslessly for the sentinel comparison, but e.g. a STRING raw
+    * column coerced numerically makes `cast(c)` NULL for non-numeric
+    * text — the clean value is NOT NULL (the else branch returns `c`)
+    * while a rewritten `IsNotNull(c) AND c > thr` coerces back to
+    * false, silently dropping rows. Gate every sentinel match on a
+    * numeric/temporal pre-cast type (r9 ADVICE). */
+  private def cleanableType(raw: Expression): Boolean =
+    stripCast(raw).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+
   /** Matches the tree [[graft.census.Normalize.sentinelToNull]] builds
     * (modulo the casts type coercion inserts): returns (raw, threshold
     * literal's comparison). */
   private object SentinelClean {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case CaseWhen(Seq((LessThanOrEqual(a, l @ Literal(v, _)), Literal(null, _))), Some(b))
-          if isSentinelLit(v) && stripCast(a).semanticEquals(stripCast(b)) =>
+          if isSentinelLit(v) && cleanableType(a) &&
+            stripCast(a).semanticEquals(stripCast(b)) =>
         Some((a, l))
       case _ => None
     }
@@ -68,7 +84,8 @@ object SentinelCleanOptimization extends Rule[LogicalPlan] {
   private object SentinelFalseCase {
     def unapply(e: Expression): Option[(Expression, Expression, Expression)] = e match {
       case CaseWhen(Seq((LessThanOrEqual(a, l @ Literal(v, _)), Literal(false, BooleanType))), Some(pred))
-          if isSentinelLit(v) && predOverRaw(pred, a) => Some((a, l, pred))
+          if isSentinelLit(v) && cleanableType(a) && predOverRaw(pred, a) =>
+        Some((a, l, pred))
       case _ => None
     }
     // the raw-null column case is what makes the And-rewrite sound:
@@ -111,7 +128,7 @@ object SentinelCleanOptimization extends Rule[LogicalPlan] {
     case SentinelFalseCase(raw, thr, pred) =>
       And(pred, GreaterThan(raw, thr))
     case CaseWhen(Seq((LessThanOrEqual(a, l @ Literal(v, _)), Literal(true, BooleanType))), Some(IsNull(x)))
-        if isSentinelLit(v) && sameCol(x, a) =>
+        if isSentinelLit(v) && cleanableType(a) && sameCol(x, a) =>
       Or(IsNull(x), LessThanOrEqual(a, l))
     case cmp: BinaryComparison => rewriteCmp(cmp)
     case other => other

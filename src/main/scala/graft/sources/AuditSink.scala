@@ -122,22 +122,54 @@ private object AuditWrite {
 
 private class AuditWrite(schema: StructType, path: String, truncate: Boolean)
   extends Write {
-  override def toBatch: BatchWrite = new AuditBatchWrite(schema, path, truncate)
+  // captured on the driver at plan time: the SESSION Hadoop conf
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  override def toBatch: BatchWrite =
+    new AuditBatchWrite(schema, path, truncate, conf)
   override def toStreaming: StreamingWrite =
-    new AuditStreamingWrite(schema, path)
+    new AuditStreamingWrite(schema, path, conf)
 }
 
 /** Shared manifest writer: `files` is what readers scan, `epochs` is
   * the streaming replay ledger. Written atomically LAST, after every
-  * referenced file exists. */
+  * referenced file exists — staged to a temp name and renamed over the
+  * old manifest (`Options.Rename.OVERWRITE`), so a crash mid-publish
+  * leaves the OLD manifest or the NEW one, never a torn/empty file,
+  * and a concurrent reader always sees a complete manifest. */
 private object AuditManifest {
   def write(fs: FileSystem, dir: Path, writeId: String,
       epochs: Seq[String], files: Seq[String]): Unit = {
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
     val body = s"""{"write_id":"$writeId","epochs":${arr(epochs)},""" +
       s""""files":${arr(files)}}"""
-    val out = fs.create(new Path(dir, AuditSink.ManifestFile), true)
+    val tmp = new Path(dir, AuditSink.ManifestFile + s".tmp-$writeId")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(dir).toUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new Path(dir, AuditSink.ManifestFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable` (it is a
+  * `Writable`). This wrapper ships the SESSION Hadoop conf to task
+  * writers and driver commit paths so filesystem settings configured
+  * on the session (object-store credentials, endpoints) are honored on
+  * any non-default FS instead of being silently dropped by a bare
+  * `new Configuration()`. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -145,19 +177,19 @@ private case class AuditTaskCommit(tempFile: String, finalName: String,
     rows: Long) extends WriterCommitMessage
 
 private class AuditBatchWrite(schema: StructType, path: String,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, conf: SerializableHadoopConf) extends BatchWrite {
   private val writeId = UUID.randomUUID().toString
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    // the factory ships only (path, writeId, type tags) — executors
-    // rebuild FS/encoder state locally, nothing driver-bound serializes
+    // the factory ships only (path, writeId, type tags, session conf) —
+    // executors rebuild FS/encoder state locally from those
     new AuditWriterFactory(path, writeId,
-      schema.fields.map(_.dataType.typeName))
+      schema.fields.map(_.dataType.typeName), conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     val commits = messages.collect { case m: AuditTaskCommit => m }
     // previously-manifested files: append keeps them, truncate retires
@@ -185,7 +217,7 @@ private class AuditBatchWrite(schema: StructType, path: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     fs.delete(new Path(dir, s"_staging_$writeId"), true); ()
   }
 }
@@ -195,19 +227,19 @@ private class AuditBatchWrite(schema: StructType, path: String,
   * the last epoch after recovery, and the manifest's epoch ledger is
   * what turns at-least-once re-delivery into exactly-once publication
   * (the sink-native form of the J9 idempotent-foreachBatch pattern). */
-private class AuditStreamingWrite(schema: StructType, path: String)
-  extends StreamingWrite {
+private class AuditStreamingWrite(schema: StructType, path: String,
+    conf: SerializableHadoopConf) extends StreamingWrite {
   private val writeId = UUID.randomUUID().toString
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new AuditStreamingWriterFactory(path, writeId,
-      schema.fields.map(_.dataType.typeName))
+      schema.fields.map(_.dataType.typeName), conf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     val commits = messages.collect { case m: AuditTaskCommit => m }
     val body = AuditSink.readManifest(fs, dir)
@@ -231,31 +263,39 @@ private class AuditStreamingWrite(schema: StructType, path: String)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     fs.delete(new Path(new Path(dir, s"_staging_$writeId"), s"e$epochId"), true)
     ()
   }
 }
 
 private class AuditWriterFactory(path: String, writeId: String,
-    typeNames: Array[String]) extends DataWriterFactory {
+    typeNames: Array[String], conf: SerializableHadoopConf)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
+      taskId: Long): DataWriter[InternalRow] = {
+    // the per-write UUID is part of the FINAL name: (partitionId,
+    // taskId) is only unique within one SparkContext, so a second
+    // application appending to the same sink dir could otherwise
+    // silently clobber a previously committed file and double-list its
+    // name in the manifest
+    val name = f"part-$writeId-$partitionId%05d-$taskId.csv"
     new AuditDataWriter(
-      new Path(new Path(path, s"_staging_$writeId"),
-        f"part-$partitionId%05d-$taskId.csv"),
-      f"part-$partitionId%05d-$taskId.csv", typeNames)
+      new Path(new Path(path, s"_staging_$writeId"), name), name,
+      typeNames, conf)
+  }
 }
 
 private class AuditStreamingWriterFactory(path: String, writeId: String,
-    typeNames: Array[String]) extends StreamingDataWriterFactory {
+    typeNames: Array[String], conf: SerializableHadoopConf)
+  extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
-    val name = f"part-e$epochId-$partitionId%05d-$taskId.csv"
+    val name = f"part-$writeId-e$epochId-$partitionId%05d-$taskId.csv"
     new AuditDataWriter(
       new Path(new Path(new Path(path, s"_staging_$writeId"), s"e$epochId"),
         name),
-      name, typeNames)
+      name, typeNames, conf)
   }
 }
 
@@ -263,9 +303,10 @@ private class AuditStreamingWriterFactory(path: String, writeId: String,
   * task NEVER touches the final name (speculation-safe — two attempts
   * stage two files, the driver commits exactly one). */
 private class AuditDataWriter(tempPath: Path, fileName: String,
-    typeNames: Array[String]) extends DataWriter[InternalRow] {
+    typeNames: Array[String], conf: SerializableHadoopConf)
+  extends DataWriter[InternalRow] {
 
-  private val fs = tempPath.getFileSystem(new Configuration())
+  private val fs = tempPath.getFileSystem(conf.value)
   // buffer the row-sized writes: the FS stream pays checksum + syscall
   // bookkeeping per write() call, and rows are tens of bytes
   private val out = new java.io.BufferedOutputStream(

@@ -62,6 +62,27 @@ class AuditSinkSpec extends SparkTestBase {
     assert(leftover.length == 1, leftover.mkString(","))
   }
 
+  test("final file names embed the write id; no manifest temp lingers") {
+    val dir = tmp()
+    df(Seq((1L, "a", 1.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("overwrite").option("path", dir).save()
+    df(Seq((2L, "b", 2.0))).coalesce(1)
+      .write.format("graft.sources.AuditSink")
+      .mode("append").option("path", dir).save()
+    val names = AuditSink.committedFiles(spark, dir).map(_.split('/').last)
+    // (partitionId, taskId) is only unique within one SparkContext; the
+    // per-write UUID in the FINAL name is what stops a second
+    // application's append from clobbering a committed file
+    val fmt = ("part-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+      "[0-9a-f]{12}-\\d{5}-\\d+\\.csv").r
+    names.foreach(n => assert(fmt.pattern.matcher(n).matches, n))
+    assert(names.map(_.substring(5, 41)).distinct.size == 2,
+      s"two writes must carry two distinct write ids: $names")
+    // the staged manifest publish leaves no temp file behind
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.contains(".tmp-")))
+  }
+
   test("unmanifested files are invisible to readers") {
     val dir = tmp()
     df(Seq((1L, "a", 1.0))).coalesce(1)

@@ -65,6 +65,33 @@ class GraftExtensionsSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("sentinel-clean rewrite stays off non-numeric (string) raw columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a STRING column run through the same cleaning shape: coercion
+    // puts a LOSSY cast under the sentinel comparison ("oak" casts to
+    // NULL), so the old rewrite of IsNotNull(clean) into
+    // IsNotNull(cast(v)) AND cast(v) > thr would wrongly drop every
+    // non-numeric row — the clean value is the untouched string. The
+    // numeric/temporal type gate keeps the rule out here.
+    // under ANSI (the session default) the lossy cast THROWS, so the
+    // silent-wrong-rows hazard is specific to ANSI-off sessions — pin
+    // it there
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq((1L, "oak"), (2L, "-666666666"), (3L, "200"))
+        .toDF("id", "v")
+        .select(col("id"),
+          graft.census.Normalize.sentinelToNull(col("v")).as("clean"))
+      assert(df.filter(col("clean").isNotNull).select("id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+        "non-numeric strings are clean (NOT NULL) and must survive")
+      assert(df.filter(col("clean").isNull).select("id")
+        .collect().map(_.getLong(0)).toSet == Set(2L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("the AsOfJoinOptimization rule arrives via the extensions path") {
     // AsOf.joinAsOf also installs the rule imperatively
     // (ensureStrategy), so assert the CONFIG path independently: a

@@ -366,6 +366,29 @@ class StreamingSpec extends SparkTestBase {
     assert(again == got, "replayed batch must not change the state")
   }
 
+  test("J12: a crash between the swap renames is recovered on replay (state survives)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val state = java.nio.file.Files.createTempDirectory("graft_cdc_").toString + "/state"
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.cdcUpsertBatch(state, Seq("id"), "seq")
+    writer(Seq((1L, "a", 1L)).toDF("id", "v", "seq"), 0L)
+    // simulate the batch-1 crash window: state renamed ASIDE, staged
+    // result never renamed in — exactly what a kill between the two
+    // renames leaves on disk
+    val fs = new Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new Path(state), new Path(state + "__old_1")))
+    // the replayed batch must restore the set-aside state and merge
+    // into it — not rebuild the table from its own rows
+    writer(Seq((2L, "b", 2L)).toDF("id", "v", "seq"), 1L)
+    val got = spark.read.parquet(state).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")), s"recovered + merged, got $got")
+    assert(!fs.exists(new Path(state + "__old_1")),
+      "set-aside copy is retired after the successful swap")
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
