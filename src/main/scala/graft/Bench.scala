@@ -65,7 +65,8 @@ object Bench {
       }
       // any failed rep marks the query failed — a flaky query must not
       // report the median of its surviving runs as if healthy
-      (name, if (times.length == Reps) median(times) else -1.0, times.length == Reps)
+      (name, if (times.length == Reps) median(times) else -1.0,
+        times.length == Reps, times)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // per-query map ordered by median ASCENDING: the driver records only
@@ -76,16 +77,28 @@ object Bench {
     // the truncated head every round (r8 verdict #3); failed queries
     // (-1) sort first because the tail-safe "failed" array re-lists them.
     val qs = results.sortBy(_._2)
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+      .map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    // contended-rep diagnostic (r9 verdict #3: a host-contention window
+    // swallowed whole rep triplets and the artifact couldn't show it):
+    // any query whose reps spread more than 2x gets its RAW rep times
+    // emitted. Quiet host → near-empty; contention → the exact reps are
+    // in the artifact. Leads the JSON so a truncated capture drops this
+    // diagnostic first, never the headline scalars.
+    val spread = results
+      .filter { case (_, _, ok, ts) =>
+        ok && ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 2.0 }
+      .map { case (k, _, _, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     // field order matters: the driver records only the TAIL of stdout,
     // so the headline scalars (value/reps/wall_sec) come AFTER the
     // ~3k-char per-query map — a head-truncated capture still carries
     // the binding total (round-6/7 verdict #4: the old head-first order
     // made every round's total unrecoverable).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total,"reps":$Reps,"wall_sec":$wallSec}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","rep_outliers":$spread,"queries":$qs,"failed":$failed,"value":$total,"reps":$Reps,"wall_sec":$wallSec}""")
     spark.stop()
   }
 }

@@ -50,6 +50,20 @@ class MaterializedPairsSpec extends SparkTestBase {
     assert(shared == rows(SparkEntry.queries("dedup_end_to_end")(spark, sfDir)))
   }
 
+  test("ensurePairs serves the marker-committed per-fixture cache") {
+    val got = rows(LlmData.ensurePairs(spark, sfDir).orderBy("doc_a", "doc_b"))
+    // the cache content IS the pipeline output: identical to a fresh
+    // materialization of the same deterministic relation
+    assert(got == rows(LlmData.pairsFrom(spark, pairsDir)
+      .orderBy("doc_a", "doc_b")))
+    assert(new java.io.File(LlmData.pairsCacheDir(sfDir),
+      "_GRAFT_PAIRS_READY").exists,
+      "marker must be committed after the build")
+    // a second call reads the store (same rows, no rebuild)
+    assert(got == rows(LlmData.ensurePairs(spark, sfDir)
+      .orderBy("doc_a", "doc_b")))
+  }
+
   test("the shared chain amortizes the pair pipeline (timing note)") {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f

@@ -141,9 +141,16 @@ class PlanAuditSpec extends SparkTestBase {
     // rows under adversarial skew (Buckets.members); an 'optimization'
     // that collapses it back to a bare collect_list reintroduces the
     // giant-bucket OOM at scale
-    for (n <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "dedup_ngram_jaccard")) // K6 joined the capped family in round 8
+    for (n <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding"))
       assert(plan(n).contains("row_number()"), s"$n lost the bucket cap")
+    // K6 (capped in round 8) registers through the ensurePairs cache,
+    // so audit the pipeline that BUILDS the cache, not the cached scan
+    val k6build = graft.ops.LlmData.ngramJaccardPairs(
+        graft.ops.MinHash.shingleRows(
+          graft.ops.Util.t(spark, sfDir, "documents"), "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(k6build.contains("row_number()"),
+      "the K6 pair-build pipeline lost the bucket cap")
   }
 
   test("contamination_ngram broadcasts the benchmark shingle set") {
@@ -265,6 +272,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q3.contains("BroadcastHashJoin"), q3)
     assert(q3.contains("TakeOrderedAndProject"), q3)
     assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), q3)
+  }
+
+  test("agg_heavy_hitters probes a local relation; the sketch is one distributed pass") {
+    // the CMS point-query shape: the sketch aggregates distributedly
+    // (driver holds only the ~KB counter array) and the registered
+    // DataFrame is a 10-row LOCAL probe projection — a "fix" that
+    // rewrites it into a groupBy-count top-k would reintroduce the full
+    // count table the sketch exists to avoid, and would show a scan +
+    // aggregate here
+    val df = SparkEntry.queries("agg_heavy_hitters")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("FileScan"),
+      s"probe projection must not re-aggregate the corpus:\n$p")
+    assert(df.count() == 10L)
   }
 
   test("win_ntile_pct computes ranking closed-form, not via global window fns") {
