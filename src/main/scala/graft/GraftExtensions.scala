@@ -29,9 +29,12 @@ import graft.functions.{CharNGrams, CosineSim, RollingHash}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // the whole-operator extension: plans graft.plans.AsOfJoin nodes
-    // to the co-partitioned single-pass merge AsOfJoinExec
+    // the whole-operator extensions: plan graft.plans.AsOfJoin nodes
+    // to the co-partitioned single-pass merge AsOfJoinExec (or its
+    // broadcast form), and graft.plans.RangeJoin nodes to the
+    // sliding-window band merge RangeJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     // runs inside the operator-optimization fixed-point batch, so the
     // filters/projects it moves below AsOfJoin continue into the scans
     // via Spark's own pushdown rules in the same batch

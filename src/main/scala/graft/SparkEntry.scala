@@ -49,6 +49,7 @@ object SparkEntry {
     "join_cross" -> (ops.Joins.joinCross _),
     "join_theta" -> (ops.Joins.joinTheta _),
     "join_range_interval" -> (ops.Joins.joinRangeInterval _),
+    "join_range_native" -> (ops.Joins.joinRangeNative _),
     "join_asof" -> (ops.Joins.joinAsof _),
     "join_asof_native" -> (ops.Joins.joinAsofNative _),
     "join_asof_tolerance" -> (ops.Joins.joinAsofTolerance _),

@@ -109,6 +109,38 @@ object Joins {
       .orderBy(col("view_id"), col("click_id"))
   }
 
+  /** C16: the SAME band semantics as [[joinRangeInterval]], through
+    * the native whole-operator path — [[graft.plans.RangeJoin]], a
+    * custom LogicalPlan planned by [[graft.plans.RangeJoinStrategy]]
+    * to a co-partitioned sliding-window band merge
+    * ([[graft.plans.RangeJoinExec]]). The stock C9 plan is an SMJ
+    * with the band as a residual filter — every same-user pair
+    * materializes before the filter, O(group²) per user, the one §2.2
+    * join whose stock plan degrades quadratically as per-user history
+    * grows. The native merge is O(n + output) with buffer memory
+    * bounded by one 5-minute window. Checked against the identical
+    * DuckDB oracle as C9, and row-for-row against C9 in
+    * `RangeJoinSpec`. */
+  def joinRangeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val lhs = t(spark, sfDir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // a separate scan: fresh attribute ids for the self-join's right
+    // side, with columns pre-renamed (the standard self-join contract)
+    val rhs = t(spark, sfDir, "events")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+      .filter(col("r_event_type") === "click")
+      .select(col("r_user_id"), col("r_ts"), col("r_event_id"))
+    graft.plans.RangeJoins.joinRange(lhs, rhs,
+        Seq("user_id"), Seq("r_user_id"), "ts", "r_ts",
+        lower = 0L, upper = 5L * 60 * 1000000)
+      .select(col("event_id").as("view_id"),
+        col("r_event_id").as("click_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
   /** C11: the SAME as-of semantics as [[joinAsof]], through the native
     * whole-operator path — [[graft.plans.AsOfJoin]], a custom
     * LogicalPlan planned by [[graft.plans.AsOfJoinStrategy]] to a

@@ -305,6 +305,18 @@ object OracleSql {
         |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
         |ORDER BY view_id, click_id""".stripMargin,
 
+    // C16: identical band semantics through the native RangeJoinExec
+    // sliding-window merge — SAME oracle as C9, so the two
+    // implementations are pinned to the same truth
+    "join_range_native" ->
+      """SELECT e1.event_id AS view_id, e2.event_id AS click_id,
+        |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |ORDER BY view_id, click_id""".stripMargin,
+
     "join_asof" ->
       """WITH w AS (
         |  SELECT event_id, user_id, event_type,
