@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filters/projects it moves below AsOfJoin continue into the scans
     // via Spark's own pushdown rules in the same batch
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
+    // same pushdown/pruning service for the native band join — the
+    // inner-join semantics let BOTH sides' predicates move below
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinOptimization)
     // census §1.2 sentinel cleaning: filters over cleaned columns
     // become pushable raw-column predicates in the same fixed point
     ext.injectOptimizerRule(_ => graft.plans.SentinelCleanOptimization)

@@ -203,13 +203,20 @@ case class RangeJoinExec(
 /** Public entry point for the native band join. */
 object RangeJoins {
 
-  /** Register [[RangeJoinStrategy]] on the session if absent — the
-    * imperative path for sessions built without
-    * `spark.sql.extensions=graft.GraftExtensions`. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Register [[RangeJoinStrategy]] + [[RangeJoinOptimization]] on the
+    * session if absent — the imperative path for sessions built
+    * without `spark.sql.extensions=graft.GraftExtensions`. Strategy
+    * and optimizer rule always arrive together so a filter/projection
+    * above a programmatically-built band join still reaches the
+    * scans. */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
       spark.experimental.extraStrategies =
         RangeJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinOptimization))
+      spark.experimental.extraOptimizations =
+        RangeJoinOptimization +: spark.experimental.extraOptimizations
+  }
 
   /** Band-join `left` with `right`: every (l, r) pair with equal keys
     * and `rOrd - lOrd ∈ [lower, upper)`, offsets in the order
