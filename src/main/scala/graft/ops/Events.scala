@@ -13,9 +13,14 @@ import Util._
   * Scale shapes: all times are integer epoch micros/days (exact in both
   * engines — the `unix_micros` ↔ `epoch_us` parity idiom of the
   * J-family); per-user stage frames collapse to one row per converting
-  * user before joining, so the stage joins are user-cardinality (tiny
-  * vs the event log) and broadcast; each stage pass pushes its
-  * `event_type` equality into the scan.
+  * user before joining. The stage frames are USER-cardinality — they
+  * grow linearly with the user base, so they are never hint-broadcast
+  * (a forced broadcast is exactly what OOMs at 100×): the stage join
+  * keys on `user_id`, the same key the `groupBy` that produced the
+  * frame shuffled on, so the shuffle join co-partitions nearly free,
+  * and AQE still picks a broadcast at runtime when the frame is
+  * genuinely small. Each stage pass pushes its `event_type` equality
+  * into the scan.
   */
 object Events {
 
@@ -31,11 +36,11 @@ object Events {
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tus")).as("v_us"))
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .filter(col("tus") >= col("v_us"))
       .groupBy(col("user_id")).agg(min(col("tus")).as("c_us"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("tus") >= col("c_us"))
       .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
     v.join(c, Seq("user_id"), "left")
@@ -73,13 +78,15 @@ object Events {
   /** J12: cohort retention — users grouped by first-activity day
     * (integer epoch day), counted distinct per week offset from their
     * cohort day. The retention triangle every growth dashboard draws;
-    * exact integer day/week arithmetic in both engines. */
+    * exact integer day/week arithmetic in both engines. The cohort
+    * frame is user-cardinality, so no broadcast hint (see object doc) —
+    * the join keys on `user_id` like the `groupBy` that built it. */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
       .select(col("user_id"),
         expr("unix_micros(ts) DIV 86400000000").as("day"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    ev.join(broadcast(cohort), Seq("user_id"))
+    ev.join(cohort, Seq("user_id"))
       .select(col("user_id"), col("cohort_day"),
         expr("(day - cohort_day) DIV 7").as("offset_week"))
       .groupBy(col("cohort_day"), col("offset_week"))

@@ -65,9 +65,13 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
-  /** J6: stream ⋈ static dimension join. */
+  /** J6: stream ⋈ static dimension join. No broadcast hint: the user
+    * dim is user-cardinality (grows with the user base), so the
+    * planner's threshold decides per micro-batch — broadcast while the
+    * dim is genuinely small, shuffle once it is not. A forced hint
+    * would pin an OOM at 100×. */
   def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(broadcast(userDim), Seq("user_id"), "inner")
+    events.join(userDim, Seq("user_id"), "inner")
       .select(col("event_id"), col("user_id"), col("segment"))
 
   /** J8: stream-stream event-time interval join — each view matched to

@@ -301,4 +301,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("percent_rank("), "global percent_rank() regression")
     assert(!p.contains("cume_dist("), "global cume_dist() regression")
   }
+
+  test("event stage joins carry no mandatory broadcast hint (user-cardinality frames)") {
+    // funnel_conversion's per-stage frames (first view/click per user)
+    // and retention_cohorts' cohort frame grow linearly with the user
+    // base — a broadcast() hint on them is a pinned OOM at 100×. The
+    // hint must be ABSENT from the logical plan; at fixture scale the
+    // planner/AQE may still CHOOSE a broadcast (that's the point:
+    // runtime stats decide, not a hint).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (q <- Seq("funnel_conversion", "retention_cohorts")) {
+      val joins = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, q)
+      for (j <- joins)
+        assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+          s"$q carries a join hint: ${j.hint}")
+    }
+  }
 }
