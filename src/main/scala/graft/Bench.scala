@@ -91,7 +91,10 @@ object Bench {
       .filter { case (_, _, ok, ts) =>
         ok && ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 2.0 }
       .map { case (k, _, _, ts) =>
-        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+        // Locale.ROOT: a comma-decimal default locale would print
+        // 1,357 and corrupt the JSON artifact
+        "\"" + k + "\":" + ts.map(t =>
+          "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // field order matters: the driver records only the TAIL of stdout,
     // so the headline scalars (value/reps/wall_sec) come AFTER the
@@ -99,6 +102,15 @@ object Bench {
     // the binding total (round-6/7 verdict #4: the old head-first order
     // made every round's total unrecoverable).
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","rep_outliers":$spread,"queries":$qs,"failed":$failed,"value":$total,"reps":$Reps,"wall_sec":$wallSec}""")
+    // second, TINY line: the driver's tail capture truncates the big
+    // line's head, leaving it unparseable (r9/r10 artifacts both show
+    // "parsed": null) — this one is <200 chars, sits at the very end of
+    // stdout, and always machine-parses. n_outliers preserves the
+    // contention signal even when the rep_outliers map was truncated
+    // away with the head.
+    val nOutliers = results.count { case (_, _, ok, ts) =>
+      ok && ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 2.0 }
+    println(s"""{"metric":"total_compact","unit":"sec","value":$total,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"n_outliers":$nOutliers,"reps":$Reps,"wall_sec":$wallSec}""")
     spark.stop()
   }
 }
