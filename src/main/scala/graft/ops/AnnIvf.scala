@@ -145,20 +145,22 @@ object AnnIvf {
     * ([[ivfTopK]]). Round-trip identity is pinned in `AnnIvfSpec`. */
   def loadCodebook(path: String): KMeansModel = KMeansModel.load(path)
 
-  /** Deterministic per-fixture cache root for [[ensureIndex]] — the
-    * fixture parquet is immutable, so one build per (tmpdir, source
-    * path) amortizes across every query/rep of a session. */
-  def indexCacheDir(sourceDir: String): String = {
-    val key = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(sourceDir).getAbsolutePath))
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$key"
-  }
+  /** Deterministic per-fixture cache dir for [[ensureIndex]] — keyed
+    * by the source path AND the source parquet's content identity
+    * ([[FixtureCache.contentKey]]), so a fixture regenerated in place
+    * gets a fresh index instead of stale cell assignments. */
+  def indexCacheDir(spark: SparkSession, sourceDir: String): String =
+    FixtureCache.cacheDir(spark.sessionState.newHadoopConf(),
+      "ivf_index_v1", sourceDir, Seq(s"$sourceDir.parquet"))
 
-  /** Build-once index bootstrap: if `cacheDir` holds a completed index
-    * (marker written LAST, so a crashed build is rebuilt, not served),
+  /** Build-once index bootstrap: if `cacheDir` holds a completed index,
     * load its codebook; otherwise fit the sampled codebook, persist it,
-    * write the cell-partitioned assignment table, then the marker.
+    * write the cell-partitioned assignment table — all into a unique
+    * `.tmp_` staging sibling with the marker written LAST, then one
+    * atomic whole-dir rename into place (the [[FixtureCache]] commit
+    * discipline: a crashed build is rebuilt, a cross-process racing
+    * build is discarded in favor of the winner's committed copy, and
+    * half-written interleaved indexes are structurally impossible).
     * Returns the model; the assignment table is `assignedPath(cacheDir)`.
     * All FS access goes through the Hadoop `FileSystem` of the session,
     * so the cache root may be any executor-visible FS, not just the
@@ -167,15 +169,30 @@ object AnnIvf {
       vecCol: String, cacheDir: String,
       sampleFraction: Double = FitSampleFraction): KMeansModel =
     AnnIvf.synchronized {
-      val marker = new Path(cacheDir, "_GRAFT_INDEX_READY")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      val dst = new Path(cacheDir)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new Path(dst, "_GRAFT_INDEX_READY")
       if (fs.exists(marker)) loadCodebook(codebookPath(cacheDir))
       else {
+        // dst without a marker is debris from a crashed pre-commit build
+        if (fs.exists(dst)) { fs.delete(dst, true); () }
+        val tmp = new Path(
+          cacheDir + ".tmp_" + java.util.UUID.randomUUID().toString.take(8))
         val model = codebook(df, vecCol, sampleFraction)
-        saveCodebook(model, codebookPath(cacheDir))
-        buildIndex(df, idCol, vecCol, model, assignedPath(cacheDir))
-        fs.create(marker, true).close()
-        model
+        saveCodebook(model, codebookPath(tmp.toString))
+        buildIndex(df, idCol, vecCol, model, assignedPath(tmp.toString))
+        fs.create(new Path(tmp, "_GRAFT_INDEX_READY"), true).close()
+        val renamed = if (!fs.exists(dst)) fs.rename(tmp, dst) else false
+        if (!renamed) { fs.delete(tmp, true); () }
+        // a concurrent committer may have landed between our exists
+        // check and our rename, nesting ours under theirs — undo
+        val nested = new Path(dst, tmp.getName)
+        if (fs.exists(nested)) { fs.delete(nested, true); () }
+        if (!fs.exists(marker))
+          throw new IllegalStateException(
+            s"IVF index commit failed for $cacheDir (no committed copy)")
+        // serve the COMMITTED copy (ours, or the race winner's)
+        loadCodebook(codebookPath(cacheDir))
       }
     }
 

@@ -413,10 +413,11 @@ object LlmData {
     * pipeline runs it ONCE, persists the (doc_a, doc_b, jaccard)
     * relation, and derives clusters, keep-best picks, source overlap,
     * and the end-to-end summary from the stored pairs. The registered
-    * queries stay self-contained (each must be independently
-    * oracle-checkable), but the `*FromPairs` variants consume
-    * [[pairsFrom]] and are proven row-identical to the self-contained
-    * paths in `MaterializedPairsSpec`. At 100 TB the pair relation is
+    * dedup family (K6/K19/K22/K34/K36) reads through the build-once
+    * [[ensurePairs]] cache of exactly this relation; oracle
+    * equivalence is carried by `MaterializedPairsSpec`, which proves
+    * the cached/`*FromPairs` paths row-identical to a fresh
+    * self-contained run. At 100 TB the pair relation is
     * tiny next to the corpus (only near-dup pairs survive
     * verification), so the amortization is nearly the full chain
     * cost × (number of consumers − 1). */
@@ -427,39 +428,36 @@ object LlmData {
   def pairsFrom(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
-  /** Deterministic per-fixture cache root for [[ensurePairs]] — the
-    * fixture parquet is immutable, so one pair-pipeline run per
-    * (tmpdir, source path) amortizes across every consumer and every
-    * bench rep. The `v1` component versions the pipeline: bump it when
-    * the pair semantics change so a stale cache is never served. */
-  def pairsCacheDir(sfDir: String): String = {
-    val key = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(sfDir).getAbsolutePath))
-    s"${sys.props("java.io.tmpdir")}/graft_pairs_v1_$key"
-  }
+  /** Deterministic per-fixture cache dir for [[ensurePairs]] — keyed
+    * by BOTH the fixture path and the documents parquet's content
+    * identity (file names/sizes/mtimes via
+    * [[FixtureCache.contentKey]]), so a fixture regenerated at the
+    * same path gets a fresh cache instead of stale pairs. The `v1`
+    * component versions the pipeline: bump it when the pair semantics
+    * change so a stale cache is never served. */
+  def pairsCacheDir(spark: SparkSession, sfDir: String): String =
+    FixtureCache.cacheDir(spark.sessionState.newHadoopConf(),
+      "pairs_v1", sfDir, Seq(s"$sfDir/documents.parquet"))
 
-  /** Build-once pair-relation bootstrap (the `AnnIvf.ensureIndex`
-    * discipline — marker committed LAST, so a crashed build is rebuilt,
-    * not served): the K6 shingle → bucket → Jaccard-verify pipeline is
-    * by far the most expensive stage of every dedup composition, and a
-    * real pipeline runs it ONCE and derives everything downstream from
-    * the stored (doc_a, doc_b, jaccard) relation. Every registered
-    * consumer (K6 itself, K19 clusters, K22 end-to-end, K34 keep-best,
-    * K36 source overlap) reads through this cache; results are
-    * row-identical to the self-contained pipeline
-    * (`MaterializedPairsSpec`), so oracle semantics are untouched. */
-  def ensurePairs(spark: SparkSession, sfDir: String): DataFrame =
-    this.synchronized {
-      val dir = pairsCacheDir(sfDir)
-      val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_PAIRS_READY")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(marker)) {
-        materializePairs(spark, sfDir, s"$dir/pairs")
-        fs.create(marker, true).close()
-      }
-      pairsFrom(spark, s"$dir/pairs")
+  /** Build-once pair-relation bootstrap through [[FixtureCache]]
+    * (content-keyed dir, marker committed inside the staging dir, then
+    * one atomic whole-dir rename — a crashed or racing build is
+    * rebuilt or discarded, never served and never interleaved): the K6
+    * shingle → bucket → Jaccard-verify pipeline is by far the most
+    * expensive stage of every dedup composition, and a real pipeline
+    * runs it ONCE and derives everything downstream from the stored
+    * (doc_a, doc_b, jaccard) relation. Every registered consumer (K6
+    * itself, K19 clusters, K22 end-to-end, K34 keep-best, K36 source
+    * overlap) reads through this cache; results are row-identical to
+    * the self-contained pipeline (`MaterializedPairsSpec`), so oracle
+    * semantics are untouched. */
+  def ensurePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FixtureCache.ensure(spark, "pairs_v1", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { tmp =>
+      materializePairs(spark, sfDir, s"$tmp/pairs")
     }
+    pairsFrom(spark, s"$dir/pairs")
+  }
 
   /** K6 core over (id, shingle) rows, cap-parameterized for the
     * adversarial-skew spec (`BucketCapSpec`). Candidate ids are
@@ -534,7 +532,7 @@ object LlmData {
     * `AnnIvfSpec`; partition pruning pinned in `PlanAuditSpec`. */
   def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val df = t(spark, sfDir, "embeddings")
-    val cacheDir = AnnIvf.indexCacheDir(s"$sfDir/embeddings")
+    val cacheDir = AnnIvf.indexCacheDir(spark, s"$sfDir/embeddings")
     val model = AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", cacheDir)
     // single-row bounded lookup of the query vector (documented pattern)
     val qVec = df.filter(col("vec_id") === 0L)

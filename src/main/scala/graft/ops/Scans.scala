@@ -262,6 +262,15 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The fixture key the current `graft_bkt_*` tables were built from
+    * (null until first build). Guarded by the object lock in
+    * [[joinBucketedColocated]]; keyed on fixture CONTENT so switching
+    * fixtures (or regenerating one in place) rebuilds, while bench
+    * reps over the same fixture pay the load once — the production
+    * contract bucketing exists for (pay the layout at load, amortize
+    * over every join). */
+  @volatile private var bucketedTablesKey: String = null
+
   /** A9: bucketed co-located join — the zero-shuffle fact-fact join
     * layout. Both sides persist as bucketed tables on the join key
     * (same bucket count), so each side's scan already satisfies the
@@ -269,37 +278,50 @@ object Scans {
     * NO exchange on either side (pinned in `PlanAuditSpec`). At 100 TB
     * this converts the two biggest shuffles of a fact-fact join into
     * a bucket-aligned local merge — the bucketing cost is paid once at
-    * load, amortized over every subsequent join. The merge hint forces
-    * SMJ so the pin is meaningful at fixture scale (Spark would
-    * otherwise broadcast the small side). */
+    * load, amortized over every subsequent join (the build-once check
+    * below IS that contract: reps/consumers after the first read the
+    * existing tables). The merge hint forces SMJ so the pin is
+    * meaningful at fixture scale (Spark would otherwise broadcast the
+    * small side). */
   def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
     val buckets = 8
-    // a fresh session's in-memory catalog forgets managed tables but
-    // their warehouse directories survive the JVM — saveAsTable then
-    // fails with LOCATION_ALREADY_EXISTS. Drop both the entry and any
-    // orphaned location before writing (idempotent re-run contract,
-    // same reasoning as freshSinkDir).
-    for (name <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      // resolve through the session's Hadoop FileSystem, not
-      // java.io.File — the warehouse may live on HDFS/S3, where a
-      // local-file delete silently no-ops and the idempotent re-run
-      // contract breaks with LOCATION_ALREADY_EXISTS (r8 verdict #2)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name)
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    val key = FixtureCache.contentKey(spark.sessionState.newHadoopConf(),
+      Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")) +
+      "@" + spark.conf.get("spark.sql.warehouse.dir")
+    Scans.synchronized {
+      val ready = bucketedTablesKey == key &&
+        spark.catalog.tableExists("graft_bkt_lineitem") &&
+        spark.catalog.tableExists("graft_bkt_orders")
+      if (!ready) {
+        // a fresh session's in-memory catalog forgets managed tables but
+        // their warehouse directories survive the JVM — saveAsTable then
+        // fails with LOCATION_ALREADY_EXISTS. Drop both the entry and any
+        // orphaned location before writing (idempotent re-run contract,
+        // same reasoning as freshSinkDir).
+        for (name <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          // resolve through the session's Hadoop FileSystem, not
+          // java.io.File — the warehouse may live on HDFS/S3, where a
+          // local-file delete silently no-ops and the idempotent re-run
+          // contract breaks with LOCATION_ALREADY_EXISTS (r8 verdict #2)
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(loc)) { fs.delete(loc, true); () }
+        }
+        t(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_bkt_lineitem")
+        t(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_bkt_orders")
+        bucketedTablesKey = key
+      }
     }
-    t(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    t(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
     spark.table("graft_bkt_lineitem").hint("merge")
       .join(spark.table("graft_bkt_orders"),
         col("l_orderkey") === col("o_orderkey"))

@@ -56,12 +56,35 @@ class MaterializedPairsSpec extends SparkTestBase {
     // materialization of the same deterministic relation
     assert(got == rows(LlmData.pairsFrom(spark, pairsDir)
       .orderBy("doc_a", "doc_b")))
-    assert(new java.io.File(LlmData.pairsCacheDir(sfDir),
-      "_GRAFT_PAIRS_READY").exists,
+    assert(new java.io.File(LlmData.pairsCacheDir(spark, sfDir),
+      graft.ops.FixtureCache.Marker).exists,
       "marker must be committed after the build")
     // a second call reads the store (same rows, no rebuild)
     assert(got == rows(LlmData.ensurePairs(spark, sfDir)
       .orderBy("doc_a", "doc_b")))
+  }
+
+  test("a regenerated fixture gets a fresh cache; the stale one is evicted") {
+    // private fixture: a copy of documents.parquet this test may touch
+    val fx = java.nio.file.Files.createTempDirectory("graft_fx_").toString
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val dstP = java.nio.file.Paths.get(fx, "documents.parquet")
+    java.nio.file.Files.copy(src, dstP)
+    val d1 = LlmData.pairsCacheDir(spark, fx)
+    val r1 = rows(LlmData.ensurePairs(spark, fx).orderBy("doc_a", "doc_b"))
+    assert(new java.io.File(d1, graft.ops.FixtureCache.Marker).exists)
+    // "regenerate" the fixture in place: same path, new mtime — the
+    // content key must change, so the old cache can never be served
+    assert(dstP.toFile.setLastModified(dstP.toFile.lastModified() + 5000))
+    val d2 = LlmData.pairsCacheDir(spark, fx)
+    assert(d2 != d1, "content key must incorporate file mtimes")
+    val r2 = rows(LlmData.ensurePairs(spark, fx).orderBy("doc_a", "doc_b"))
+    assert(r2 == r1) // same bytes → same pairs, through a fresh build
+    assert(new java.io.File(d2, graft.ops.FixtureCache.Marker).exists)
+    // the superseded cache dir was evicted during the rebuild — a
+    // long-lived host keeps at most one committed cache per fixture
+    assert(!new java.io.File(d1).exists,
+      s"stale cache $d1 must be evicted on rebuild")
   }
 
   test("the shared chain amortizes the pair pipeline (timing note)") {
