@@ -146,19 +146,31 @@ object StreamingOps {
     val statePath = new Path(stateDir)
     val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     val oldPrefix = statePath.getName + "__old_"
+    // a failed rename in this protocol is never ignorable: proceeding
+    // past one silently rebuilds state from the batch's own rows (all
+    // prior keys lost) or deletes the only surviving copy
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"CDC state swap: rename $src -> $dst failed; aborting batch " +
+            "(state untouched, replay will retry)")
     // crash recovery: a crash between "rename state aside" and "rename
     // staged result in" leaves no live state dir but a set-aside copy;
     // the replayed batch must merge into THAT state, not rebuild from
     // its own rows. A live state dir supersedes any set-aside leftovers.
+    // Only OUR batch-numbered dirs qualify — a foreign dir that merely
+    // shares the prefix is not a state copy (and broke the sort with
+    // NumberFormatException before the numeric guard).
     val setAside =
       if (fs.exists(statePath.getParent))
         fs.listStatus(statePath.getParent).map(_.getPath)
-          .filter(_.getName.startsWith(oldPrefix))
+          .filter(p => p.getName.startsWith(oldPrefix) &&
+            p.getName.stripPrefix(oldPrefix).forall(_.isDigit) &&
+            p.getName.length > oldPrefix.length)
           .sortBy(_.getName.stripPrefix(oldPrefix).toLong)
       else Array.empty[Path]
-    if (!fs.exists(statePath) && setAside.nonEmpty) {
-      fs.rename(setAside.last, statePath); ()
-    }
+    if (!fs.exists(statePath) && setAside.nonEmpty)
+      renameOrThrow(setAside.last, statePath)
     val cols = batch.columns.toSeq
     // last change per key wins within the batch: single max_by pass
     val collapsed = batch
@@ -176,8 +188,8 @@ object StreamingOps {
     merged.write.mode("overwrite").parquet(tmp)
     val old = new Path(stateDir + s"__old_$batchId")
     fs.delete(old, true) // stale from a crashed attempt of this batch
-    if (fs.exists(statePath)) { fs.rename(statePath, old); () }
-    fs.rename(new Path(tmp), statePath)
+    if (fs.exists(statePath)) renameOrThrow(statePath, old)
+    renameOrThrow(new Path(tmp), statePath)
     // only after the new state is live: retire the set-aside copy and
     // any superseded leftovers (the recovered dir no longer exists
     // under its old name — delete is a no-op there)

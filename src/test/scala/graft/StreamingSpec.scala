@@ -389,6 +389,26 @@ class StreamingSpec extends SparkTestBase {
       "set-aside copy is retired after the successful swap")
   }
 
+  test("J12: foreign dirs sharing the __old_ prefix are ignored, not parsed") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val state = java.nio.file.Files.createTempDirectory("graft_cdc_").toString + "/state"
+    val fs = new Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a non-numeric dir matching the prefix (e.g. an operator's manual
+    // backup) must not crash the recovery scan with NumberFormatException
+    fs.mkdirs(new Path(state + "__old_backup"))
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.cdcUpsertBatch(state, Seq("id"), "seq")
+    writer(Seq((1L, "a", 1L)).toDF("id", "v", "seq"), 0L)
+    writer(Seq((2L, "b", 2L)).toDF("id", "v", "seq"), 1L)
+    val got = spark.read.parquet(state).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    assert(fs.exists(new Path(state + "__old_backup")),
+      "a foreign dir is not ours to delete")
+  }
+
   test("J9: foreachBatch idempotent sink survives batch re-delivery (exactly-once)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
