@@ -128,6 +128,34 @@ object Aggregates {
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_cust"))
       .orderBy(col("o_orderstatus"))
 
+  /** D18: mergeable distinct sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg` / `hll_union_agg`) — the RE-AGGREGATABLE form of
+    * D9. `approx_count_distinct` collapses to a number that can never
+    * be combined again; this builds one binary sketch per group (per
+    * day/partition/source at scale), and any later rollup UNIONS the
+    * sketches without rescanning the fact table — distinct users per
+    * day → per month is a union of 30 sketch blobs, not a 30-day
+    * rescan. That sketches-as-data pattern is the theta/HLL
+    * distinct-union story at 100 TB: the expensive pass runs once,
+    * every downstream scope is a cheap merge. Output: per-status
+    * estimates plus the union-of-sketches ALL row. Registered
+    * rows-only (sketch estimates aren't portable SQL);
+    * `AggregatesSpec` pins every estimate within 5% of exact and the
+    * union path against a direct whole-table sketch. */
+  def aggSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val perGroup = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+    val per = perGroup.select(col("o_orderstatus").as("scope"),
+      hll_sketch_estimate(col("sk")).as("n_cust_est"))
+    // the rollup reads ONLY the 3 sketch blobs — no second fact scan
+    val all = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_cust_est"))
+      .select(lit("ALL").as("scope"), col("n_cust_est"))
+    per.unionByName(all).orderBy(col("scope"))
+  }
+
   /** D10: two-phase salted aggregation — the skew pattern for
     * low-cardinality heavy keys (l_returnflag has 3 values, so a direct
     * groupBy lands all 600M rows-per-flag-at-scale on 3 reducers).

@@ -92,4 +92,33 @@ class AggregatesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("D18: sketch-union estimates within 5% of exact; union path merge-consistent") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = ops.Aggregates.aggSketchUnion(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val orders = graft.ops.Util.t(spark, dir, "orders")
+      val exact = orders.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactAll = orders.select(countDistinct(col("o_custkey")))
+        .head().getLong(0)
+      assert(got.keySet == exact.keySet + "ALL", s"scopes diverge at $dir")
+      for ((k, e) <- exact + ("ALL" -> exactAll)) {
+        val a = got(k)
+        assert(math.abs(a - e).toDouble / e <= 0.05,
+          s"$dir scope $k: sketch $a vs exact $e exceeds 5%")
+      }
+      // merge-consistency: the union of the per-group sketches must
+      // agree with ONE whole-table sketch at the same lgK within the
+      // same 5% envelope (the merged composite estimator may differ
+      // from the streaming HIP estimate by design, but not materially)
+      val direct = orders
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), lit(12))).as("n"))
+        .head().getLong(0)
+      assert(math.abs(got("ALL") - direct).toDouble / math.max(direct, 1L) <= 0.05,
+        s"$dir: union ${got("ALL")} vs direct sketch $direct")
+    }
+  }
 }
