@@ -101,4 +101,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rules.contains(graft.plans.AsOfJoinOptimization),
       "optimizer batches must include the injected AsOfJoinOptimization")
   }
+
+  test("the RangeJoinOptimization rule arrives via the extensions path") {
+    val rules = spark.sessionState.optimizer.batches.flatMap(_.rules)
+    assert(rules.contains(graft.plans.RangeJoinOptimization),
+      "optimizer batches must include the injected RangeJoinOptimization")
+  }
+
+  test("joinRange API rejects unknown columns and mismatched key lists") {
+    val df = graft.ops.Util.t(spark, sfDir, "events")
+    val r = df.select(org.apache.spark.sql.functions.col("user_id").as("r_user_id"),
+      org.apache.spark.sql.functions.col("ts").as("r_ts"))
+    intercept[IllegalArgumentException] {
+      graft.plans.RangeJoins.joinRange(df, r,
+        Seq("no_such_col"), Seq("r_user_id"), "ts", "r_ts", 0L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.RangeJoins.joinRange(df, r,
+        Seq("user_id", "event_id"), Seq("r_user_id"), "ts", "r_ts", 0L, 10L)
+    }
+  }
 }
