@@ -15,16 +15,17 @@ import org.apache.spark.sql.functions._
   * (table, code) bucket and re-ranked with exact cosine, so LSH costs
   * recall only, never precision.
   *
-  * Implementation is codegen-friendly throughout: posexplode the
-  * vector once, compute all `Tables × BitsPerTable` hyperplane dots as
-  * plain sum-aggregate columns (hyperplanes are array literals indexed
-  * by dimension), fold sign bits into integer codes, and expand
-  * buckets via sorted collect_list — no interpreted higher-order
+  * Implementation is codegen-friendly throughout: the native
+  * [[graft.functions.HyperplaneCodes]] expression computes every
+  * table's code in one fused per-row loop (no shuffle, no join — a
+  * narrow projection), buckets expand via the skew-capped sorted
+  * collect_list, and re-ranking uses the native
+  * [[graft.functions.CosineSim]] — no interpreted higher-order
   * lambdas and no self-join on the heavy vector data.
   */
 object AnnLsh {
   /** Fixture embedding dimensionality. */
-  val Dim = 64
+  val Dim: Int = graft.functions.HyperplaneCodes.Dim
   /** Up to 8 independent tables of up to 16 sign bits. Callers pick the
     * (tables, bits) operating point per use case — recall at cosine θ is
     * 1-(1-(1-acos(θ)/π)^bits)^tables:
@@ -38,8 +39,8 @@ object AnnLsh {
     * (6-bit dedup codes measured ~780k candidate pairs on random
     * vectors — quadratic blowup; 16-bit codes keep it to a few
     * hundred.) */
-  val MaxTables = 8
-  val MaxBitsPerTable = 16
+  val MaxTables: Int = graft.functions.HyperplaneCodes.MaxTables
+  val MaxBitsPerTable: Int = graft.functions.HyperplaneCodes.MaxBitsPerTable
   val DedupTables = 8
   val DedupBits = 16
   val AnnTables = 4
@@ -56,44 +57,36 @@ object AnnLsh {
     * scan stays one narrow pass. */
   val AnnProbeRadius = 1
 
-  /** Fixed-seed Gaussian hyperplanes — deterministic across JVMs. */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(987654321L)
-    Array.fill(MaxTables * MaxBitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
+  /** Fixed-seed Gaussian hyperplanes — deterministic across JVMs; the
+    * single matrix shared with the corpus-side native expression
+    * ([[graft.functions.HyperplaneCodes]]). */
+  private val planes: Array[Array[Double]] =
+    graft.functions.HyperplaneCodes.planes
 
   /** (id, table_id, code) rows for an (id, float-array) DataFrame,
     * using the first `bits` hyperplanes of each table (coarser codes
     * are prefixes of finer ones).
     *
-    * Shaped as a broadcast join against the hyperplane matrix as
-    * (table, bit, pos, weight) rows: explode the vector once, multiply
-    * through the join, partial-sum to per-(id, table, bit) dots, then
-    * OR the sign bits via a non-overlapping bit sum — every stage is a
-    * codegen'd hash aggregate with map-side combine. (The previous
-    * shape — one wide agg with `Tables × bits` sum columns, each
-    * indexing a 64-double literal array — generated pathological code
-    * and measured ~12s at sf0.1; this shape is ~1s.) */
+    * One narrow codegen'd projection per row — the native
+    * [[graft.functions.HyperplaneCodes]] expression computes all
+    * `tables` codes in a fused loop, then a `posexplode` of the
+    * tables-length result melts to (id, table_id, code) rows. NO
+    * shuffle and no join: the previous best pure-SQL shape (explode
+    * the vector → broadcast-join the plane rows → two hash
+    * aggregations) still pushed corpus × tables × bits partial-dot
+    * rows through the first aggregation's exchange, which at 100 TB
+    * IS the job; the codes are a pure per-row function, so the
+    * extension ladder says scalar Expression (SURVEY §7.3). Dots
+    * accumulate in dimension order — identical to the driver-side
+    * [[queryCodes]], so corpus and probe codes can never disagree by
+    * float reassociation. */
   def codes(df: DataFrame, idCol: String, vecCol: String,
       tables: Int = DedupTables, bits: Int = DedupBits): DataFrame = {
     require(bits >= 1 && bits <= MaxBitsPerTable)
     require(tables >= 1 && tables <= MaxTables)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val planeRows = for {
-      t <- 0 until tables
-      b <- 0 until bits
-      (w, p) <- planes(t * MaxBitsPerTable + b).zipWithIndex
-    } yield (t, b, p, w)
-    val planesDf = planeRows.toDF("table_id", "bit", "pos", "w")
-    df.select(col(idCol), posexplode(col(vecCol)))
-      .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
-      .join(broadcast(planesDf), Seq("pos"))
-      .groupBy(col(idCol), col("table_id"), col("bit"))
-      .agg(sum(col("x") * col("w")).as("dot"))
-      .groupBy(col(idCol), col("table_id"))
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(lit(0)))
-        .cast("int").as("code"))
+    df.select(col(idCol),
+        posexplode(graft.functions.HyperplaneCodes(col(vecCol), tables, bits)))
+      .select(col(idCol), col("pos").as("table_id"), col("col").as("code"))
   }
 
   /** Exact cosine between two double-array columns (plain IEEE double —

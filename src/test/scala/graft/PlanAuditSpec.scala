@@ -127,13 +127,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("join_shuffle_inner").contains("partial"))
   }
 
-  test("dedup_embedding broadcasts the hyperplane matrix (never shuffles it)") {
-    // the codes() stage joins every exploded vector element against the
-    // 8192-row plane matrix — a shuffle there moves the DATA to the
-    // planes; the broadcast moves 8k rows to the data (round-4 verdict
-    // called this plan out as the scale-safe shape — keep it pinned)
-    val p = plan("dedup_embedding")
-    assert(p.contains("BroadcastHashJoin"), "plane join must broadcast")
+  test("LSH codes stage is a narrow projection: no join, no pre-bucket shuffle") {
+    // round 11: the codes() stage became the native HyperplaneCodes
+    // expression — all table codes in one fused per-row loop. The plan
+    // must show the expression in a projection and NO join for the
+    // plane matrix (the old shape broadcast-joined 8k plane rows and
+    // shuffled corpus × tables × bits partial dots into an agg; a
+    // regression to it re-adds the biggest shuffle of the dedup path)
+    val p = graft.ops.AnnLsh.codes(
+        graft.ops.Util.t(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hyperplanecodes"), s"native codes expression missing:\n$p")
+    assert(!p.contains("Join"), s"codes stage must not join:\n$p")
+    assert(!p.contains("Exchange"), s"codes stage must not shuffle:\n$p")
   }
 
   test("LSH dedup paths keep the skew-cap window on the bucket key") {
