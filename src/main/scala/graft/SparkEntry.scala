@@ -25,6 +25,7 @@ object SparkEntry {
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
     "sink_roundtrip_orc" -> (ops.Scans.sinkRoundtripOrc _),
     "sink_roundtrip_json" -> (ops.Scans.sinkRoundtripJson _),
+    "sink_roundtrip_xml" -> (ops.Scans.sinkRoundtripXml _),
     "sink_dsv2_audit" -> (ops.Scans.sinkDsv2Audit _),
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),

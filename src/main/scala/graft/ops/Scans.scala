@@ -105,6 +105,29 @@ object Scans {
       .orderBy(col("c_custkey"), col("c_name"), col("c_bal"))
   }
 
+  /** A14: XML sink round-trip — the hierarchical-interchange format
+    * (Spark 4's built-in `xml` source, the donated spark-xml): the
+    * nation table writes as one `<nation>` row element per record and
+    * reads back under an EXPLICIT schema (schemaless XML infers and
+    * stringly-types exactly like JSON). Entity escaping round-trips
+    * through the writer/reader pair; the oracle scans the ORIGINAL
+    * table, so any serialize/parse drift fails the hash. */
+  def sinkRoundtripXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "xml_roundtrip_")
+    t(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "nation").option("rootTag", "nations")
+      .save(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.format("xml")
+      .option("rowTag", "nation").schema(schema).load(out)
+      .orderBy(col("n_nationkey"))
+  }
+
   /** A13: DSv2 manifest-committed sink round-trip — the WRITE rung of
     * the DSv2 ladder beside the [[graft.sources.CensusSource]] read
     * rung: a typed orders slice writes through

@@ -128,6 +128,13 @@ object OracleSql {
         |FROM customer
         |ORDER BY c_custkey, c_name, c_bal""".stripMargin,
 
+    // XML round-trip: the oracle scans the ORIGINAL table — any
+    // writer/reader (escaping, typing) drift fails the hash
+    "sink_roundtrip_xml" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
     "sink_append_audit_log" ->
       """SELECT event_id,
         |  CAST(json_object('x-ratelimit-remaining', CAST(event_id AS VARCHAR))
