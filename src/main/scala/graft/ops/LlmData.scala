@@ -493,8 +493,12 @@ object LlmData {
     * unit-tested with planted near-dups in `MinHashSpec`, and precision
     * is exact by construction (only recall depends on the bands). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
-    jaccardVerified(MinHash.candidatePairs(rows, "doc_id"),
+    val docs = t(spark, sfDir, "documents")
+    // candidates via the native per-row signature expression (no
+    // shingle explode/agg on the LSH branch); the Jaccard verification
+    // branch still builds the (id, shingle-set) relation it needs
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+    jaccardVerified(MinHash.candidatePairsFromText(docs, "doc_id", "text"),
         MinHash.shingleSets(rows, "doc_id").drop("bucket"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -695,7 +699,8 @@ object LlmData {
         coalesce(max(col("n")), lit(0L)).as("ngram_max_bucket"),
         coalesce(sum(greatest(col("n") - cap, lit(0L))), lit(0L))
           .as("ngram_overflow"))
-    val mh = MinHash.buckets(rows, "doc_id")
+    val mh = MinHash.bucketsFromText(
+        t(spark, sfDir, "documents"), "doc_id", "text")
       .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("minhash_overflow"))
     val emb = Buckets.members(
         AnnLsh.codes(t(spark, sfDir, "embeddings"), "vec_id", "embedding"),

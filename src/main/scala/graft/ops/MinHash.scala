@@ -31,22 +31,20 @@ import org.apache.spark.sql.functions._
   * `graft.MinHashSpec`.
   */
 object MinHash {
-  /** Signature length. */
-  val K = 32
+  /** Signature length (shared with the native
+    * [[graft.functions.MinHashSig]] per-row expression). */
+  val K: Int = graft.functions.MinHashSig.K
   /** Bands × rows-per-band factorization of K. */
   val Bands = 8
   val RowsPerBand = 4
   /** Mersenne prime 2^61-1: (a*h+b) mod P stays exact in Long arithmetic
     * (|h| < 2^32, a,b < 2^31 → |a*h+b| < 2^63). */
-  val P = 2305843009213693951L
+  val P: Long = graft.functions.MinHashSig.P
 
-  /** Fixed-seed affine hash parameters — deterministic across JVMs. */
-  private val (as, bs): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(1234567L)
-    val a = Array.fill(K)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L)
-    val b = Array.fill(K)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
+  /** Fixed-seed affine hash parameters — deterministic across JVMs;
+    * the single source shared with [[graft.functions.MinHashSig]]. */
+  private val (as, bs): (Array[Long], Array[Long]) =
+    (graft.functions.MinHashSig.as, graft.functions.MinHashSig.bs)
 
   /** Token 3-gram shingle rows (NOT distinct) of a whitespace-tokenized
     * text column: one (id, shingle) row per trigram window. Built with
@@ -109,6 +107,36 @@ object MinHash {
       cap: Int = Buckets.MaxBucket): DataFrame =
     Buckets.members(banded(signatures(rows, idCol), idCol),
       Seq("band_id", "band_hash"), col(idCol), col(idCol), cap)
+
+  /** Per-row signature path: the native [[graft.functions.MinHashSig]]
+    * expression computes each doc's full K-column signature in one
+    * fused loop — no shingle explode, no aggregate, no shuffle before
+    * banding. Output schema identical to [[signatures]] (sig_0..sig_31
+    * per id); docs with < 3 tokens drop, exactly like the agg path.
+    * Row-for-row equality with the row-based path is pinned in
+    * `MinHashSpec` (min over the same integer multiset — bit-exact,
+    * not approximate). */
+  def signaturesFromText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.MinHashSig(col(textCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until K).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
+
+  /** [[buckets]] through the per-row signature path. */
+  def bucketsFromText(df: DataFrame, idCol: String, textCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame =
+    Buckets.members(banded(signaturesFromText(df, idCol, textCol), idCol),
+      Seq("band_id", "band_hash"), col(idCol), col(idCol), cap)
+
+  /** [[candidatePairs]] through the per-row signature path. */
+  def candidatePairsFromText(df: DataFrame, idCol: String, textCol: String,
+      cap: Int = Buckets.MaxBucket): DataFrame =
+    bucketsFromText(df, idCol, textCol, cap)
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
 
   /** Candidate pairs (doc_a < doc_b) from banded LSH over (id, shingle)
     * rows. One shuffle to the signature agg, one to the bucket agg;

@@ -47,6 +47,36 @@ class MinHashSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("native per-row signatures equal the row-based aggregate bit-for-bit") {
+    import spark.implicits._
+    // the EXACTNESS contract of graft.functions.MinHashSig: same
+    // split/concat_ws/murmur3 primitives, same affine params, min over
+    // the same integer multiset — any drift (tokenizer, seed, pmod)
+    // breaks this, including on short docs (< 3 tokens must DROP, not
+    // return a sentinel signature) and docs with repeated/empty tokens
+    val docs = corpus().toDF("doc_id", "text")
+      .union(Seq(
+        (100L, "a b"),                // < 3 tokens: no signature
+        (101L, "a  b c d"),           // double space: empty token
+        (102L, "x x x x"),            // degenerate repeats
+        (103L, "tail space c ")       // trailing empty token
+      ).toDF("doc_id", "text"))
+    val agg = MinHash.signatures(
+        MinHash.shingleRows(docs, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = MinHash.signaturesFromText(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow == agg)
+    assert(agg.nonEmpty)
+    // and the candidate relation is identical through both paths
+    val a = MinHash.candidatePairs(
+        MinHash.shingleRows(docs, "doc_id", "text"), "doc_id")
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val b = MinHash.candidatePairsFromText(docs, "doc_id", "text")
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("planted near-dup pair is a candidate; distractors are not") {
     val cand = MinHash.candidatePairs(rowsDf(), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
