@@ -508,12 +508,10 @@ object LlmData {
     * (8-byte fingerprint per doc, O(1) verification per candidate).
     * Registered rows-only (xxhash64 isn't portable SQL); mechanics
     * unit-tested with planted near-dups in `SimHashSpec`. */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    SimHash.nearDupPairs(toks, "doc_id", "token", maxDist = 3)
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    SimHash.nearDupPairsFromText(t(spark, sfDir, "documents"),
+        "doc_id", "text", maxDist = 3)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Approximate nearest neighbors of vec_id=0 via sign-hyperplane LSH
     * ([[AnnLsh]]) with exact-cosine re-rank — the scale path next to the

@@ -40,6 +40,26 @@ object SimHash {
       .select(col(idCol), fp.as("simhash"))
   }
 
+  /** Per-row fingerprint path: the native
+    * [[graft.functions.SimHashFp]] expression folds each doc's
+    * fingerprint in one fused loop — no token explode, no aggregate,
+    * no shuffle before banding. Output schema identical to
+    * [[fingerprints]]; bit-for-bit equality is pinned in
+    * `SimHashSpec` (integer counter sums are commutative — exact, not
+    * approximate). */
+  def fingerprintsFromText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashFp(col(textCol)).as("simhash"))
+
+  /** [[nearDupPairs]] through the per-row fingerprint path. */
+  def nearDupPairsFromText(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    candidatePairs(fingerprintsFromText(df, idCol, textCol), idCol)
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
   /** 16-bit band slice b of the simhash column. */
   private def bandSlice(b: Int): Column =
     expr(s"(simhash >> ${b * BitsPerBand}) & 65535")

@@ -44,6 +44,28 @@ class SimHashSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("native per-row fingerprints equal the row-based aggregate bit-for-bit") {
+    import spark.implicits._
+    // the EXACTNESS contract of graft.functions.SimHashFp: same
+    // split/xxhash64 primitives, commutative integer counter sums,
+    // identical zero-counter tie rule — including empty text (one
+    // empty token), repeated tokens, and double spaces
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 500).map(i => s"w$i")
+    val docs = ((1L to 40L).map(i =>
+        i -> (0 until 50).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq(100L -> "", 101L -> "a  b", 102L -> "x x x", 103L -> "solo"))
+      .toDF("doc_id", "text")
+    val agg = SimHash.fingerprints(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+        "doc_id", "token")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = SimHash.fingerprintsFromText(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow == agg)
+    assert(agg.size == 44)
+  }
+
   test("dedup_simhash query runs; every pair respects the Hamming bound") {
     val out = ops.LlmData.dedupSimhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
