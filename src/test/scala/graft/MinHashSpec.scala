@@ -77,6 +77,27 @@ class MinHashSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("native signatures match on randomized multibyte unicode text") {
+    import spark.implicits._
+    // murmur3 runs over UTF-8 BYTES — multibyte codepoints are where a
+    // byte-offset/length bug in the native kernel would diverge from
+    // the SQL composition while pure-ASCII corpora stay green
+    val rnd = new scala.util.Random(17)
+    val alphabet = "αβγδε中文字象형글ñüé😀𝕏" + "abcxyz"
+    val cps = alphabet.codePoints().toArray
+    def word() = Array.fill(1 + rnd.nextInt(4))(cps(rnd.nextInt(cps.length)))
+      .flatMap(Character.toChars).mkString
+    val docs = (1L to 30L).map(i =>
+      i -> (0 until 20).map(_ => word()).mkString(" ")).toDF("doc_id", "text")
+    val agg = MinHash.signatures(
+        MinHash.shingleRows(docs, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = MinHash.signaturesFromText(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow == agg)
+    assert(agg.size == 30)
+  }
+
   test("planted near-dup pair is a candidate; distractors are not") {
     val cand = MinHash.candidatePairs(rowsDf(), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -66,6 +66,26 @@ class SimHashSpec extends SparkTestBase {
     assert(agg.size == 44)
   }
 
+  test("native fingerprints match on randomized multibyte unicode text") {
+    import spark.implicits._
+    // xxhash64 runs over UTF-8 BYTES — multibyte codepoints are where
+    // a byte-offset/length bug in the native kernel would diverge
+    val rnd = new scala.util.Random(19)
+    val cps = ("αβγδε中文字象형글ñüé😀𝕏" + "abcxyz").codePoints().toArray
+    def word() = Array.fill(1 + rnd.nextInt(4))(cps(rnd.nextInt(cps.length)))
+      .flatMap(Character.toChars).mkString
+    val docs = (1L to 30L).map(i =>
+      i -> (0 until 25).map(_ => word()).mkString(" ")).toDF("doc_id", "text")
+    val agg = SimHash.fingerprints(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+        "doc_id", "token")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = SimHash.fingerprintsFromText(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow == agg)
+    assert(agg.size == 30)
+  }
+
   test("dedup_simhash query runs; every pair respects the Hamming bound") {
     val out = ops.LlmData.dedupSimhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
