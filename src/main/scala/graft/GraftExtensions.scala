@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNGrams, CosineSim, RollingHash}
+import graft.functions.{CharNGrams, CosineSim, HyperplaneCodes, MinHashSig, RollingHash, SimHashFp}
 
 /** Session-extensions installer: makes the engine's custom expressions
   * available to every session created with
@@ -71,6 +71,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s) => RollingHash(s)
         case _ => throw new IllegalArgumentException(
           "rolling_hash(str) takes exactly one argument")
+      }))
+    // the LSH signature kernels (round 11): per-row MinHash signature,
+    // SimHash fingerprint, and sign-hyperplane codes — SQL-callable so
+    // a pipeline can persist signatures/fingerprints next to its docs
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => MinHashSig(s)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text) takes exactly one argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => SimHashFp(s)
+        case _ => throw new IllegalArgumentException(
+          "simhash_fp(text) takes exactly one argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_codes"),
+      new ExpressionInfo(classOf[HyperplaneCodes].getName, "hyperplane_codes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v,
+            org.apache.spark.sql.catalyst.expressions.Literal(t,
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(b,
+              org.apache.spark.sql.types.IntegerType)) =>
+          HyperplaneCodes(v, t.asInstanceOf[Int], b.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_codes(vec, tables:int literal, bits:int literal)")
       }))
   }
 }

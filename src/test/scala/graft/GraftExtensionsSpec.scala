@@ -108,6 +108,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       "optimizer batches must include the injected RangeJoinOptimization")
   }
 
+  test("LSH kernel functions resolve from SQL (minhash_sig/simhash_fp/hyperplane_codes)") {
+    import graft.functions.{MinHashSig, SimHashFp}
+    import org.apache.spark.unsafe.types.UTF8String
+    val sig = spark.sql("SELECT minhash_sig('a b c d') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig == MinHashSig.compute(UTF8String.fromString("a b c d"))
+      .toLongArray.toSeq)
+    val fp = spark.sql("SELECT simhash_fp('a b c') AS f")
+      .collect().head.getLong(0)
+    assert(fp == SimHashFp.compute(UTF8String.fromString("a b c")))
+    val codes = spark.sql(
+        "SELECT hyperplane_codes(array(CAST(1.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)), 2, 4) AS c")
+      .collect().head.getSeq[Int](0)
+    assert(codes.length == 2)
+  }
+
   test("joinRange API rejects unknown columns and mismatched key lists") {
     val df = graft.ops.Util.t(spark, sfDir, "events")
     val r = df.select(org.apache.spark.sql.functions.col("user_id").as("r_user_id"),
