@@ -118,9 +118,15 @@ object MinHash {
     * not approximate). */
   def signaturesFromText(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol),
+    df
+      // the kernel's only NULL case is < 3 tokens (no shingles); gate
+      // on the cheap token count rather than `__sig IS NOT NULL` — the
+      // optimizer pushes the filter below the signature projection by
+      // SUBSTITUTING the expression, which would evaluate the whole
+      // kernel twice per row (seen in the executed plan)
+      .filter(size(split(col(textCol), " ", -1)) >= 3)
+      .select(col(idCol),
         graft.functions.MinHashSig(col(textCol)).as("__sig"))
-      .filter(col("__sig").isNotNull)
       .select(col(idCol) +:
         (0 until K).map(i => col("__sig").getItem(i).as(s"sig_$i")): _*)
 
