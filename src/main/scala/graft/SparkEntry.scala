@@ -119,6 +119,9 @@ object SparkEntry {
     "funnel_conversion" -> (ops.Events.funnelConversion _),
     "retention_cohorts" -> (ops.Events.retentionCohorts _),
     "path_transitions" -> (ops.Events.pathTransitions _),
+    "sessionize_batch" -> (ops.Events.sessionizeBatch _),
+    // L — graph analytics
+    "graph_triangles" -> (ops.Graphs.graphTriangles _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),
@@ -157,6 +160,9 @@ object SparkEntry {
     "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),
+    "sample_reservoir" -> (ops.LlmData.sampleReservoir _),
+    "corpus_mix" -> (ops.LlmData.corpusMix _),
+    "dedup_containment" -> (ops.LlmData.dedupContainment _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
     "multimodal_decode" -> (ops.LlmData.multimodalDecode _),
     "multimodal_features" -> (ops.LlmData.multimodalFeatures _),

@@ -93,4 +93,46 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy(col("cohort_day"), col("offset_week"))
   }
+
+  /** J16: batch gap sessionization — the offline companion to the J3/J10
+    * streaming session windows: per user, events in (ts, event_id) order
+    * split into sessions wherever the gap to the previous event exceeds
+    * 30 minutes (lag + cumulative new-session flag — the standard
+    * island-numbering movement), then per-user session metrics: session
+    * count, event count, exact-decimal events-per-session, and total
+    * active micros (sum of per-session max−min). All integer micro
+    * arithmetic — exact in both engines.
+    *
+    * Scale shape: ONE window pass partitioned by `user_id` (the
+    * high-cardinality key — no single-task window), and the session
+    * roll-up re-shuffles on (user_id, session_id) whose partial aggs
+    * combine map-side. No broadcast, no collect; at 100× the plan is
+    * unchanged. */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeEvents(t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      gapUs = 1800000000L)
+
+  /** The sessionization core over an arbitrary (user_id, event_id, tus)
+    * frame — separated so the session laws are pinnable on synthetic
+    * logs with known gap structure (`EventsSpec`). */
+  def sessionizeEvents(ev: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sessions = ev
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        dbl(dec(sum(col("n_ev"))) / count(lit(1))).as("events_per_session"),
+        sum(col("dur_us")).as("active_us"))
+      .orderBy(col("user_id"))
+  }
 }

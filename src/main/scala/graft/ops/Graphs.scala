@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Graph analytics over warehouse-shaped co-occurrence data — the
+  * engine's graph rung beside the dedup family's connected components
+  * ([[graft.ops.Components]]). The fixture graph: parts are nodes, two
+  * parts share an undirected edge when some order contains both
+  * (market-basket co-occurrence — the same construction a link-graph
+  * or co-citation pipeline uses).
+  *
+  * Scale notes: edge generation groups by order key with the shared
+  * skew-capped [[Buckets.members]] (TPC-H orders hold ≤ 7 lineitems,
+  * but the cap makes a degenerate mega-order bounded instead of
+  * quadratic). Triangle counting uses the DEGREE-ORIENTATION algorithm:
+  * every edge is directed from its lower-(degree, id) endpoint to the
+  * higher, which bounds each node's out-degree by O(√m), so the wedge
+  * join materializes Σ C(outdeg, 2) = O(m^1.5) rows worst case instead
+  * of the Σ C(deg, 2) a naive neighbor self-join pays on skewed
+  * degrees (the hub node that melts a 100-TB run). The wedge self-join
+  * reads the same oriented-edge subplan twice — identical exchanges,
+  * which Spark's ReuseExchange collapses to one shuffle write.
+  */
+object Graphs {
+
+  /** Triangle census: nodes, edges, wedges (open two-paths), exact
+    * triangle count, and the global clustering coefficient
+    * 3·T / wedges — all integer arithmetic except the one final
+    * exact-decimal ratio. One row. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // significant positions only (quantity ≥ 25, pushed to the scan):
+    // co-occurrence pair counts grow quadratically in positions per
+    // order, so the filter cuts the wedge volume ~14× while leaving a
+    // rich graph at every fixture scale — the same basket-support
+    // pruning a market-basket pipeline applies before pair expansion
+    val pn = t(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("node"))
+      .distinct()
+    val edges = Buckets.members(pn, Seq("okey"), col("node"), col("node"))
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+    triangleCensus(edges)
+  }
+
+  /** The census core over an arbitrary distinct undirected edge list
+    * (`u` < `v`, both integral) — separated so the graph laws are
+    * pinnable on known graphs (`GraphsSpec`) independent of the
+    * co-occurrence construction. */
+  def triangleCensus(rawEdges: DataFrame): DataFrame = {
+    // materialize the edge list ONCE (eager localCheckpoint — the
+    // Components lineage-truncation discipline): the census reads it
+    // from five plan branches (degrees, stats, the oriented join, and
+    // the wedge self-join twice); without truncation each branch
+    // re-derives the co-occurrence expansion from the base scan. A
+    // production pipeline persists the built graph for the same reason.
+    val edges = rawEdges.localCheckpoint(true)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // n_nodes / n_edges / n_wedges in ONE pass over the degree table
+    // (n_edges = Σd / 2 — edges never re-scanned for a plain count)
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) DIV 2").as("n_edges"),
+      sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+    // orient low→high by (degree, id): out-degree ≤ O(√m)
+    val du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    val dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val fwd = edges.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("x"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("y"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dy"))
+      .localCheckpoint(true)
+    // wedge at x over canonically-ordered out-neighbor pairs; the
+    // closing edge, if present, is oriented y1→y2 by the same total
+    // order, so one equi-join closes the triangle exactly once
+    val e1 = fwd.select(col("x").as("x1"), col("y").as("y1"), col("dy").as("d1"))
+    val e2 = fwd.select(col("x").as("x2"), col("y").as("y2"), col("dy").as("d2"))
+    val closer = fwd.select(col("x").as("cx"), col("y").as("cy"))
+    val tri = e1.join(e2,
+        col("x1") === col("x2") &&
+          (col("d1") < col("d2") || (col("d1") === col("d2") && col("y1") < col("y2"))))
+      .join(closer, col("y1") === col("cx") && col("y2") === col("cy"))
+      .agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(dbl(dec(col("n_triangles") * 3) / col("n_wedges")))
+          .as("clustering"))
+  }
+}

@@ -361,6 +361,74 @@ object LlmData {
       .orderBy(col("shard"))
   }
 
+  /** K42: deterministic fixed-size uniform sample — the distributed
+    * reservoir: each doc draws a priority (the md5 32-bit draw of
+    * [[sampleHashBernoulli]], salt 'res') and the corpus keeps the k
+    * smallest priorities globally. Equivalent in distribution to
+    * reservoir sampling but with none of its sequential state: the
+    * draw is a pure function of doc_id, so the sample is reproducible
+    * across runs, partitionings, and retries, and the physical plan is
+    * TakeOrderedAndProject — each partition keeps its local top-k and
+    * only k rows per partition reach the driver-side merge, never a
+    * global sort. The full-row payload joins AFTER selection at scale;
+    * at fixture size the projection is narrow enough to carry
+    * through. */
+  def sampleReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 100
+    val draw = conv(substring(md5(concat(lit("res"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        draw.as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
+  /** K43: weighted corpus mixing — the rebalancing step that turns raw
+    * per-language availability into a target mix (the epoch-weighting
+    * every multilingual training corpus applies). Target shares are
+    * integer per-mille weights over a budget of half the corpus;
+    * per-language acceptance thresholds are derived with pure BIGINT
+    * arithmetic (threshold = 2^32 · target / available, capped at
+    * 2^32 — a language short of its target keeps everything, reported
+    * as fill_ratio < 1 rather than silently upsampled), and each doc's
+    * keep decision is the [[sampleHashBernoulli]] md5 draw (salt
+    * 'mix') against its language's threshold: reproducible, stateless,
+    * retry-stable. The language-cardinality frames (counts,
+    * thresholds) are broadcast BY CONSTRUCTION — the lang domain is
+    * bounded (~hundreds at web scale), unlike the user-cardinality
+    * frames the event queries must never hint. Two partial-agg passes
+    * + one broadcast join. */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val wpm = Map("de" -> 150L, "en" -> 400L, "es" -> 150L,
+      "fr" -> 150L, "zh" -> 150L)
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val wExpr = wpm.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc) }
+    // all integer arithmetic via DIV (long division — Spark's `/` is
+    // IEEE double division, a floor-rounding hazard DuckDB's `//`
+    // doesn't share); the budget/threshold math must be bit-exact in
+    // both engines
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("wpm", wExpr)
+      .withColumn("n_target", expr("(wpm * (total DIV 2)) DIV 1000"))
+      .withColumn("threshold",
+        least(lit(4294967296L), expr("(4294967296 * n_target) DIV n_docs")))
+      .select(col("lang"), col("n_docs"), col("n_target"), col("threshold"))
+    val draw = conv(substring(md5(concat(lit("mix"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(perLang), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_target")).as("n_target"),
+        sum(when(draw < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_target"), col("n_kept"),
+        dbl(dec(col("n_kept")) / col("n_target")).as("fill_ratio"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
     * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
     * ([[dedupMinhash]]) generators. Melts each pair to its two member
@@ -368,17 +436,7 @@ object LlmData {
     * join-backs would recompute them per branch); after regrouping,
     * sort_array puts the doc_a member first (doc_a < doc_b). */
   private def jaccardVerified(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val two = cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(docs, Seq("doc_id"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
-        .as("members"))
-      .select(col("doc_a"), col("doc_b"),
-        element_at(col("members"), 1).getField("shingles").as("sh_a"),
-        element_at(col("members"), 2).getField("shingles").as("sh_b"))
-    two
+    pairShingleSides(cand, docs)
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
@@ -391,6 +449,24 @@ object LlmData {
     // charge every downstream query a global range exchange for an
     // ordering it immediately destroys
   }
+
+  /** The pair-verification melt: each (doc_a, doc_b) candidate melts to
+    * its two member ids and joins the per-doc shingle sets ONCE (two
+    * separate join-backs would recompute them per branch); after
+    * regrouping, sort_array puts the doc_a member first (doc_a <
+    * doc_b). Shared by [[jaccardVerified]] and [[dedupContainment]] —
+    * one movement, two similarity measures. */
+  private def pairShingleSides(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
+        .as("members"))
+      .select(col("doc_a"), col("doc_b"),
+        element_at(col("members"), 1).getField("shingles").as("sh_a"),
+        element_at(col("members"), 2).getField("shingles").as("sh_b"))
 
   /** Near-dup detection: token-trigram shingles, candidates bucketed by
     * min-shingle (k=1 identity-hash MinHash band — no all-pairs), Jaccard
@@ -642,6 +718,44 @@ object LlmData {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** K41: asymmetric n-gram containment over the min-shingle candidate
+    * pairs — the sub-duplicate view Jaccard under-reports: when a short
+    * document is wholly embedded in a long one, the union in
+    * J = |A∩B| / |A∪B| is dominated by the long side and the pair can
+    * miss the 0.5 near-dup gate, while containment
+    * C(X in Y) = |X∩Y| / |X| of the SMALLER side is ~1.0. A curation
+    * pipeline uses the asymmetric pair (c_ab, c_ba) to pick the
+    * subsumption direction (drop the contained doc, keep the
+    * container), where keep-best's symmetric quality pick is wrong.
+    *
+    * Scale shape: identical to K6 — skew-capped min-shingle buckets
+    * generate candidates (never all-pairs), [[pairShingleSides]] melts
+    * each pair and joins the shingle sets once, then two exact-decimal
+    * divisions. The k=1 min-shingle band recalls symmetric near-dups;
+    * full subsumption recall at scale adds a bottom-k band per doc
+    * (prefix filtering) — same bucket machinery, more bands, noted
+    * rather than built because the candidate generator is shared with
+    * the oracle. Threshold: max(c_ab, c_ba) ≥ 0.5, a superset of the
+    * K6 pair set (C ≥ J always). */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
+    val buckets = rows.groupBy(col("doc_id")).agg(min(col("shingle")).as("bucket"))
+    val cand = Buckets.members(buckets,
+        Seq("bucket"), col("doc_id"), col("doc_id"))
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    pairShingleSides(cand, MinHash.shingleSets(rows, "doc_id").drop("bucket"))
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("c_ab", dbl(dec(col("n_shared")) / size(col("sh_a"))))
+      .withColumn("c_ba", dbl(dec(col("n_shared")) / size(col("sh_b"))))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= 0.5d)
+      .select(col("doc_a"), col("doc_b"), col("n_shared").cast("long").as("n_shared"),
+        col("c_ab"), col("c_ba"),
+        when(col("c_ab") >= col("c_ba"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** K22: the end-to-end dedup pipeline probe — pairs → connected

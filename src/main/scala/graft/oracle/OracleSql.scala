@@ -950,6 +950,81 @@ object OracleSql {
          |FROM tr JOIN tot t ON tr.from_type = t.from_type
          |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
+    // batch gap sessionization: 30-min-gap island numbering (lag +
+    // cumulative new-session flag) in (ts, event_id) order, per-user
+    // session metrics — all integer micro arithmetic
+    "sessionize_batch" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+         |), fl AS (
+         |  SELECT user_id, event_id, tus,
+         |    CASE WHEN lag(tus) OVER w IS NULL
+         |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+         |), sid AS (
+         |  SELECT user_id, tus,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM fl
+         |), s AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_ev,
+         |    MAX(tus) - MIN(tus) AS dur_us
+         |  FROM sid GROUP BY user_id, session_id
+         |)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         |  ${dbl(s"${dec("SUM(n_ev)")} / COUNT(*)")} AS events_per_session,
+         |  CAST(SUM(dur_us) AS BIGINT) AS active_us
+         |FROM s GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
+
+    // triangle census of the part co-occurrence graph (edges = part
+    // pairs sharing an order), via the same degree-orientation the
+    // engine uses: direct each edge low→high by (degree, id), wedge
+    // join on canonically-ordered out-pairs, one equi-join closes each
+    // triangle exactly once
+    "graph_triangles" ->
+      s"""WITH pn AS (
+         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
+         |  WHERE l_quantity >= 25
+         |), e AS (
+         |  SELECT DISTINCT a.node AS u, b.node AS v
+         |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
+         |), deg AS (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+         |  ) GROUP BY node
+         |), fwd AS (
+         |  SELECT
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.u ELSE e.v END AS x,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.v ELSE e.u END AS y,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN dv.d ELSE du.d END AS dy
+         |  FROM e
+         |  JOIN deg du ON e.u = du.node
+         |  JOIN deg dv ON e.v = dv.node
+         |), tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM fwd e1
+         |  JOIN fwd e2 ON e1.x = e2.x
+         |    AND (e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y))
+         |  JOIN fwd e3 ON e3.x = e1.y AND e3.y = e2.y
+         |), st AS (
+         |  SELECT COUNT(*) AS n_nodes, SUM(d) // 2 AS n_edges,
+         |    SUM((d * (d - 1)) // 2) AS n_wedges
+         |  FROM deg
+         |)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN NULL
+         |    ELSE ${dbl(s"${dec("n_triangles * 3")} / n_wedges")} END AS clustering
+         |FROM st, tri""".stripMargin,
+
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as
     // graft.ops.Layout.spread16 — and report per-16-bit-prefix-bucket
@@ -987,6 +1062,34 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+
+    // asymmetric containment over the SAME min-shingle candidate pairs
+    // (and the same skew-cap rank): C(X in Y) = |X∩Y| / |X| per side,
+    // kept when either direction ≥ 0.5; contained_doc picks the more-
+    // contained side (ties → doc_a, matching the engine's >=)
+    "dedup_containment" ->
+      s"""WITH $shingleCtes, rk AS (
+         |  SELECT doc_id, shingles, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |  FROM bk
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.shingles, b.shingles)) AS n_shared,
+         |    len(a.shingles) AS n_a, len(b.shingles) AS n_b
+         |  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE a.rn <= ${graft.ops.Buckets.MaxBucket}
+         |    AND b.rn <= ${graft.ops.Buckets.MaxBucket}
+         |), sc AS (
+         |  SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |    ${dbl(s"${dec("n_shared")} / n_a")} AS c_ab,
+         |    ${dbl(s"${dec("n_shared")} / n_b")} AS c_ba
+         |  FROM pairs
+         |)
+         |SELECT doc_a, doc_b, n_shared, c_ab, c_ba,
+         |  CASE WHEN c_ab >= c_ba THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM sc
+         |WHERE GREATEST(c_ab, c_ba) >= CAST(0.5 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // min-label closure over the SAME pair relation: every label
     // reachable from a vertex is enumerated by the recursive CTE
@@ -1329,6 +1432,50 @@ object OracleSql {
          |FROM draws
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+
+    // deterministic fixed-size sample: md5-priority (salt 'res'), keep
+    // the 100 globally-smallest priorities — the distributed reservoir
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, source, n_chars, priority FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ('0x' || substr(md5('res' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS priority
+        |  FROM documents
+        |  ORDER BY priority, doc_id
+        |  LIMIT 100
+        |)
+        |ORDER BY doc_id""".stripMargin,
+
+    // weighted corpus mixing: integer per-mille targets over a
+    // half-corpus budget, BIGINT threshold = 2^32·target/available
+    // (capped — shortfall reported, never upsampled), md5 draw salt
+    // 'mix'; all integer arithmetic up to the one final ratio
+    "corpus_mix" ->
+      s"""WITH pl AS (
+         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+         |), tg AS (
+         |  SELECT lang, n_docs,
+         |    (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 150 WHEN 'es' THEN 150
+         |       WHEN 'fr' THEN 150 WHEN 'zh' THEN 150 ELSE 0 END
+         |     * (SUM(n_docs) OVER () // 2)) // 1000 AS n_target
+         |  FROM pl
+         |), th AS (
+         |  SELECT lang, n_docs, n_target,
+         |    LEAST(4294967296, (4294967296 * n_target) // n_docs) AS threshold
+         |  FROM tg
+         |), kept AS (
+         |  SELECT d.lang,
+         |    SUM(CASE WHEN ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |          < t.threshold THEN 1 ELSE 0 END) AS n_kept
+         |  FROM documents d JOIN th t ON d.lang = t.lang
+         |  GROUP BY d.lang
+         |)
+         |SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(t.n_target AS BIGINT) AS n_target,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept,
+         |  ${dbl(s"${dec("k.n_kept")} / t.n_target")} AS fill_ratio
+         |FROM th t JOIN kept k ON t.lang = k.lang
+         |ORDER BY t.lang""".stripMargin,
 
     // unigram Shannon entropy: per-term c*ln(c) rounded to 9dp and
     // summed as exact decimal (associative — a raw float SUM would

@@ -18,6 +18,44 @@ class EventsSpec extends SparkTestBase {
     assert(total == nEvents - nUsers)
   }
 
+  test("sessionize splits exactly at gaps > gapUs on a known log (J16)") {
+    import spark.implicits._
+    val min = 60000000L // one minute in micros
+    // user 1: events at 0, 10, 20 min (one session), then 60, 65 min
+    // (second session: 40-min gap), then 200 min (third, singleton)
+    // user 2: one event (one singleton session)
+    val ev = Seq(
+      (1L, 1L, 0L * min), (1L, 2L, 10L * min), (1L, 3L, 20L * min),
+      (1L, 4L, 60L * min), (1L, 5L, 65L * min), (1L, 6L, 200L * min),
+      (2L, 7L, 5L * min)
+    ).toDF("user_id", "event_id", "tus")
+    val out = Events.sessionizeEvents(ev, gapUs = 30L * min)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // user 1: 3 sessions, 6 events, active = (20-0) + (65-60) + 0 min
+    assert(out(1L) == ((3L, 6L, 25L * min)))
+    // user 2: 1 singleton session, zero duration
+    assert(out(2L) == ((1L, 1L, 0L)))
+  }
+
+  test("sessionize conserves events and bounds sessions (J16)") {
+    val ev = Util.t(spark, sfDir, "events")
+    val out = Events.sessionizeBatch(spark, sfDir)
+    assert(out.agg(sum(col("n_events"))).collect()(0).getLong(0) == ev.count())
+    assert(out.count() == ev.select(col("user_id")).distinct().count())
+    val bad = out.filter(col("n_sessions") < 1 ||
+      col("n_sessions") > col("n_events")).count()
+    assert(bad == 0)
+  }
+
+  test("a tie on tus stays within one session regardless of event_id order (J16)") {
+    import spark.implicits._
+    val ev = Seq((1L, 2L, 100L), (1L, 1L, 100L), (1L, 3L, 100L))
+      .toDF("user_id", "event_id", "tus")
+    val r = Events.sessionizeEvents(ev, gapUs = 1L).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
+  }
+
   test("path transition shares sum to 1 per source type (J13)") {
     val bad = Events.pathTransitions(spark, sfDir)
       .groupBy(col("from_type")).agg(sum(col("share")).as("s"))

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Graphs
+import org.apache.spark.sql.DataFrame
+
+/** Pins the triangle-census core on graphs with known closed-form
+  * answers (the oracle pins the fixture co-occurrence graph; these pin
+  * the algorithm — degree orientation, wedge closure, each triangle
+  * counted exactly once). */
+class GraphsSpec extends SparkTestBase {
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Option[Double]) = {
+    import spark.implicits._
+    val df: DataFrame = edges.toDF("u", "v")
+    val r = Graphs.triangleCensus(df).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+  }
+
+  test("K4 complete graph: 4 triangles, clustering 1.0") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val (n, m, w, t, c) = census(k4)
+    assert(n == 4 && m == 6 && w == 12 && t == 4)
+    assert(c.contains(1.0))
+  }
+
+  test("path graph has wedges but no triangles") {
+    val (n, m, w, t, c) = census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(n == 4 && m == 3 && w == 2 && t == 0)
+    assert(c.contains(0.0))
+  }
+
+  test("star graph: hub wedges, zero triangles (orientation bounds the hub)") {
+    val star = (2L to 9L).map(i => (1L, i))
+    val (n, m, w, t, _) = census(star)
+    assert(n == 9 && m == 8 && w == 28 && t == 0)
+  }
+
+  test("single edge: no wedges, clustering NULL") {
+    val (n, m, w, t, c) = census(Seq((1L, 2L)))
+    assert(n == 2 && m == 1 && w == 0 && t == 0)
+    assert(c.isEmpty)
+  }
+
+  test("two triangles sharing an edge (bowtie-ish): exact count 2") {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (_, m, _, t, _) = census(g)
+    assert(m == 5 && t == 2)
+  }
+
+  test("fixture co-occurrence census is internally consistent") {
+    val r = Graphs.graphTriangles(spark, sfDir).collect()(0)
+    val (n, m, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && m > 0)
+    // every triangle closes 3 wedges; 3T never exceeds the wedge count
+    assert(3 * t <= w)
+    // m ≤ C(n,2); w ≤ m·(max possible shared endpoint degree) sanity
+    assert(m <= n * (n - 1) / 2)
+  }
+}

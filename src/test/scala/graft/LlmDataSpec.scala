@@ -102,4 +102,79 @@ class LlmDataSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == nToks)
     assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
   }
+
+  test("containment pairs are a superset of the Jaccard pairs (K41)") {
+    // C(X in Y) ≥ J(X,Y) always, and both ops share the min-shingle
+    // candidate generator — so every K6 pair at J ≥ 0.5 must reappear
+    // in the containment output at max(c_ab, c_ba) ≥ 0.5
+    val jac = LlmData.dedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val con = LlmData.dedupContainment(spark, sfDir).collect()
+    val conPairs = con.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(conPairs),
+      s"missing pairs: ${jac -- conPairs}")
+    con.foreach { r =>
+      val (a, b, cab, cba, contained) =
+        (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(cab > 0 && cab <= 1.0 && cba > 0 && cba <= 1.0)
+      assert(math.max(cab, cba) >= 0.5)
+      // contained_doc is the more-contained side
+      assert(contained == (if (cab >= cba) a else b))
+    }
+  }
+
+  test("containment flags a subsumed doc that Jaccard misses (K41)") {
+    import spark.implicits._
+    // short doc fully inside a long one: containment 1.0 but union is
+    // dominated by the long side, J < 0.5 — the pair the asymmetric
+    // measure exists for. Shared min-shingle: "a00 ..." sorts first.
+    val short0 = (0 until 6).map(i => f"a$i%02d")
+    val long0 = short0 ++ (0 until 20).map(i => f"z$i%02d")
+    val docs = Seq(
+      (0L, long0.mkString(" ")), (1L, short0.mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_k41_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmData.dedupContainment(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // 4 shingles of doc 1, all present in doc 0's 24 → c_ba = 1.0
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(3) < 0.5)
+    assert(r.getLong(5) == 1L) // the short doc is the contained one
+    // and Jaccard at 4/24 would never have kept this pair
+    assert(LlmData.dedupNgramJaccard(spark, dir).collect().isEmpty)
+  }
+
+  test("reservoir keeps exactly the k smallest priorities (K42)") {
+    import org.apache.spark.sql.functions._
+    val out = LlmData.sampleReservoir(spark, sfDir).collect()
+    assert(out.length == 100)
+    val kept = out.map(_.getLong(0)).toSet
+    // recompute every doc's draw; the selected set must be exactly the
+    // 100 smallest (priority, doc_id)
+    val all = graft.ops.Util.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('res', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS LONG)")
+          .as("p"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(100)
+      .map(_._2).toSet
+    assert(kept == all)
+  }
+
+  test("corpus_mix keeps within availability and caps thresholds (K43)") {
+    val rows = LlmData.corpusMix(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val docs = graft.ops.Util.t(spark, sfDir, "documents")
+    val total = docs.count()
+    rows.foreach { r =>
+      val (nDocs, nTarget, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nDocs)
+      assert(nTarget > 0)
+      // a language short of its target keeps everything (threshold cap)
+      if (nTarget >= nDocs) assert(nKept == nDocs)
+    }
+    // Σ targets never exceeds the half-corpus budget (floor rounding)
+    assert(rows.map(_.getLong(2)).sum <= total / 2)
+  }
 }

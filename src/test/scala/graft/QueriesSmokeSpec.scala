@@ -9,7 +9,7 @@ class QueriesSmokeSpec extends SparkTestBase {
   private val mayBeEmpty = Set(
     "join_anti", "set_except", "join_range_interval",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
-    "sim_ann_topk", "sim_ivf_topk")
+    "dedup_containment", "sim_ann_topk", "sim_ivf_topk")
 
   test("every oracleSql key is a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
