@@ -29,21 +29,28 @@ object Graphs {
     * triangle count, and the global clustering coefficient
     * 3·T / wedges — all integer arithmetic except the one final
     * exact-decimal ratio. One row. */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    // significant positions only (quantity ≥ 25, pushed to the scan):
-    // co-occurrence pair counts grow quadratically in positions per
-    // order, so the filter cuts the wedge volume ~14× while leaving a
-    // rich graph at every fixture scale — the same basket-support
-    // pruning a market-basket pipeline applies before pair expansion
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCensus(coOccurrenceEdges(spark, sfDir))
+
+  /** The edge construction, lazy and uncheckpointed — separated so the
+    * scan-level pushdown of the support filter stays auditable
+    * (`PlanAuditSpec`; [[triangleCensus]]'s eager checkpoint truncates
+    * lineage, hiding the scan from the census plan).
+    *
+    * Significant positions only (quantity ≥ 25, pushed to the scan):
+    * co-occurrence pair counts grow quadratically in positions per
+    * order, so the filter cuts the wedge volume ~14× while leaving a
+    * rich graph at every fixture scale — the same basket-support
+    * pruning a market-basket pipeline applies before pair expansion. */
+  def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pn = t(spark, sfDir, "lineitem")
       .filter(col("l_quantity") >= 25)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("node"))
       .distinct()
-    val edges = Buckets.members(pn, Seq("okey"), col("node"), col("node"))
+    Buckets.members(pn, Seq("okey"), col("node"), col("node"))
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("u"), col("p.b").as("v"))
       .distinct()
-    triangleCensus(edges)
   }
 
   /** The census core over an arbitrary distinct undirected edge list

@@ -113,6 +113,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
     assert(plan("text_tokens_topk").contains("TakeOrderedAndProject"))
     assert(plan("sim_topk").contains("TakeOrderedAndProject"))
+    // the reservoir's selection phase: per-partition local top-k, only
+    // k rows per partition reach the merge — never a global sort
+    assert(plan("sample_reservoir").contains("TakeOrderedAndProject"))
+  }
+
+  test("round-11 third-wave additions keep their scale shapes") {
+    // graph_triangles: the support filter reaches the parquet scan
+    // (wedge volume is quadratic in positions per order — losing the
+    // pushdown is a 14× wedge-join regression before the first
+    // shuffle). Audited on the lazy edge-construction subplan — the
+    // census's eager checkpoint truncates lineage past the scan.
+    val g = graft.ops.Graphs.coOccurrenceEdges(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(g.contains("GreaterThanOrEqual(l_quantity"),
+      "quantity support filter must reach the lineitem scan")
+    assert(!plan("graph_triangles").contains("CartesianProduct"))
+    // sessionize_batch: one window pass on the high-cardinality user
+    // key — a missing partition key moves the whole log to one task
+    val s = plan("sessionize_batch")
+    assert(!s.toLowerCase.contains("window operation!"),
+      "sessionize window must stay user-partitioned")
+    assert(s.contains("partial"), "session rollup must combine map-side")
+    // dedup_containment: the capped bucket window + single melt join
+    // of the shared K6 generator (no doc×doc, no cartesian)
+    val c = plan("dedup_containment")
+    assert(!c.contains("CartesianProduct"))
+    // corpus_mix: the language-threshold frame broadcasts (bounded
+    // domain — the justified broadcast, unlike user-cardinality frames)
+    assert(plan("corpus_mix").contains("BroadcastHashJoin"))
   }
 
   test("no query plans a cartesian product") {
