@@ -122,6 +122,7 @@ object SparkEntry {
     "sessionize_batch" -> (ops.Events.sessionizeBatch _),
     // L — graph analytics
     "graph_triangles" -> (ops.Graphs.graphTriangles _),
+    "graph_pagerank" -> (ops.Graphs.graphPagerank _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Util._
 
 /** Graph analytics over warehouse-shaped co-occurrence data — the
@@ -51,6 +52,69 @@ object Graphs {
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("u"), col("p.b").as("v"))
       .distinct()
+  }
+
+  /** Fixed iteration count for [[graphPagerank]] — part of the query's
+    * declared semantics (the oracle unrolls exactly this many steps). */
+  val PagerankIters = 5
+
+  /** L2: PageRank centrality over the same co-occurrence graph — the
+    * importance propagation a corpus-curation pipeline runs over its
+    * host/link graph to rank sources (the public harmonic-centrality /
+    * PageRank selection idea); here over parts, top-20 by rank.
+    *
+    * Deterministic and oracle-checkable despite float arithmetic: each
+    * edge contribution rank/deg is rounded to 12 dp and summed as
+    * EXACT DECIMAL (associative — a raw double sum would hash-flap
+    * with shuffle order; the `text_entropy` discipline), then one IEEE
+    * multiply-add and a 12 dp re-round per node per iteration, so both
+    * engines walk the identical float sequence. Fixed
+    * [[PagerankIters]] iterations, damping 0.85. The symmetric graph
+    * has no dangling nodes (every node has in-edges), so no dangling
+    * redistribution term is needed.
+    *
+    * Scale shape: each iteration is one co-partitioned join of the
+    * (src-keyed) edge list with the rank frame plus one partial-agg
+    * shuffle on dst — the rank frame is node-cardinality, never
+    * broadcast-hinted. Every iteration ends in an eager
+    * `localCheckpoint` (the [[Components]] discipline): iterative
+    * plans otherwise nest five joins deep and the optimizer re-derives
+    * the whole lineage per step. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerank(coOccurrenceEdges(spark, sfDir))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+
+  /** The PageRank core over an arbitrary distinct undirected (u, v)
+    * edge list: full (node, d, rank) table after [[PagerankIters]]
+    * damped iterations — separated so the propagation laws (mass
+    * conservation, uniform stationary distribution on regular graphs)
+    * are pinnable on known graphs (`GraphsSpec`). */
+  def pagerank(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.localCheckpoint(true)
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    val DL = DecimalType(28, 14)
+    var ranks = deg.select(col("src").as("node"),
+      round(lit(1.0) / n, 12).as("rank"))
+    for (_ <- 1 to PagerankIters) {
+      ranks = sym
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), round(col("rank") / col("d"), 12).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(DL)).as("sc"))
+        .select(col("dst").as("node"),
+          round(lit(0.15) / n + lit(0.85) * col("sc").cast("double"), 12)
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("d"), col("rank"))
   }
 
   /** The census core over an arbitrary distinct undirected edge list

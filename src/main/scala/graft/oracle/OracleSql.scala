@@ -42,6 +42,59 @@ object OracleSql {
       |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
       |)""".stripMargin
 
+  /** The part co-occurrence graph (support-pruned, quantity ≥ 25) —
+    * shared by graph_triangles and graph_pagerank; both oracles must
+    * see the identical edge set (mirror of
+    * `Graphs.coOccurrenceEdges`). */
+  private val coGraphCtes: String =
+    """pn AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
+      |  WHERE l_quantity >= 25
+      |), e AS (
+      |  SELECT DISTINCT a.node AS u, b.node AS v
+      |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
+      |)""".stripMargin
+
+  /** PageRank with the engine's exact iteration count unrolled as
+    * chained CTEs — per-edge contributions term-rounded to 12 dp and
+    * summed as exact DECIMAL(28,14) (associative), one IEEE
+    * multiply-add + 12 dp re-round per node per step: both engines
+    * walk the identical float sequence (mirror of
+    * `Graphs.graphPagerank`). */
+  private val pagerankSql: String = {
+    val iters = graft.ops.Graphs.PagerankIters
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT dg2.node,
+         |    round(CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+         |      + CAST(0.85 AS DOUBLE)
+         |        * CAST(SUM(CAST(round(r.rank / dg.d, 12) AS DECIMAL(28,14))) AS DOUBLE),
+         |      12) AS rank
+         |  FROM sym s
+         |  JOIN deg dg ON s.src = dg.node
+         |  JOIN r${i - 1} r ON s.src = r.node
+         |  JOIN deg dg2 ON s.dst = dg2.node
+         |  GROUP BY dg2.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $coGraphCtes, sym AS (
+       |  SELECT u AS src, v AS dst FROM e
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM e
+       |), deg AS (
+       |  SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+       |), n AS (SELECT COUNT(*) AS c FROM deg),
+       |r0 AS (
+       |  SELECT node, round(CAST(1 AS DOUBLE) / (SELECT c FROM n), 12) AS rank
+       |  FROM deg
+       |),
+       |$steps
+       |SELECT r.node, d.d, r.rank
+       |FROM r$iters r JOIN deg d ON r.node = d.node
+       |ORDER BY r.rank DESC, r.node
+       |LIMIT 20""".stripMargin
+  }
+
   /** The langid stopword profiles as DuckDB list literals (mirror of
     * `LlmData.langProfiles`). */
   private val langProfilesSql: Seq[(String, String)] = Seq(
@@ -985,13 +1038,7 @@ object OracleSql {
     // join on canonically-ordered out-pairs, one equi-join closes each
     // triangle exactly once
     "graph_triangles" ->
-      s"""WITH pn AS (
-         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
-         |  WHERE l_quantity >= 25
-         |), e AS (
-         |  SELECT DISTINCT a.node AS u, b.node AS v
-         |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
-         |), deg AS (
+      s"""WITH $coGraphCtes, deg AS (
          |  SELECT node, COUNT(*) AS d FROM (
          |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
          |  ) GROUP BY node
@@ -1024,6 +1071,8 @@ object OracleSql {
          |  CASE WHEN n_wedges = 0 THEN NULL
          |    ELSE ${dbl(s"${dec("n_triangles * 3")} / n_wedges")} END AS clustering
          |FROM st, tri""".stripMargin,
+
+    "graph_pagerank" -> pagerankSql,
 
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as

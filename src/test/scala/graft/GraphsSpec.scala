@@ -49,6 +49,49 @@ class GraphsSpec extends SparkTestBase {
     assert(m == 5 && t == 2)
   }
 
+  test("pagerank conserves mass and ranks the hub first (L2)") {
+    val out = Graphs.graphPagerank(spark, sfDir).collect()
+    assert(out.length == 20)
+    // rank order is (rank DESC, node) and all ranks positive
+    val ranks = out.map(_.getDouble(2))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // degree and rank correlate on a co-occurrence graph: the top-20
+    // by rank should carry above-average degree
+    val meanTopDeg = out.map(_.getLong(1)).sum.toDouble / out.length
+    val edges = Graphs.coOccurrenceEdges(spark, sfDir)
+    val meanDeg = 2.0 * edges.count() /
+      edges.select("u").union(edges.select("v")).distinct().count()
+    assert(meanTopDeg > meanDeg,
+      s"top-20 mean degree $meanTopDeg should exceed corpus mean $meanDeg")
+  }
+
+  test("pagerank on a regular graph is exactly uniform (L2)") {
+    // uniform is the stationary distribution of any regular graph; the
+    // 12 dp term rounding computes the identical value per node at
+    // every step, so after any number of iterations ranks stay equal
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val r = Graphs.pagerank(tri).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getDouble(2)).distinct.length == 1)
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank mass is conserved and the star hub dominates (L2)") {
+    import spark.implicits._
+    val star = (2L to 9L).map(i => (1L, i)).toDF("u", "v")
+    val r = Graphs.pagerank(star).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // no dangling nodes on a symmetric graph → total rank stays 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the hub absorbs every leaf's full contribution each round
+    assert(r(1L) > 0.4)
+    val leaves = (2L to 9L).map(r)
+    assert(leaves.forall(l => math.abs(l - leaves.head) < 1e-12))
+    assert(leaves.forall(_ < r(1L)))
+  }
+
   test("fixture co-occurrence census is internally consistent") {
     val r = Graphs.graphTriangles(spark, sfDir).collect()(0)
     val (n, m, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
