@@ -98,12 +98,14 @@ object Graphs {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val n = deg.count()
+    // fold the out-degree onto each edge ONCE — the iteration loop
+    // then joins only the rank frame, not deg again every round
+    val symd = sym.join(deg, Seq("src")).localCheckpoint(true)
     val DL = DecimalType(28, 14)
     var ranks = deg.select(col("src").as("node"),
       round(lit(1.0) / n, 12).as("rank"))
     for (_ <- 1 to PagerankIters) {
-      ranks = sym
-        .join(deg, Seq("src"))
+      ranks = symd
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), round(col("rank") / col("d"), 12).as("c"))
         .groupBy(col("dst"))
