@@ -92,9 +92,10 @@ object Graphs {
     * are pinnable on known graphs (`GraphsSpec`). */
   def pagerank(rawEdges: DataFrame): DataFrame = {
     val edges = rawEdges.localCheckpoint(true)
+    // NOT checkpointed: a narrow projection-union over the already-
+    // checkpointed edges — materializing it would only copy the rows
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val n = deg.count()
