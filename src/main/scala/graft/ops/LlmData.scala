@@ -425,7 +425,12 @@ object LlmData {
         max(col("n_target")).as("n_target"),
         sum(when(draw < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
       .select(col("lang"), col("n_docs"), col("n_target"), col("n_kept"),
-        dbl(dec(col("n_kept")) / col("n_target")).as("fill_ratio"))
+        // a language outside the weight map has target 0 (kept 0) —
+        // NULL fill, not a divide-by-zero (DuckDB throws where Spark
+        // would return NULL; the guard keeps both engines identical)
+        when(col("n_target") === 0, lit(null).cast("double"))
+          .otherwise(dbl(dec(col("n_kept")) / col("n_target")))
+          .as("fill_ratio"))
       .orderBy(col("lang"))
   }
 

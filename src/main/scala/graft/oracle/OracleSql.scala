@@ -1522,7 +1522,8 @@ object OracleSql {
          |SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
          |  CAST(t.n_target AS BIGINT) AS n_target,
          |  CAST(k.n_kept AS BIGINT) AS n_kept,
-         |  ${dbl(s"${dec("k.n_kept")} / t.n_target")} AS fill_ratio
+         |  CASE WHEN t.n_target = 0 THEN NULL
+         |    ELSE ${dbl(s"${dec("k.n_kept")} / t.n_target")} END AS fill_ratio
          |FROM th t JOIN kept k ON t.lang = k.lang
          |ORDER BY t.lang""".stripMargin,
 

@@ -177,4 +177,18 @@ class LlmDataSpec extends SparkTestBase {
     // Σ targets never exceeds the half-corpus budget (floor rounding)
     assert(rows.map(_.getLong(2)).sum <= total / 2)
   }
+
+  test("corpus_mix gives an unmapped language zero target, NULL fill (K43)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"tok$i", if (i <= 16) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_k43_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byLang = LlmData.corpusMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val xx = byLang("xx")
+    assert(xx.getLong(2) == 0L && xx.getLong(3) == 0L && xx.isNullAt(4))
+    // mapped language still targets (400‰ of budget 10) = 4
+    assert(byLang("en").getLong(2) == 4L)
+  }
 }
