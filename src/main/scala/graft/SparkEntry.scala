@@ -123,6 +123,7 @@ object SparkEntry {
     // L — graph analytics
     "graph_triangles" -> (ops.Graphs.graphTriangles _),
     "graph_pagerank" -> (ops.Graphs.graphPagerank _),
+    "graph_similar" -> (ops.Graphs.graphSimilar _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),

@@ -43,9 +43,10 @@ object Graphs {
     * order, so the filter cuts the wedge volume ~14× while leaving a
     * rich graph at every fixture scale — the same basket-support
     * pruning a market-basket pipeline applies before pair expansion. */
-  def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  def coOccurrenceEdges(spark: SparkSession, sfDir: String,
+      minQty: Int = 25): DataFrame = {
     val pn = t(spark, sfDir, "lineitem")
-      .filter(col("l_quantity") >= 25)
+      .filter(col("l_quantity") >= minQty)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("node"))
       .distinct()
     Buckets.members(pn, Seq("okey"), col("node"), col("node"))
@@ -118,6 +119,48 @@ object Graphs {
     }
     ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("d"), col("rank"))
+  }
+
+  /** L3: neighborhood-similarity — the link-prediction / related-items
+    * primitive: for part pairs sharing at least one co-occurrence
+    * neighbor, the Jaccard of their neighbor sets
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, top-20 (the "parts bought alongside
+    * the same parts" view, distinct from a direct co-occurrence edge).
+    * Built on a tighter support cut (quantity ≥ 35) than L1/L2: the
+    * common-neighbor join materializes the FULL wedge set — it cannot
+    * use the degree orientation, which only sees wedges centered below
+    * both endpoints — so the input graph must be pruned harder for the
+    * same wedge budget.
+    *
+    * Exact arithmetic throughout: common-neighbor counts are integers
+    * from one self-join + partial agg; union = d(a)+d(b)−common; one
+    * exact-decimal division. Top-20 by (jaccard DESC, a, b) plans
+    * TakeOrderedAndProject. */
+  def graphSimilar(spark: SparkSession, sfDir: String): DataFrame =
+    neighborhoodSimilar(
+      coOccurrenceEdges(spark, sfDir, minQty = 35).localCheckpoint(true))
+      .orderBy(col("jacc").desc, col("na"), col("nb"))
+      .limit(20)
+
+  /** The similarity core over an arbitrary distinct undirected (u, v)
+    * edge list: every pair with ≥ 1 common neighbor, with
+    * common-neighbor count and neighborhood Jaccard — separated so the
+    * similarity laws are pinnable on known graphs (`GraphsSpec`). */
+  def neighborhoodSimilar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val a = sym.select(col("src"), col("dst").as("na"))
+    val b = sym.select(col("src"), col("dst").as("nb"))
+    val common = a.join(b, Seq("src"))
+      .filter(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("cn"))
+    common
+      .join(deg.select(col("src").as("na"), col("d").as("da")), Seq("na"))
+      .join(deg.select(col("src").as("nb"), col("d").as("db")), Seq("nb"))
+      .select(col("na"), col("nb"), col("cn"),
+        dbl(dec(col("cn")) / (col("da") + col("db") - col("cn"))).as("jacc"))
   }
 
   /** The census core over an arbitrary distinct undirected edge list

@@ -46,14 +46,14 @@ object OracleSql {
     * shared by graph_triangles and graph_pagerank; both oracles must
     * see the identical edge set (mirror of
     * `Graphs.coOccurrenceEdges`). */
-  private val coGraphCtes: String =
-    """pn AS (
-      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
-      |  WHERE l_quantity >= 25
-      |), e AS (
-      |  SELECT DISTINCT a.node AS u, b.node AS v
-      |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
-      |)""".stripMargin
+  private def coGraphCtes(minQty: Int = 25): String =
+    s"""pn AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
+       |  WHERE l_quantity >= $minQty
+       |), e AS (
+       |  SELECT DISTINCT a.node AS u, b.node AS v
+       |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
+       |)""".stripMargin
 
   /** PageRank with the engine's exact iteration count unrolled as
     * chained CTEs — per-edge contributions term-rounded to 12 dp and
@@ -77,7 +77,7 @@ object OracleSql {
          |  GROUP BY dg2.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $coGraphCtes, sym AS (
+    s"""WITH ${coGraphCtes()}, sym AS (
        |  SELECT u AS src, v AS dst FROM e
        |  UNION ALL
        |  SELECT v AS src, u AS dst FROM e
@@ -1038,7 +1038,7 @@ object OracleSql {
     // join on canonically-ordered out-pairs, one equi-join closes each
     // triangle exactly once
     "graph_triangles" ->
-      s"""WITH $coGraphCtes, deg AS (
+      s"""WITH ${coGraphCtes()}, deg AS (
          |  SELECT node, COUNT(*) AS d FROM (
          |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
          |  ) GROUP BY node
@@ -1073,6 +1073,30 @@ object OracleSql {
          |FROM st, tri""".stripMargin,
 
     "graph_pagerank" -> pagerankSql,
+
+    // neighborhood-Jaccard node similarity: common-neighbor counts
+    // from the full wedge self-join (tighter support cut 35 — no
+    // orientation shortcut exists for FULL common-neighbor counts),
+    // union = da + db − cn, exact-decimal division, top-20
+    "graph_similar" ->
+      s"""WITH ${coGraphCtes(35)}, sym AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), deg AS (
+         |  SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+         |), w AS (
+         |  SELECT a.dst AS na, b.dst AS nb, COUNT(*) AS cn
+         |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY a.dst, b.dst
+         |)
+         |SELECT w.na, w.nb, CAST(w.cn AS BIGINT) AS cn,
+         |  ${dbl(s"${dec("w.cn")} / (da.d + db.d - w.cn)")} AS jacc
+         |FROM w
+         |JOIN deg da ON w.na = da.node
+         |JOIN deg db ON w.nb = db.node
+         |ORDER BY jacc DESC, w.na, w.nb
+         |LIMIT 20""".stripMargin,
 
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as

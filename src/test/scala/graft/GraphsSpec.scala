@@ -92,6 +92,32 @@ class GraphsSpec extends SparkTestBase {
     assert(leaves.forall(_ < r(1L)))
   }
 
+  test("neighborhood similarity on known graphs (L3)") {
+    import spark.implicits._
+    // path 1-2-3: nodes 1 and 3 share neighbor 2, J = 1/(1+1-1) = 1.0;
+    // pairs (1,2) and (2,3) share no neighbor → absent
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = Graphs.neighborhoodSimilar(path).collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L &&
+      p(0).getLong(2) == 1L && p(0).getDouble(3) == 1.0)
+    // K4: every pair is adjacent AND shares the other 2 nodes:
+    // J = 2/(3+3-2) = 0.5 for all 6 pairs
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("u", "v")
+    val s = Graphs.neighborhoodSimilar(k4).collect()
+    assert(s.length == 6)
+    assert(s.forall(r => r.getLong(2) == 2L && r.getDouble(3) == 0.5))
+  }
+
+  test("graph_similar output is ranked, bounded, canonical (L3)") {
+    val out = Graphs.graphSimilar(spark, sfDir).collect()
+    assert(out.length == 20)
+    val js = out.map(_.getDouble(3))
+    assert(js.forall(j => j > 0 && j <= 1.0))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("fixture co-occurrence census is internally consistent") {
     val r = Graphs.graphTriangles(spark, sfDir).collect()(0)
     val (n, m, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -116,6 +116,7 @@ class PlanAuditSpec extends SparkTestBase {
     // the reservoir's selection phase: per-partition local top-k, only
     // k rows per partition reach the merge — never a global sort
     assert(plan("sample_reservoir").contains("TakeOrderedAndProject"))
+    assert(plan("graph_similar").contains("TakeOrderedAndProject"))
   }
 
   test("round-11 third-wave additions keep their scale shapes") {
