@@ -834,10 +834,13 @@ object LlmData {
     * docs share their head; one narrow projection through the shared
     * skew-capped [[Buckets.members]] path, same as every LSH family),
     * then exact Levenshtein over the 200-char normalized prefixes
-    * verifies at distance ≤ 40 (20%). Prefixes join back by doc_id
-    * through the same single melt join as [[jaccardVerified]] — no
-    * doc×doc pass, and the shuffle carries 200-char prefixes, never
-    * full documents. */
+    * verifies at distance ≤ 40 (20%) — through the THRESHOLDED kernel
+    * (banded DP, O(n·k) not O(n·m), early exit past the band; -1
+    * signals over-threshold and is filtered, so kept distances are
+    * exact and match the oracle's plain levenshtein). Prefixes join
+    * back by doc_id through the same single melt join as
+    * [[jaccardVerified]] — no doc×doc pass, and the shuffle carries
+    * 200-char prefixes, never full documents. */
   def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"),
       substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 200)
@@ -857,8 +860,8 @@ object LlmData {
         .as("m"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(element_at(col("m"), 1).getField("prefix"),
-          element_at(col("m"), 2).getField("prefix")).as("dist"))
-      .filter(col("dist") <= 40)
+          element_at(col("m"), 2).getField("prefix"), 40).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
