@@ -120,6 +120,7 @@ object SparkEntry {
     "retention_cohorts" -> (ops.Events.retentionCohorts _),
     "path_transitions" -> (ops.Events.pathTransitions _),
     "sessionize_batch" -> (ops.Events.sessionizeBatch _),
+    "events_resample_ffill" -> (ops.Events.eventsResampleFfill _),
     // L — graph analytics
     "graph_triangles" -> (ops.Graphs.graphTriangles _),
     "graph_pagerank" -> (ops.Graphs.graphPagerank _),

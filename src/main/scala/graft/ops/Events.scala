@@ -113,6 +113,41 @@ object Events {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
       gapUs = 1800000000L)
 
+  /** J17: daily resample + forward fill — the gap-filling primitive
+    * every time-series feature pipeline needs (metrics dashboards,
+    * state-as-of-day features): per user, a dense daily grid from
+    * first to last active day; each day carries the user's LAST
+    * observed value (by (ts, event_id) — deterministic tie-break),
+    * and unobserved days forward-fill the most recent prior value,
+    * flagged `observed = false`.
+    *
+    * Scale shape: the daily collapse is one partial-agg `max_by` pass
+    * (no window over raw events); the grid explodes bounded per-user
+    * day spans (never a global calendar cross join); the fill is ONE
+    * running `last(ignoreNulls)` window partitioned by the
+    * high-cardinality user_id. Values pass through untouched — no
+    * float arithmetic to drift. */
+  def eventsResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("day", expr("tus DIV 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), struct(col("tus"), col("event_id")))
+        .as("v_day"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v_day"), ignoreNulls = true).over(w).as("value"),
+        col("v_day").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** The sessionization core over an arbitrary (user_id, event_id, tus)
     * frame — separated so the session laws are pinnable on synthetic
     * logs with known gap structure (`EventsSpec`). */

@@ -1032,6 +1032,32 @@ object OracleSql {
          |FROM s GROUP BY user_id
          |ORDER BY user_id""".stripMargin,
 
+    // daily resample + forward fill: per-user dense day grid, last
+    // observed value per day (ts, event_id tie-break), unobserved days
+    // carry the prior value via last_value IGNORE NULLS
+    "events_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, value AS v_day FROM (
+        |    SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id)
+        |)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.v_day IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS value,
+        |  d.v_day IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
     // triangle census of the part co-occurrence graph (edges = part
     // pairs sharing an order), via the same degree-orientation the
     // engine uses: direct each edge low→high by (degree, id), wedge

@@ -56,6 +56,33 @@ class EventsSpec extends SparkTestBase {
     assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
   }
 
+  test("resample grid is dense and ffill carries the prior value (J17)") {
+    val rows = Events.eventsResampleFfill(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getLong(1))
+      // dense contiguous span, in output order
+      assert(days.max - days.min + 1 == days.length)
+      assert(days.sameElements(days.sorted))
+      // the grid starts at the first ACTIVE day — always observed
+      assert(rs.head.getBoolean(3))
+      // value is never NULL after the first day, and every unobserved
+      // day copies the previous day's value exactly
+      rs.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(!c.isNullAt(2))
+          if (!c.getBoolean(3)) assert(c.getDouble(2) == p.getDouble(2))
+        case _ =>
+      }
+    }
+    // observed days are exactly the active (user, day) pairs
+    val observed = rows.filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val active = Util.t(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(observed == active)
+  }
+
   test("path transition shares sum to 1 per source type (J13)") {
     val bad = Events.pathTransitions(spark, sfDir)
       .groupBy(col("from_type")).agg(sum(col("share")).as("s"))
