@@ -121,6 +121,7 @@ object SparkEntry {
     "path_transitions" -> (ops.Events.pathTransitions _),
     "sessionize_batch" -> (ops.Events.sessionizeBatch _),
     "events_resample_ffill" -> (ops.Events.eventsResampleFfill _),
+    "events_interpolate" -> (ops.Events.eventsInterpolate _),
     // L — graph analytics
     "graph_triangles" -> (ops.Graphs.graphTriangles _),
     "graph_pagerank" -> (ops.Graphs.graphPagerank _),

@@ -128,6 +128,53 @@ object Events {
     * high-cardinality user_id. Values pass through untouched — no
     * float arithmetic to drift. */
   def eventsResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyValueGrid(spark, sfDir)
+      .select(col("user_id"), col("day"),
+        last(col("v_day"), ignoreNulls = true).over(w).as("value"),
+        col("v_day").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** J18: daily resample + LINEAR interpolation — [[eventsResampleFfill]]'s
+    * smoothing companion (sensor/metric series where a held value is
+    * wrong and a straight line between observations is the standard
+    * estimate). Each unobserved day takes
+    * v_prev + (v_next − v_prev) · (day − d_prev)/(d_next − d_prev),
+    * written as the IDENTICAL expression tree in both engines (each
+    * IEEE op is correctly rounded, so an identical float walk is
+    * deterministic — the graph_pagerank discipline) with a 9 dp final
+    * round. The grid spans first→last ACTIVE day, so every unobserved
+    * day has both neighbors — no extrapolation case.
+    *
+    * Scale shape: same as J17 plus one mirror-image window (backward
+    * last + forward first over the same user partition — one
+    * partitioning, two frames, zero extra shuffles). */
+  def eventsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val past = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v_day").isNotNull, col("day"))
+    dailyValueGrid(spark, sfDir)
+      .withColumn("vp", last(col("v_day"), ignoreNulls = true).over(past))
+      .withColumn("dp", last(obsDay, ignoreNulls = true).over(past))
+      .withColumn("vn", first(col("v_day"), ignoreNulls = true).over(future))
+      .withColumn("dn", first(obsDay, ignoreNulls = true).over(future))
+      .select(col("user_id"), col("day"),
+        when(col("v_day").isNotNull, col("v_day"))
+          .otherwise(round(col("vp") + (col("vn") - col("vp")) *
+            ((col("day") - col("dp")).cast("double") / (col("dn") - col("dp"))),
+            9))
+          .as("value"),
+        col("v_day").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Shared J17/J18 plumbing: the per-(user, day) last-value collapse
+    * left-joined onto the dense per-user day grid. */
+  private def dailyValueGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = t(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tus"), col("value"))
@@ -139,13 +186,7 @@ object Events {
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        last(col("v_day"), ignoreNulls = true).over(w).as("value"),
-        col("v_day").isNotNull.as("observed"))
-      .orderBy(col("user_id"), col("day"))
   }
 
   /** The sessionization core over an arbitrary (user_id, event_id, tus)

@@ -1058,6 +1058,46 @@ object OracleSql {
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
 
+    // daily resample + linear interpolation: identical expression tree
+    // to the engine (IEEE ops are correctly rounded — same float walk),
+    // 9 dp final round; grid spans active days so both neighbors exist
+    "events_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, value AS v_day FROM (
+        |    SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id)
+        |), j AS (
+        |  SELECT g.user_id, g.day, d.v_day,
+        |    last_value(d.v_day IGNORE NULLS) OVER w_past AS vp,
+        |    last_value(CASE WHEN d.v_day IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER w_past AS dp,
+        |    first_value(d.v_day IGNORE NULLS) OVER w_future AS vn,
+        |    first_value(CASE WHEN d.v_day IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER w_future AS dn
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day
+        |  WINDOW
+        |    w_past AS (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_future AS (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, day,
+        |  CASE WHEN v_day IS NOT NULL THEN v_day
+        |    ELSE round(vp + (vn - vp) * (CAST(day - dp AS DOUBLE) / (dn - dp)), 9)
+        |  END AS value,
+        |  v_day IS NOT NULL AS observed
+        |FROM j
+        |ORDER BY user_id, day""".stripMargin,
+
     // triangle census of the part co-occurrence graph (edges = part
     // pairs sharing an order), via the same degree-orientation the
     // engine uses: direct each edge low→high by (degree, id), wedge

@@ -83,6 +83,40 @@ class EventsSpec extends SparkTestBase {
     assert(observed == active)
   }
 
+  test("interpolation hits the straight line on a known gap (J18)") {
+    import spark.implicits._
+    val us = 86400000000L
+    // user 1: observations at day 0 (10.0) and day 3 (40.0) — days 1, 2
+    // interpolate to 20.0 and 30.0; user 2: single observation, no gaps
+    val ev = Seq(
+      (1L, 1L, 0L * us, 10.0), (1L, 2L, 3L * us + 5L, 40.0),
+      (2L, 3L, 1L * us, 7.0)
+    ).toDF("user_id", "event_id", "tus", "value")
+      .selectExpr("user_id", "event_id",
+        "timestamp_micros(tus) AS ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_j18_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.eventsInterpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got((1L, 0L)) == ((10.0, true)))
+    assert(got((1L, 1L)) == ((20.0, false)))
+    assert(got((1L, 2L)) == ((30.0, false)))
+    assert(got((1L, 3L)) == ((40.0, true)))
+    assert(got((2L, 1L)) == ((7.0, true)))
+    assert(got.size == 5)
+  }
+
+  test("interpolated values stay within their neighbor envelope (J18)") {
+    val rows = Events.eventsInterpolate(spark, sfDir).collect()
+    val ff = Events.eventsResampleFfill(spark, sfDir).collect()
+    assert(rows.length == ff.length)
+    // observed rows agree exactly with the ffill view's observed rows
+    val obsI = rows.filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val obsF = ff.filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(obsI.sameElements(obsF))
+  }
+
   test("path transition shares sum to 1 per source type (J13)") {
     val bad = Events.pathTransitions(spark, sfDir)
       .groupBy(col("from_type")).agg(sum(col("share")).as("s"))
