@@ -100,9 +100,15 @@ object Graphs {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val n = deg.count()
-    // fold the out-degree onto each edge ONCE — the iteration loop
-    // then joins only the rank frame, not deg again every round
-    val symd = sym.join(deg, Seq("src")).localCheckpoint(true)
+    // fold the out-degree onto each edge ONCE, and hash-partition the
+    // edge list on the iteration join key BEFORE checkpointing: a
+    // LogicalRDD keeps its physical partitioning, so every iteration's
+    // join sees the edge side pre-shuffled and exchanges only the
+    // node-cardinality rank frame — the Pregel partition-once
+    // discipline, and the difference between shuffling the 100-TB edge
+    // list once vs once per iteration
+    val symd = sym.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint(true)
     val DL = DecimalType(28, 14)
     var ranks = deg.select(col("src").as("node"),
       round(lit(1.0) / n, 12).as("rank"))
