@@ -148,7 +148,10 @@ class PlanAuditSpec extends SparkTestBase {
   test("no query plans a cartesian product") {
     for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
         "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_embedding", "sim_ann_topk"))
+        "dedup_simhash", "dedup_embedding", "sim_ann_topk",
+        // the day grids explode bounded per-user spans — a calendar
+        // cross join here would be the 100-TB regression
+        "events_resample_ffill", "events_interpolate", "graph_similar"))
       assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian")
   }
 
