@@ -165,6 +165,7 @@ object SparkEntry {
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),
     "sample_reservoir" -> (ops.LlmData.sampleReservoir _),
+    "split_holdout" -> (ops.LlmData.splitHoldout _),
     "corpus_mix" -> (ops.LlmData.corpusMix _),
     "dedup_containment" -> (ops.LlmData.dedupContainment _),
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),

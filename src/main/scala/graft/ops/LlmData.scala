@@ -434,6 +434,32 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K44: deterministic holdout split — train/val/test assignment as a
+    * pure function of doc_id (the [[sampleHashBernoulli]] md5 draw,
+    * salt 'split', mod 1000): test < 10 (1%), val < 30 (next 2%),
+    * train otherwise. The properties that make a split trustworthy at
+    * scale: disjoint and exhaustive BY CONSTRUCTION (one draw, three
+    * ranges), reproducible across runs/retries/repartitionings, and
+    * stable as the corpus grows (an existing doc never changes split
+    * when new docs arrive — the failure mode of percentile- or
+    * rand()-based splits that silently leaks test docs into training).
+    * Per (split, lang): doc count and token mass. One narrow
+    * projection + one partial-agg pass. */
+  def splitHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = conv(substring(md5(concat(lit("split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val bucket = pmod(draw, lit(1000L))
+    t(spark, sfDir, "documents")
+      .select(
+        when(bucket < 10, "test").when(bucket < 30, "val")
+          .otherwise("train").as("split"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
     * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
     * ([[dedupMinhash]]) generators. Melts each pair to its two member

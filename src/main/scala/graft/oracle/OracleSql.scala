@@ -1572,6 +1572,25 @@ object OracleSql {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
+    // deterministic holdout split: one md5 draw (salt 'split') mod
+    // 1000 -> three ranges (test <10, val <30, train) — disjoint and
+    // exhaustive by construction, stable as the corpus grows
+    "split_holdout" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 30 THEN 'val'
+        |           ELSE 'train' END AS split,
+        |    lang, len(str_split(text, ' ')) AS n_toks
+        |  FROM (SELECT
+        |      ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 1000 AS b,
+        |      lang, text
+        |    FROM documents)
+        |)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
     // deterministic fixed-size sample: md5-priority (salt 'res'), keep
     // the 100 globally-smallest priorities — the distributed reservoir
     "sample_reservoir" ->

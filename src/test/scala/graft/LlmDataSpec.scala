@@ -178,6 +178,19 @@ class LlmDataSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum <= total / 2)
   }
 
+  test("holdout split partitions the corpus exactly (K44)") {
+    val docs = graft.ops.Util.t(spark, sfDir, "documents")
+    val rows = LlmData.splitHoldout(spark, sfDir).collect()
+    // disjoint + exhaustive: split totals sum back to the corpus
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // train dominates (97% expected share; generous band for sf0.001)
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
   test("corpus_mix gives an unmapped language zero target, NULL fill (K43)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"tok$i", if (i <= 16) "en" else "xx"))
