@@ -99,7 +99,15 @@ object Graphs {
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    val n = deg.count()
+    // the teleport denominator n stays IN the dataflow as a 1-row
+    // broadcast frame instead of a driver-side deg.count() (round-11
+    // verdict #4): no extra action/job before iteration 1, and the
+    // scalar never round-trips through the driver. Each iteration's
+    // plan re-derives it as a trivial agg over the already-checkpointed
+    // degree table — folded into that iteration's job, not a separate
+    // one. The broadcast hint is the bounded-single-row pattern
+    // (Events.scala totals frame): always exactly 1 row.
+    val nF = broadcast(deg.agg(count(lit(1)).cast("double").as("n_nodes")))
     // fold the out-degree onto each edge ONCE, and hash-partition the
     // edge list on the iteration join key BEFORE checkpointing: a
     // LogicalRDD keeps its physical partitioning, so every iteration's
@@ -110,17 +118,18 @@ object Graphs {
     val symd = sym.join(deg, Seq("src"))
       .repartition(col("src")).localCheckpoint(true)
     val DL = DecimalType(28, 14)
-    var ranks = deg.select(col("src").as("node"),
-      round(lit(1.0) / n, 12).as("rank"))
+    var ranks = deg.crossJoin(nF).select(col("src").as("node"),
+      round(lit(1.0) / col("n_nodes"), 12).as("rank"))
     for (_ <- 1 to PagerankIters) {
       ranks = symd
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), round(col("rank") / col("d"), 12).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast(DL)).as("sc"))
+        .crossJoin(nF)
         .select(col("dst").as("node"),
-          round(lit(0.15) / n + lit(0.85) * col("sc").cast("double"), 12)
-            .as("rank"))
+          round(lit(0.15) / col("n_nodes")
+            + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
         .localCheckpoint(true)
     }
     ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
@@ -151,15 +160,29 @@ object Graphs {
   /** The similarity core over an arbitrary distinct undirected (u, v)
     * edge list: every pair with ≥ 1 common neighbor, with
     * common-neighbor count and neighborhood Jaccard — separated so the
-    * similarity laws are pinnable on known graphs (`GraphsSpec`). */
-  def neighborhoodSimilar(edges: DataFrame): DataFrame = {
+    * similarity laws are pinnable on known graphs (`GraphsSpec`).
+    *
+    * Hub guard (round-11 verdict #2): the full wedge set at a center of
+    * degree d is C(d, 2) rows through ONE shuffle key — a power-law hub
+    * melts the stage, and no orientation trick applies because the FULL
+    * common-neighbor count needs wedges centered at high-degree nodes
+    * too. So the neighbor expansion goes through the same skew-capped
+    * bucket discipline as every dedup candidate generator
+    * ([[Buckets.members]]): only the `cap` smallest neighbors per
+    * center expand into wedges (deterministic rank by neighbor id),
+    * bounding the expansion at C(cap, 2) per node; the truncated
+    * remainder stays observable via [[graphSimilarHealth]] instead of
+    * becoming silent recall loss. Jaccard denominators still use FULL
+    * degrees, so a capped count can only under-report a hub pair, never
+    * over-score it. The oracle mirrors the cap rank-for-rank. */
+  def neighborhoodSimilar(edges: DataFrame,
+      cap: Int = Buckets.MaxBucket): DataFrame = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val a = sym.select(col("src"), col("dst").as("na"))
-    val b = sym.select(col("src"), col("dst").as("nb"))
-    val common = a.join(b, Seq("src"))
-      .filter(col("na") < col("nb"))
+    val common = Buckets.members(sym, Seq("src"), col("dst"), col("dst"), cap)
+      .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("na"), col("p.b").as("nb"))
       .groupBy(col("na"), col("nb"))
       .agg(count(lit(1)).as("cn"))
     common
@@ -167,6 +190,49 @@ object Graphs {
       .join(deg.select(col("src").as("nb"), col("d").as("db")), Seq("nb"))
       .select(col("na"), col("nb"), col("cn"),
         dbl(dec(col("cn")) / (col("da") + col("db") - col("cn"))).as("jacc"))
+  }
+
+  /** Companion observability row for L3 (the `dedup_health` pattern):
+    * one row over the same support-35 graph reporting node/edge counts,
+    * the max degree, and exactly how much the [[Buckets.MaxBucket]]
+    * neighbor cap truncates — `n_capped_nodes` (centers whose neighbor
+    * list exceeded the cap) and `n_dropped_neighbors` (Σ max(d−cap, 0),
+    * the members [[neighborhoodSimilar]] never expanded). Zero at every
+    * fixture scale; a power-law hub at 100 TB shows up HERE instead of
+    * as a melted stage or silently-low similarity scores. */
+  def graphSimilarHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coOccurrenceEdges(spark, sfDir, minQty = 35)
+    val cap = Buckets.MaxBucket
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(d) DIV 2").as("n_edges"),
+        max(col("d")).as("max_degree"),
+        sum(when(col("d") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("n_capped_nodes"),
+        sum(greatest(col("d") - cap, lit(0L))).as("n_dropped_neighbors"))
+  }
+
+  /** Degree orientation: direct each undirected (u, v) edge from its
+    * lower-(degree, id) endpoint `x` to the higher `y` (`dy` = y's
+    * degree, carried for the canonical wedge-pair order). This is THE
+    * scale guarantee of the triangle census — max out-degree is
+    * O(√m) regardless of degree skew (a node keeps an out-edge only
+    * toward neighbors of ≥ its own degree, and there can be at most
+    * √(2m) nodes of degree ≥ √(2m)) — so it is exposed package-private
+    * for `GraphsSpec` to pin on a planted hub. */
+  private[graft] def orientLowHigh(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    val dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("x"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("y"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dy"))
   }
 
   /** The census core over an arbitrary distinct undirected edge list
@@ -191,17 +257,7 @@ object Graphs {
       count(lit(1)).as("n_nodes"),
       expr("sum(d) DIV 2").as("n_edges"),
       sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
-    // orient low→high by (degree, id): out-degree ≤ O(√m)
-    val du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
-    val dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
-    val lowFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val fwd = edges.join(du, Seq("u")).join(dv, Seq("v"))
-      .select(
-        when(lowFirst, col("u")).otherwise(col("v")).as("x"),
-        when(lowFirst, col("v")).otherwise(col("u")).as("y"),
-        when(lowFirst, col("dv")).otherwise(col("du")).as("dy"))
-      .localCheckpoint(true)
+    val fwd = orientLowHigh(edges, deg).localCheckpoint(true)
     // wedge at x over canonically-ordered out-neighbor pairs; the
     // closing edge, if present, is oriented y1→y2 by the same total
     // order, so one equi-join closes the triangle exactly once

@@ -43,16 +43,27 @@ object OracleSql {
       |)""".stripMargin
 
   /** The part co-occurrence graph (support-pruned, quantity ≥ 25) —
-    * shared by graph_triangles and graph_pagerank; both oracles must
-    * see the identical edge set (mirror of
-    * `Graphs.coOccurrenceEdges`). */
+    * shared by graph_triangles / graph_pagerank / graph_similar; all
+    * oracles must see the identical edge set (mirror of
+    * `Graphs.coOccurrenceEdges`). The pr CTE mirrors the engine's skew
+    * cap (`Buckets.members`, same as the dedup_containment oracle):
+    * only the cap smallest parts per order generate pairs — TPC-H
+    * orders hold ≤ 7 lineitems so fixtures are bit-identical, and a
+    * degenerate mega-order truncates identically in both engines
+    * (round-11 advice: this cap was previously engine-only). */
   private def coGraphCtes(minQty: Int = 25): String =
     s"""pn AS (
        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS node FROM lineitem
        |  WHERE l_quantity >= $minQty
+       |), pr AS (
+       |  SELECT okey, node,
+       |    row_number() OVER (PARTITION BY okey ORDER BY node) AS rn
+       |  FROM pn
        |), e AS (
        |  SELECT DISTINCT a.node AS u, b.node AS v
-       |  FROM pn a JOIN pn b ON a.okey = b.okey AND a.node < b.node
+       |  FROM pr a JOIN pr b ON a.okey = b.okey AND a.node < b.node
+       |  WHERE a.rn <= ${graft.ops.Buckets.MaxBucket}
+       |    AND b.rn <= ${graft.ops.Buckets.MaxBucket}
        |)""".stripMargin
 
   /** PageRank with the engine's exact iteration count unrolled as
@@ -1141,9 +1152,13 @@ object OracleSql {
     "graph_pagerank" -> pagerankSql,
 
     // neighborhood-Jaccard node similarity: common-neighbor counts
-    // from the full wedge self-join (tighter support cut 35 — no
+    // from the wedge self-join (tighter support cut 35 — no
     // orientation shortcut exists for FULL common-neighbor counts),
-    // union = da + db − cn, exact-decimal division, top-20
+    // union = da + db − cn, exact-decimal division, top-20. The nk CTE
+    // mirrors the engine's per-center neighbor cap
+    // (Graphs.neighborhoodSimilar via Buckets.members): only the cap
+    // smallest neighbors per center expand into wedges; denominators
+    // keep FULL degrees — identical on both sides.
     "graph_similar" ->
       s"""WITH ${coGraphCtes(35)}, sym AS (
          |  SELECT u AS src, v AS dst FROM e
@@ -1151,9 +1166,15 @@ object OracleSql {
          |  SELECT v AS src, u AS dst FROM e
          |), deg AS (
          |  SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+         |), nk AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |  FROM sym
          |), w AS (
          |  SELECT a.dst AS na, b.dst AS nb, COUNT(*) AS cn
-         |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |  FROM nk a JOIN nk b ON a.src = b.src AND a.dst < b.dst
+         |  WHERE a.rn <= ${graft.ops.Buckets.MaxBucket}
+         |    AND b.rn <= ${graft.ops.Buckets.MaxBucket}
          |  GROUP BY a.dst, b.dst
          |)
          |SELECT w.na, w.nb, CAST(w.cn AS BIGINT) AS cn,
@@ -1163,6 +1184,26 @@ object OracleSql {
          |JOIN deg db ON w.nb = db.node
          |ORDER BY jacc DESC, w.na, w.nb
          |LIMIT 20""".stripMargin,
+
+    // L3 observability companion (the dedup_health pattern): how much
+    // does the neighbor cap truncate the support-35 graph — zero at
+    // every fixture scale, and the hub alarm at production scale
+    "graph_health" ->
+      s"""WITH ${coGraphCtes(35)}, sym AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), deg AS (
+         |  SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+         |  CAST(MAX(d) AS BIGINT) AS max_degree,
+         |  CAST(SUM(CASE WHEN d > ${graft.ops.Buckets.MaxBucket}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_nodes,
+         |  CAST(SUM(GREATEST(d - ${graft.ops.Buckets.MaxBucket}, 0))
+         |    AS BIGINT) AS n_dropped_neighbors
+         |FROM deg""".stripMargin,
 
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as

@@ -118,6 +118,66 @@ class GraphsSpec extends SparkTestBase {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("planted hub: neighbor cap bounds the wedge expansion (L3)") {
+    import spark.implicits._
+    // star 1-(2..10): hub degree 9. Uncapped, the hub alone expands
+    // C(9,2) = 36 wedge pairs; with cap 4 only its 4 smallest
+    // neighbors {2,3,4,5} expand → C(4,2) = 6 pairs. Leaves have a
+    // single neighbor and never pair. Denominators keep FULL degrees:
+    // leaf pair jaccard = 1/(1+1-1) = 1.0 either way.
+    val star = (2L to 10L).map(i => (1L, i)).toDF("u", "v")
+    val uncapped = Graphs.neighborhoodSimilar(star).collect()
+    assert(uncapped.length == 36)
+    val capped = Graphs.neighborhoodSimilar(star, cap = 4).collect()
+    assert(capped.length == 6)
+    assert(capped.forall(r => Set(2L, 3L, 4L, 5L)(r.getLong(0)) &&
+      Set(2L, 3L, 4L, 5L)(r.getLong(1))))
+    assert(capped.forall(r => r.getLong(2) == 1L && r.getDouble(3) == 1.0))
+    // the truncation is OBSERVABLE, not silent: the shared bucket
+    // machinery reports exactly the members the cap dropped
+    val sym = star.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(star.select($"v".as("src"), $"u".as("dst")))
+    val buckets = graft.ops.Buckets.members(
+      sym, Seq("src"), $"dst", $"dst", cap = 4)
+    assert(graft.ops.Buckets.overflowTotal(buckets) == 5L) // 9 - 4
+  }
+
+  test("planted hub: degree orientation bounds out-degree at O(√m) (L1)") {
+    import spark.implicits._
+    // star 1-(2..51): hub degree 50, m = 50. A naive neighbor
+    // self-join would materialize C(50,2) = 1225 hub wedges; the
+    // orientation directs every edge leaf→hub (leaves have the lower
+    // degree), so max out-degree is 1 and the wedge join sees ZERO
+    // canonically-ordered out-pairs.
+    val star = (2L to 51L).map(i => (1L, i)).toDF("u", "v")
+    val deg = star.select($"u".as("node")).unionAll(star.select($"v".as("node")))
+      .groupBy($"node").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val fwd = Graphs.orientLowHigh(star, deg)
+    val outDeg = fwd.groupBy($"x").count().collect()
+    assert(outDeg.forall(_.getLong(1) == 1L))
+    val m = star.count()
+    val bound = math.ceil(math.sqrt(2.0 * m)).toLong
+    assert(outDeg.forall(_.getLong(1) <= bound))
+    // and the full census on the hub graph stays linear-shaped: the
+    // wedge count reflects the UNDIRECTED graph (C(50,2)) while the
+    // oriented join that actually executes closes 0 triangles
+    val r = Graphs.triangleCensus(star).collect()(0)
+    assert(r.getLong(2) == 1225L && r.getLong(3) == 0L)
+  }
+
+  test("graph_health reports zero truncation on the fixture (L3)") {
+    val h = Graphs.graphSimilarHealth(spark, sfDir).collect()(0)
+    val (n, m) = (h.getLong(0), h.getLong(1))
+    assert(n > 0 && m > 0)
+    val edges = Graphs.coOccurrenceEdges(spark, sfDir, minQty = 35)
+    assert(m == edges.count())
+    assert(n == edges.select("u").union(edges.select("v")).distinct().count())
+    assert(h.getLong(2) <= graft.ops.Buckets.MaxBucket,
+      "fixture max degree must sit under the cap")
+    assert(h.getLong(3) == 0L && h.getLong(4) == 0L)
+  }
+
   test("fixture co-occurrence census is internally consistent") {
     val r = Graphs.graphTriangles(spark, sfDir).collect()(0)
     val (n, m, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
