@@ -400,6 +400,21 @@ object LlmData {
     * bounded (~hundreds at web scale), unlike the user-cardinality
     * frames the event queries must never hint. Two partial-agg passes
     * + one broadcast join. */
+  /** The keep-probability threshold of [[corpusMix]]:
+    * min(2^32, ⌊2^32·n_target/n_docs⌋), exposed for the overflow pin in
+    * `LlmDataSpec`. The n_target ≥ n_docs branch short-circuits to the
+    * cap (the true quotient is ≥ 2^32 there), so the multiply only
+    * runs when the result fits; the multiply itself goes through
+    * DECIMAL(38,0) because 2^32·n_target overflows BIGINT once a
+    * language's target reaches 2^31 docs (~2.1 B — web scale), where
+    * non-ANSI Spark would wrap silently to a NEGATIVE threshold and
+    * keep zero docs (round-11 advice). The oracle mirrors with HUGEINT
+    * — both are exact integer math, same value. */
+  private[graft] val mixThreshold = expr(
+    """CASE WHEN n_target >= n_docs THEN CAST(4294967296 AS BIGINT)
+      |  ELSE CAST((CAST(n_target AS DECIMAL(38,0)) * 4294967296)
+      |    DIV n_docs AS BIGINT) END""".stripMargin)
+
   def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
     val wpm = Map("de" -> 150L, "en" -> 400L, "es" -> 150L,
       "fr" -> 150L, "zh" -> 150L)
@@ -414,8 +429,7 @@ object LlmData {
       .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
       .withColumn("wpm", wExpr)
       .withColumn("n_target", expr("(wpm * (total DIV 2)) DIV 1000"))
-      .withColumn("threshold",
-        least(lit(4294967296L), expr("(4294967296 * n_target) DIV n_docs")))
+      .withColumn("threshold", mixThreshold)
       .select(col("lang"), col("n_docs"), col("n_target"), col("threshold"))
     val draw = conv(substring(md5(concat(lit("mix"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")

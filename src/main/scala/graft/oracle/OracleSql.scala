@@ -1646,9 +1646,12 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     // weighted corpus mixing: integer per-mille targets over a
-    // half-corpus budget, BIGINT threshold = 2^32·target/available
-    // (capped — shortfall reported, never upsampled), md5 draw salt
-    // 'mix'; all integer arithmetic up to the one final ratio
+    // half-corpus budget, threshold = min(2^32, 2^32·target/available)
+    // (shortfall reported, never upsampled), md5 draw salt 'mix'; all
+    // integer arithmetic up to the one final ratio. The threshold CASE
+    // mirrors LlmData.mixThreshold: cap branch short-circuits, and the
+    // multiply runs in HUGEINT (Spark side: DECIMAL(38,0)) because
+    // 2^32·n_target overflows BIGINT at n_target ≥ 2^31
     "corpus_mix" ->
       s"""WITH pl AS (
          |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
@@ -1660,7 +1663,9 @@ object OracleSql {
          |  FROM pl
          |), th AS (
          |  SELECT lang, n_docs, n_target,
-         |    LEAST(4294967296, (4294967296 * n_target) // n_docs) AS threshold
+         |    CASE WHEN n_target >= n_docs THEN CAST(4294967296 AS BIGINT)
+         |      ELSE CAST((CAST(n_target AS HUGEINT) * 4294967296) // n_docs
+         |        AS BIGINT) END AS threshold
          |  FROM tg
          |), kept AS (
          |  SELECT d.lang,

@@ -191,6 +191,31 @@ class LlmDataSpec extends SparkTestBase {
     assert(bySplit("train") > bySplit.getOrElse("test", 0L))
   }
 
+  test("corpus_mix threshold survives the 2^31-target overflow regime (K43)") {
+    import spark.implicits._
+    // n_target = 3e9 (≥ 2^31): the old BIGINT formulation wrapped
+    // 2^32·3e9 to a negative threshold — silent zero-keep data loss at
+    // exactly the web scale the op targets. The DECIMAL path computes
+    // the exact quotient; the cap branch still short-circuits.
+    val cases = Seq(
+      // (n_target, n_docs, expected min(2^32, 2^32·t/d))
+      (3000000000L, 6000000000L, 2147483648L),         // overflow regime, t < d
+      (3000000000L, 2000000000L, 4294967296L),          // cap branch, t ≥ d
+      (7L, 9L, 7L * 4294967296L / 9L),                  // small exact floor
+      (0L, 5L, 0L),                                     // zero target
+      (9000000000000000000L, 9100000000000000000L,      // near-Long targets
+        (BigInt(9000000000000000000L) * BigInt(4294967296L)
+          / BigInt(9100000000000000000L)).toLong))
+    val got = cases.map { case (t, d, _) => (t, d) }
+      .toDF("n_target", "n_docs")
+      .withColumn("threshold", LlmData.mixThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (t, d, want) =>
+      assert(got((t, d)) == want, s"threshold($t, $d)")
+      assert(got((t, d)) >= 0L, s"threshold($t, $d) wrapped negative")
+    }
+  }
+
   test("corpus_mix gives an unmapped language zero target, NULL fill (K43)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"tok$i", if (i <= 16) "en" else "xx"))
