@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNGrams, CosineSim, HyperplaneCodes, MinHashSig, RollingHash, SimHashFp}
+import graft.functions.{CharNGrams, CosineSim, HyperplaneCodes, MinHashSig, RollingHash, SimHashFp, ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg}
 
 /** Session-extensions installer: makes the engine's custom expressions
   * available to every session created with
@@ -90,6 +90,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s) => SimHashFp(s)
         case _ => throw new IllegalArgumentException(
           "simhash_fp(text) takes exactly one argument")
+      }))
+    // theta-sketch distinct-set algebra (round 12): build mergeable
+    // sketches in SQL and compose union/intersection/difference
+    // estimates over the persisted blobs — `SELECT theta_estimate(
+    // theta_sketch_agg(user_id)) FROM ...` per partition, then set
+    // algebra across partitions without rescanning
+    ext.injectFunction((
+      new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => ThetaSketchAgg(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k,
+            org.apache.spark.sql.types.IntegerType)) =>
+          ThetaSketchAgg(c, k.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "theta_sketch_agg(col[, lgK:int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => ThetaEstimate(s)
+        case _ => throw new IllegalArgumentException(
+          "theta_estimate(sketch) takes exactly one argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_set_estimate"),
+      new ExpressionInfo(classOf[ThetaSetEstimate].getName, "theta_set_estimate"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b, org.apache.spark.sql.catalyst.expressions.Literal(op,
+            org.apache.spark.sql.types.StringType)) =>
+          ThetaSetEstimate(a, b, op.toString)
+        case _ => throw new IllegalArgumentException(
+          "theta_set_estimate(a, b, op:'union'|'intersect'|'a_not_b' literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_codes"),

@@ -68,6 +68,7 @@ object SparkEntry {
     "agg_udaf_second_max" -> (ops.Aggregates.aggUdafSecondMax _),
     "agg_approx_distinct" -> (ops.Aggregates.aggApproxDistinct _),
     "agg_sketch_union" -> (ops.Aggregates.aggSketchUnion _),
+    "agg_sketch_theta" -> (ops.Aggregates.aggSketchTheta _),
     "agg_approx_percentile" -> (ops.Aggregates.aggApproxPercentile _),
     "agg_skew_salted" -> (ops.Aggregates.aggSkewSalted _),
     "agg_pivot" -> (ops.Aggregates.aggPivot _),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -154,6 +154,41 @@ object Aggregates {
         .as("n_cust_est"))
       .select(lit("ALL").as("scope"), col("n_cust_est"))
     per.unionByName(all).orderBy(col("scope"))
+  }
+
+  /** D19: theta-sketch distinct-set ALGEBRA
+    * ([[graft.functions.ThetaSketchAgg]], Apache DataSketches) — the
+    * capability D18's HLL family lacks: set INTERSECTION and DIFFERENCE
+    * estimates. The corpus question it answers at 100 TB: "how many
+    * distinct customers do the open-order and fulfilled-order corpora
+    * share / hold exclusively" — K36 answers the doc-level analogue
+    * exactly via pair-verified joins; this answers it from two
+    * fixed-size sketch blobs built in ONE fact scan (conditional
+    * updates — NULLs skip), no join at all. Both sketches ride the same
+    * partial-agg shuffle as one ≤ 32 KB buffer per partition; the six
+    * set-algebra estimates then evaluate on a single-row frame.
+    * Registered rows-only (sketch estimates are engine-specific);
+    * `AggregatesSpec` pins every estimate within 5% of exact truth plus
+    * the a_not_b + intersect = |A| composition law. */
+  def aggSketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.{ThetaSketchAgg, ThetaEstimate, ThetaSetEstimate}
+    def sk(c: Column) =
+      column(ThetaSketchAgg(expression(c)).toAggregateExpression())
+    val sks = t(spark, sfDir, "orders").agg(
+      sk(when(col("o_orderstatus") === "O", col("o_custkey"))).as("ska"),
+      sk(when(col("o_orderstatus") === "F", col("o_custkey"))).as("skb"))
+    def est(name: String)(mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+      column(mk(expression(col("ska")), expression(col("skb")))).as(name)
+    sks.select(
+      est("n_open") { (a, _) => ThetaEstimate(a) },
+      est("n_fulfilled") { (_, b) => ThetaEstimate(b) },
+      est("n_union") { (a, b) => ThetaSetEstimate(a, b, "union") },
+      est("n_both") { (a, b) => ThetaSetEstimate(a, b, "intersect") },
+      est("n_open_only") { (a, b) => ThetaSetEstimate(a, b, "a_not_b") },
+      est("n_fulfilled_only") { (a, b) => ThetaSetEstimate(b, a, "a_not_b") })
   }
 
   /** D10: two-phase salted aggregation — the skew pattern for

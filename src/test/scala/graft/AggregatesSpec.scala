@@ -121,4 +121,50 @@ class AggregatesSpec extends SparkTestBase {
         s"$dir: union ${got("ALL")} vs direct sketch $direct")
     }
   }
+
+  test("D19: theta set-algebra estimates within 5% of exact truth") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = ops.Aggregates.aggSketchTheta(spark, dir).collect()(0)
+      val got = Map(
+        "n_open" -> r.getDouble(0), "n_fulfilled" -> r.getDouble(1),
+        "n_union" -> r.getDouble(2), "n_both" -> r.getDouble(3),
+        "n_open_only" -> r.getDouble(4), "n_fulfilled_only" -> r.getDouble(5))
+      val orders = graft.ops.Util.t(spark, dir, "orders")
+      def custs(status: String) = orders
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey")).distinct()
+      val a = custs("O").collect().map(_.getLong(0)).toSet
+      val b = custs("F").collect().map(_.getLong(0)).toSet
+      val exact = Map(
+        "n_open" -> a.size, "n_fulfilled" -> b.size,
+        "n_union" -> (a | b).size, "n_both" -> (a & b).size,
+        "n_open_only" -> (a -- b).size, "n_fulfilled_only" -> (b -- a).size)
+      for ((k, e) <- exact) {
+        assert(math.abs(got(k) - e) / math.max(e, 1) <= 0.05,
+          s"$dir $k: theta ${got(k)} vs exact $e exceeds 5%")
+      }
+      // composition law: A = (A∩B) ⊎ (A∖B) — theta intersect and
+      // a_not_b over the same two sketches must recompose the A
+      // estimate within the same envelope
+      assert(math.abs(got("n_both") + got("n_open_only") - got("n_open"))
+        / math.max(got("n_open"), 1.0) <= 0.05,
+        s"$dir: intersect + a_not_b must recompose |A|")
+    }
+  }
+
+  test("D19: theta functions are SQL-callable via GraftExtensions") {
+    graft.ops.Util.t(spark, sfDir, "orders").createOrReplaceTempView("t_ord")
+    val row = spark.sql(
+      """SELECT
+        |  theta_estimate(theta_sketch_agg(o_custkey)) AS n,
+        |  theta_set_estimate(
+        |    theta_sketch_agg(CASE WHEN o_orderstatus = 'O' THEN o_custkey END),
+        |    theta_sketch_agg(CASE WHEN o_orderstatus = 'F' THEN o_custkey END),
+        |    'intersect') AS n_both
+        |FROM t_ord""".stripMargin).collect()(0)
+    val exact = graft.ops.Util.t(spark, sfDir, "orders")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(row.getDouble(0) - exact) / exact <= 0.05)
+    assert(row.getDouble(1) >= 0.0)
+  }
 }

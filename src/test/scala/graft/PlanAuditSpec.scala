@@ -146,6 +146,13 @@ class PlanAuditSpec extends SparkTestBase {
     // corpus_mix: the language-threshold frame broadcasts (bounded
     // domain — the justified broadcast, unlike user-cardinality frames)
     assert(plan("corpus_mix").contains("BroadcastHashJoin"))
+    // graph_similar (round 12): the wedge expansion goes through the
+    // skew-capped bucket window on the center key — the row_number
+    // that bounds a power-law hub at C(cap,2); losing it reverts to
+    // the unbounded C(d,2) self-join the round-11 verdict flagged
+    val gs = plan("graph_similar")
+    assert("row_number.*src".r.findFirstIn(gs).isDefined ||
+      gs.contains("__rn"), "graph_similar must keep the neighbor-cap window")
   }
 
   test("no query plans a cartesian product") {

@@ -19,7 +19,8 @@ class QueriesSmokeSpec extends SparkTestBase {
   test("rows-only queries are exactly the documented non-portable set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("agg_approx_distinct", "agg_approx_percentile",
-      "agg_heavy_hitters", "agg_sketch_union", "dedup_minhash",
+      "agg_heavy_hitters", "agg_sketch_union", "agg_sketch_theta",
+      "dedup_minhash",
       "dedup_simhash", "dedup_embedding", "sim_ann_topk", "sim_ivf_topk"))
   }
 
