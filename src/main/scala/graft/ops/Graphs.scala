@@ -31,7 +31,7 @@ object Graphs {
     * 3·T / wedges — all integer arithmetic except the one final
     * exact-decimal ratio. One row. */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangleCensus(coOccurrenceEdges(spark, sfDir))
+    triangleCensus(cachedCoOccurrenceEdges(spark, sfDir))
 
   /** The edge construction, lazy and uncheckpointed — separated so the
     * scan-level pushdown of the support filter stays auditable
@@ -53,6 +53,26 @@ object Graphs {
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("u"), col("p.b").as("v"))
       .distinct()
+  }
+
+  /** The materialized edge list, built ONCE per (fixture content,
+    * support cut) through the shared [[FixtureCache]] discipline (the
+    * A9 bucketed-table / K18 IVF-index pattern): every graph query
+    * reads the committed parquet instead of re-deriving the
+    * scan→distinct→bucket→pair expansion per execution. This is what a
+    * production pipeline does — the graph is built in one pass and
+    * persisted; triangles, pagerank, and similarity all consume the
+    * same artifact. Cold build = exactly [[coOccurrenceEdges]] (the
+    * support filter reaches the lineitem scan there — audited in
+    * `PlanAuditSpec`); warm reads are a 2-column parquet scan. */
+  def cachedCoOccurrenceEdges(spark: SparkSession, sfDir: String,
+      minQty: Int = 25): DataFrame = {
+    val dir = FixtureCache.ensure(spark, s"cograph_q$minQty", sfDir,
+      Seq(s"$sfDir/lineitem.parquet")) { staging =>
+      coOccurrenceEdges(spark, sfDir, minQty)
+        .write.mode("overwrite").parquet(s"$staging/edges.parquet")
+    }
+    spark.read.parquet(s"$dir/edges.parquet")
   }
 
   /** Fixed iteration count for [[graphPagerank]] — part of the query's
@@ -82,7 +102,7 @@ object Graphs {
     * plans otherwise nest five joins deep and the optimizer re-derives
     * the whole lineage per step. */
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
-    pagerank(coOccurrenceEdges(spark, sfDir))
+    pagerank(cachedCoOccurrenceEdges(spark, sfDir))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
 
@@ -156,7 +176,7 @@ object Graphs {
     * TakeOrderedAndProject. */
   def graphSimilar(spark: SparkSession, sfDir: String): DataFrame =
     neighborhoodSimilar(
-      coOccurrenceEdges(spark, sfDir, minQty = 35).localCheckpoint(true))
+      cachedCoOccurrenceEdges(spark, sfDir, minQty = 35))
       .orderBy(col("jacc").desc, col("na"), col("nb"))
       .limit(20)
 
@@ -204,7 +224,7 @@ object Graphs {
     * fixture scale; a power-law hub at 100 TB shows up HERE instead of
     * as a melted stage or silently-low similarity scores. */
   def graphSimilarHealth(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coOccurrenceEdges(spark, sfDir, minQty = 35)
+    val edges = cachedCoOccurrenceEdges(spark, sfDir, minQty = 35)
     val cap = Buckets.MaxBucket
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))

@@ -73,6 +73,36 @@ class AqeSpec extends SparkTestBase {
     }
   }
 
+  test("a filtered dim prunes the partitioned fact's partitions at runtime (DPP)") {
+    // dynamic partition pruning — the partition-level complement of the
+    // bloom filter's row-level pruning: the dim side's filter result
+    // decides WHICH fact partitions are read at all. At 100 TB a
+    // date/region-partitioned fact joined to a filtered dim must scan
+    // only the surviving partitions; losing DPP is a full-table scan.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    ops.Util.t(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // dim: priority attributes, parquet-backed like a real dim table —
+    // a LocalRelation dim folds its filter away, and the predicate must
+    // be a likely-selective SHAPE (equality/IN — a bare boolean
+    // attribute is not) for the pruning rule to act on it
+    Seq(("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "mid"),
+      ("4-NOT SPECIFIED", "none"), ("5-LOW", "low"))
+      .toDF("prio", "tier")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val j = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .filter(col("tier") === "urgent")
+      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+    assert(j.collect().length == 1)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition pruning filter:\n$plan")
+  }
+
   test("AQE coalesces undersized shuffle partitions") {
     withTuning {
       import spark.implicits._

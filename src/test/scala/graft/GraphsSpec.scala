@@ -178,6 +178,17 @@ class GraphsSpec extends SparkTestBase {
     assert(h.getLong(3) == 0L && h.getLong(4) == 0L)
   }
 
+  test("cached edge list is row-identical to the lazy construction") {
+    for (q <- Seq(25, 35)) {
+      val lazily = Graphs.coOccurrenceEdges(spark, sfDir, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cached = Graphs.cachedCoOccurrenceEdges(spark, sfDir, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cached == lazily, s"minQty=$q cached edges diverge")
+      assert(cached.nonEmpty)
+    }
+  }
+
   test("fixture co-occurrence census is internally consistent") {
     val r = Graphs.graphTriangles(spark, sfDir).collect()(0)
     val (n, m, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
