@@ -69,6 +69,7 @@ object SparkEntry {
     "agg_approx_distinct" -> (ops.Aggregates.aggApproxDistinct _),
     "agg_sketch_union" -> (ops.Aggregates.aggSketchUnion _),
     "agg_sketch_theta" -> (ops.Aggregates.aggSketchTheta _),
+    "agg_corr_moments" -> (ops.Aggregates.aggCorrMoments _),
     "agg_approx_percentile" -> (ops.Aggregates.aggApproxPercentile _),
     "agg_skew_salted" -> (ops.Aggregates.aggSkewSalted _),
     "agg_pivot" -> (ops.Aggregates.aggPivot _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "pack_token_budget" -> ((s, d) => ops.LlmData.packTokenBudget(s, d)),
     "corpus_curation" -> (ops.LlmData.corpusCuration _),
     "sim_topk" -> (ops.LlmData.simTopk _),
+    "embedding_stats" -> (ops.LlmData.embeddingStats _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),

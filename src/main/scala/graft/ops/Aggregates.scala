@@ -191,6 +191,41 @@ object Aggregates {
       est("n_fulfilled_only") { (a, b) => ThetaSetEstimate(b, a, "a_not_b") })
   }
 
+  /** D20: correlation / covariance via EXACT-DECIMAL MOMENTS — the
+    * determinism discipline for second-order statistics. Spark's
+    * `corr`/`covar_samp` stream Welford-style float updates whose
+    * result depends on aggregation order (hash-flaps across
+    * partitionings, can never match an oracle); this computes the five
+    * raw moments Σx, Σy, Σxy, Σx², Σy² as exact decimal sums
+    * (associative — any shuffle order yields the identical value) in
+    * ONE partial-agg pass, then derives covar_samp and Pearson r with
+    * one short, engine-identical double expression. Same final numbers
+    * under any partitioning, any retry, any cluster size — the
+    * property that makes a metric comparable across pipeline runs.
+    * Decimal(38) headroom holds to ~10^21 rows of 4-dp inputs; beyond
+    * that the moments shard per group like D10's salted partials. */
+  def aggCorrMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"),
+        sum(y * y).cast("double").as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("n") - 1), 6).as("covar_samp"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+            * (col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+          .as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** D10: two-phase salted aggregation — the skew pattern for
     * low-cardinality heavy keys (l_returnflag has 3 values, so a direct
     * groupBy lands all 600M rows-per-flag-at-scale on 3 reducers).

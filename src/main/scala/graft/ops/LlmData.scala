@@ -69,6 +69,34 @@ object LlmData {
       .limit(5)
   }
 
+  /** K45: embedding-column health statistics — the drift/quality check
+    * a vector pipeline runs before trusting an index build: per label,
+    * vector count and the L2-norm distribution (mean/min/max). A
+    * mis-normalized batch (norms far from the corpus band) or a
+    * collapsed encoder (norms near 0) shows up HERE before it silently
+    * degrades every downstream ANN/dedup result. Per-vector norms use
+    * the K3 float discipline (components cast to exact DECIMAL(18,9),
+    * squared-sum as exact decimal, ONE double sqrt); the mean uses the
+    * text_entropy discipline (9 dp term round + exact-decimal sum) so
+    * every number is identical under any partitioning. One posexplode +
+    * two partial-agg passes — never a per-row UDF over the array. */
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(28, 14)
+    val norms = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("col").cast(D).as("x"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum(col("x") * col("x")).cast("double")).as("norm"))
+    norms.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(round(col("norm"), 9).cast(DL)).cast("double")
+          / count(lit(1)), 6).as("mean_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
   /** K4: corpus stats per language. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")

@@ -1774,6 +1774,50 @@ object OracleSql {
         |WHERE levenshtein(a.prefix, b.prefix) <= 40
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // correlation/covariance from exact-decimal raw moments (mirror of
+    // Aggregates.aggCorrMoments): the five moment sums are exact and
+    // associative in both engines; the final covar/corr derivation is
+    // the IDENTICAL double expression tree, so the correctly-rounded
+    // IEEE walk matches
+    "agg_corr_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+        |      * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+        |      * CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+        |      * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // embedding-column health stats (mirror of LlmData.embeddingStats):
+    // per-vector norms via the K3 exact-decimal squared-sum + one
+    // double sqrt; mean via the text_entropy 9 dp term-round discipline
+    "embedding_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DECIMAL(18,9)) AS x
+        |  FROM embeddings
+        |), nr AS (
+        |  SELECT vec_id, label, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS norm
+        |  FROM p GROUP BY vec_id, label
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(SUM(CAST(round(norm, 9) AS DECIMAL(28,14))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_norm,
+        |  round(MIN(norm), 6) AS min_norm,
+        |  round(MAX(norm), 6) AS max_norm
+        |FROM nr GROUP BY label
+        |ORDER BY label""".stripMargin,
+
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (

@@ -152,6 +152,31 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("D20: moment-based corr/covar agree with Spark's streaming aggregates") {
+    // the exact-moment formulation must compute the same STATISTIC as
+    // the built-ins (to float tolerance) while being deterministic
+    // under any partitioning (which the built-ins are not)
+    val got = ops.Aggregates.aggCorrMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = graft.ops.Util.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    for ((k, (cv, r)) <- ref) {
+      assert(math.abs(got(k)._1 - cv) / math.max(math.abs(cv), 1e-9) < 1e-6,
+        s"$k covar: ${got(k)._1} vs $cv")
+      assert(math.abs(got(k)._2 - r) < 1e-6, s"$k corr: ${got(k)._2} vs $r")
+      assert(got(k)._2 >= -1.0 && got(k)._2 <= 1.0)
+    }
+    // repartition invariance: the decimal moments re-associate exactly
+    val re = ops.Aggregates.aggCorrMoments(spark, sfDir)
+    val got2 = re.repartition(7).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got2 == got)
+  }
+
   test("D19: theta functions are SQL-callable via GraftExtensions") {
     graft.ops.Util.t(spark, sfDir, "orders").createOrReplaceTempView("t_ord")
     val row = spark.sql(

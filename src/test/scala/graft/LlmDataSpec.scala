@@ -191,6 +191,27 @@ class LlmDataSpec extends SparkTestBase {
     assert(bySplit("train") > bySplit.getOrElse("test", 0L))
   }
 
+  test("embedding_stats norms are consistent and exhaustive (K45)") {
+    val rows = LlmData.embeddingStats(spark, sfDir).collect()
+    val total = graft.ops.Util.t(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every vector is counted")
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn > 0, "collapsed (zero-norm) vectors would alarm here")
+      assert(mn <= mean && mean <= mx, s"label ${r.getInt(0)}: $mn <= $mean <= $mx")
+    }
+    // brute-force cross-check one label's mean norm
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l0 = graft.ops.Util.t(spark, sfDir, "embeddings")
+      .filter(col("label") === rows.head.getInt(0))
+      .select(col("embedding")).as[Seq[Float]].collect()
+    val brute = l0.map(v =>
+      math.sqrt(v.map(f => f.toDouble * f.toDouble).sum)).sum / l0.length
+    assert(math.abs(rows.head.getDouble(2) - brute) < 1e-4,
+      s"mean norm ${rows.head.getDouble(2)} vs brute $brute")
+  }
+
   test("corpus_mix threshold survives the 2^31-target overflow regime (K43)") {
     import spark.implicits._
     // n_target = 3e9 (≥ 2^31): the old BIGINT formulation wrapped
