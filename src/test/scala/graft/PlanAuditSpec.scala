@@ -168,6 +168,13 @@ class PlanAuditSpec extends SparkTestBase {
   test("aggregations run partial (map-side) before the shuffle") {
     assert(plan("agg_hash_q1").contains("partial"))
     assert(plan("join_shuffle_inner").contains("partial"))
+    // the round-12 additions keep the one-pass partial-agg shape: the
+    // moment sums ride the same shuffle as the count (no second scan),
+    // and the sketch pair builds in a single conditional-update pass
+    assert(plan("agg_corr_moments").contains("partial"))
+    assert(plan("embedding_stats").contains("partial"))
+    assert(plan("agg_sketch_theta").contains("partial"))
+    assert(!plan("embedding_stats").contains("CartesianProduct"))
   }
 
   test("LSH codes stage is a narrow projection: no join, no pre-bucket shuffle") {
