@@ -167,9 +167,14 @@ object Aggregates {
     * updates — NULLs skip), no join at all. Both sketches ride the same
     * partial-agg shuffle as one ≤ 32 KB buffer per partition; the six
     * set-algebra estimates then evaluate on a single-row frame.
-    * Registered rows-only (sketch estimates are engine-specific);
-    * `AggregatesSpec` pins every estimate within 5% of exact truth plus
-    * the a_not_b + intersect = |A| composition law. */
+    * Error model (pinned in `AggregatesSpec` through the true
+    * estimation regime at sf0.1): direct sketches within 5% RELATIVE
+    * error; intersection/difference estimates carry absolute error
+    * proportional to the UNION's sampling rate — a small difference
+    * set out of a large universe is accurate in absolute terms (≤ 5%
+    * of |A∪B|) but not in relative ones, the documented theta
+    * trade-off a consumer must size lgK against. Registered rows-only
+    * (sketch estimates are engine-specific). */
   def aggSketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.functions.{ThetaSketchAgg, ThetaEstimate, ThetaSetEstimate}
