@@ -150,6 +150,7 @@ object SparkEntry {
     "corpus_curation" -> (ops.LlmData.corpusCuration _),
     "sim_topk" -> (ops.LlmData.simTopk _),
     "embedding_stats" -> (ops.LlmData.embeddingStats _),
+    "sample_quality_weighted" -> (ops.LlmData.sampleQualityWeighted _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),

@@ -487,6 +487,36 @@ object LlmData {
     * rand()-based splits that silently leaks test docs into training).
     * Per (split, lang): doc count and token mass. One narrow
     * projection + one partial-agg pass. */
+  /** K46: quality-weighted (importance) sampling — the SOFT form of
+    * quality pruning (the public CCNet/FineWeb idea): instead of a
+    * hard keep/drop gate, each doc draws a keep probability from its
+    * quality tier — in-band token count (20-80, the K26 band) and
+    * stopword mass map to a per-mille weight in {300, 500, 800,
+    * 1000} — and the keep decision is the K28 md5 draw (salt 'qw')
+    * against that weight: low-quality text is down-sampled, not
+    * erased, preserving distributional coverage. Deterministic per
+    * doc_id (retry/repartition-stable, no RNG coordination). Output:
+    * per-tier doc count, kept count, realized rate — the sampling
+    * audit a pipeline records. One narrow pass + one partial agg. */
+  def sampleQualityWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val draw = pmod(conv(substring(md5(concat(lit("qw"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(1000L))
+    t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop", size(filter(col("toks"),
+        tk => tk.isin(stop.map(s => s: Any): _*))))
+      .withColumn("keep_pm",
+        when(size(col("toks")).between(20, 80), lit(800)).otherwise(lit(300))
+          + when(col("n_stop") >= 2, lit(200)).otherwise(lit(0)))
+      .groupBy(col("keep_pm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(draw < col("keep_pm"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("keep_pm"), col("n_docs"), col("n_kept"),
+        dbl(dec(col("n_kept")) / col("n_docs")).as("rate"))
+      .orderBy(col("keep_pm"))
+  }
+
   def splitHoldout(spark: SparkSession, sfDir: String): DataFrame = {
     val draw = conv(substring(md5(concat(lit("split"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")

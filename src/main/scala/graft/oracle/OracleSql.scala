@@ -1616,6 +1616,33 @@ object OracleSql {
     // deterministic holdout split: one md5 draw (salt 'split') mod
     // 1000 -> three ranges (test <10, val <30, train) — disjoint and
     // exhaustive by construction, stable as the corpus grows
+    // quality-weighted importance sampling (mirror of
+    // LlmData.sampleQualityWeighted): per-mille keep weight from the
+    // quality tier (token band + stopword OCCURRENCE count — list_filter,
+    // not the distinct list_intersect), md5 draw salt 'qw'
+    "sample_quality_weighted" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is'], t))) AS n_stop,
+        |    ('0x' || substr(md5('qw' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000 AS draw
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |), k AS (
+        |  SELECT draw,
+        |    (CASE WHEN n_toks BETWEEN 20 AND 80 THEN 800 ELSE 300 END
+        |     + CASE WHEN n_stop >= 2 THEN 200 ELSE 0 END) AS keep_pm
+        |  FROM f
+        |)
+        |SELECT CAST(keep_pm AS INT) AS keep_pm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN draw < keep_pm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(CAST(CAST(SUM(CASE WHEN draw < keep_pm THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,4)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS rate
+        |FROM k GROUP BY keep_pm
+        |ORDER BY keep_pm""".stripMargin,
+
     "split_holdout" ->
       """WITH d AS (
         |  SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 30 THEN 'val'

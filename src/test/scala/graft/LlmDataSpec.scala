@@ -212,6 +212,26 @@ class LlmDataSpec extends SparkTestBase {
       s"mean norm ${rows.head.getDouble(2)} vs brute $brute")
   }
 
+  test("quality-weighted sampling realizes its per-tier rates (K46)") {
+    val rows = LlmData.sampleQualityWeighted(spark, sfDir).collect()
+    val tiers = rows.map(_.getInt(0)).toSet
+    assert(tiers.subsetOf(Set(300, 500, 800, 1000)))
+    val total = graft.ops.Util.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in a tier")
+    rows.foreach { r =>
+      val (pm, n, kept, rate) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(kept <= n)
+      // a pm=1000 tier keeps EVERYTHING by construction (draw < 1000)
+      if (pm == 1000) assert(kept == n)
+      // realized rate within a 4-sigma binomial band of the target
+      val p = pm / 1000.0
+      val sigma = math.sqrt(p * (1 - p) / n)
+      assert(math.abs(rate - p) <= 4 * sigma + 1.0 / n,
+        s"tier $pm: rate $rate vs target $p (n=$n)")
+    }
+  }
+
   test("corpus_mix threshold survives the 2^31-target overflow regime (K43)") {
     import spark.implicits._
     // n_target = 3e9 (≥ 2^31): the old BIGINT formulation wrapped
