@@ -151,6 +151,7 @@ object SparkEntry {
     "sim_topk" -> (ops.LlmData.simTopk _),
     "embedding_stats" -> (ops.LlmData.embeddingStats _),
     "sample_quality_weighted" -> (ops.LlmData.sampleQualityWeighted _),
+    "text_surprisal_bigram" -> (ops.LlmData.textSurprisalBigram _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),

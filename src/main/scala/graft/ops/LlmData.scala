@@ -487,6 +487,52 @@ object LlmData {
     * rand()-based splits that silently leaks test docs into training).
     * Per (split, lang): doc count and token mass. One narrow
     * projection + one partial-agg pass. */
+  /** K47: bigram-LM surprisal — the CONDITIONAL-probability companion
+    * of K40's unigram score: per document, the mean −ln p(w₂|w₁) of
+    * its adjacent token pairs under the corpus bigram model
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·). Unigram surprisal scores rare WORDS;
+    * bigram surprisal scores rare TRANSITIONS — shuffled/garbled text
+    * built from common words (which K40 scores as ordinary) lights up
+    * here, and rote boilerplate scores near zero. Corpus-fit, so every
+    * observed pair has nonzero probability (no smoothing constant to
+    * coordinate). Exactness discipline: each −ln p term rounds to 9 dp
+    * and sums as exact decimal (the K40/text_entropy walk), one IEEE
+    * divide + 6 dp final round. Docs with < 2 tokens report 0 bigrams,
+    * NULL surprisal.
+    *
+    * Scale shape: one doc-partitioned lead window, two partial aggs
+    * over (vocab²)- and vocab-cardinality keys, one term join back on
+    * the pair key (AQE broadcasts the term table while the vocabulary
+    * is small; at web vocab it degrades to a hash join on the pair
+    * key, never a cartesian). */
+  def textSurprisalBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(28, 9)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val terms = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(-log(col("c12").cast("double") / col("c1")), 9).as("term"))
+    val perDoc = bg.join(terms, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term").cast(DL)).cast("double") / count(lit(1)), 6)
+          .as("surprisal"))
+    t(spark, sfDir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K46: quality-weighted (importance) sampling — the SOFT form of
     * quality pruning (the public CCNet/FineWeb idea): instead of a
     * hard keep/drop gate, each doc draws a keep probability from its

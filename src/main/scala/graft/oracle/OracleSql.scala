@@ -1616,6 +1616,43 @@ object OracleSql {
     // deterministic holdout split: one md5 draw (salt 'split') mod
     // 1000 -> three ranges (test <10, val <30, train) — disjoint and
     // exhaustive by construction, stable as the corpus grows
+    // bigram-LM surprisal (mirror of LlmData.textSurprisalBigram):
+    // adjacency via zipped parallel unnests, corpus-fit conditional
+    // p(w2|w1) = c12/c1, per-term 9 dp round + exact-decimal sum (the
+    // text_entropy walk), 6 dp final; < 2-token docs LEFT-join to
+    // (0, NULL)
+    "text_surprisal_bigram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(l) - 1), i -> l[i+1])) AS w1,
+        |    unnest(list_transform(range(0, len(l) - 1), i -> l[i+2])) AS w2
+        |  FROM tk WHERE len(l) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+        |), terms AS (
+        |  SELECT c12.w1, c12.w2,
+        |    round(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1), 9) AS term
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+        |), per_doc AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |    round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE)
+        |      / COUNT(*), 6) AS surprisal
+        |  FROM bg JOIN terms ON bg.w1 = terms.w1 AND bg.w2 = terms.w2
+        |  GROUP BY bg.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  p.surprisal
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // quality-weighted importance sampling (mirror of
     // LlmData.sampleQualityWeighted): per-mille keep weight from the
     // quality tier (token band + stopword OCCURRENCE count — list_filter,

@@ -212,6 +212,34 @@ class LlmDataSpec extends SparkTestBase {
       s"mean norm ${rows.head.getDouble(2)} vs brute $brute")
   }
 
+  test("bigram surprisal ranks rare transitions above rote text (K47)") {
+    import spark.implicits._
+    // ten copies of the same sentence establish common transitions; a
+    // scrambled permutation of the SAME words has transitions seen
+    // once — the case unigram surprisal (K40) cannot distinguish,
+    // since both docs have identical token frequencies
+    val rote = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox the brown jumps"
+    val docs = ((1L to 10L).map(i => (i, rote)) :+ (11L, scrambled))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_k47_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmData.textSurprisalBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 11)
+    val roteS = out(1L).getDouble(2)
+    val scrS = out(11L).getDouble(2)
+    assert(out.values.forall(_.getLong(1) == 8L))
+    assert(scrS > roteS,
+      s"scrambled transitions ($scrS) must out-surprise rote text ($roteS)")
+    // a short doc reports 0 bigrams, NULL surprisal
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_k47b_").toString
+    one.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r1 = LlmData.textSurprisalBigram(spark, dir2).collect()(0)
+    assert(r1.getLong(1) == 0L && r1.isNullAt(2))
+  }
+
   test("quality-weighted sampling realizes its per-tier rates (K46)") {
     val rows = LlmData.sampleQualityWeighted(spark, sfDir).collect()
     val tiers = rows.map(_.getInt(0)).toSet
