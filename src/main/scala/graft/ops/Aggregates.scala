@@ -209,10 +209,17 @@ object Aggregates {
     * property that makes a metric comparable across pipeline runs.
     * Decimal(38) headroom holds to ~10^21 rows of 4-dp inputs; beyond
     * that the moments shard per group like D10's salted partials. */
-  def aggCorrMoments(spark: SparkSession, sfDir: String): DataFrame = {
+  def aggCorrMoments(spark: SparkSession, sfDir: String): DataFrame =
+    corrMoments(t(spark, sfDir, "lineitem"))
+
+  /** The moment core over an arbitrary lineitem-shaped frame —
+    * separated so `AggregatesSpec` can pin the determinism law on a
+    * REPARTITIONED input (the aggregation must re-associate exactly
+    * under any physical partitioning). */
+  private[graft] def corrMoments(li: DataFrame): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
-    t(spark, sfDir, "lineitem")
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),

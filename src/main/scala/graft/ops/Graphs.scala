@@ -67,13 +67,23 @@ object Graphs {
     * `PlanAuditSpec`); warm reads are a 2-column parquet scan. */
   def cachedCoOccurrenceEdges(spark: SparkSession, sfDir: String,
       minQty: Int = 25): DataFrame = {
-    val dir = FixtureCache.ensure(spark, s"cograph_q$minQty", sfDir,
+    // the cache NAME carries every input the fixture content key can't
+    // see: the support cut, the bucket cap, and a logic version to
+    // bump whenever the edge derivation itself changes — otherwise a
+    // warm host silently serves edges built by OLD code (the content
+    // key only tracks the parquet's name/len/mtime)
+    val tag = s"cograph_q${minQty}_b${Buckets.MaxBucket}_$EdgeCacheVersion"
+    val dir = FixtureCache.ensure(spark, tag, sfDir,
       Seq(s"$sfDir/lineitem.parquet")) { staging =>
       coOccurrenceEdges(spark, sfDir, minQty)
         .write.mode("overwrite").parquet(s"$staging/edges.parquet")
     }
     spark.read.parquet(s"$dir/edges.parquet")
   }
+
+  /** Bump on ANY semantic change to [[coOccurrenceEdges]] — part of
+    * the cache identity above. */
+  private val EdgeCacheVersion = "v1"
 
   /** Fixed iteration count for [[graphPagerank]] — part of the query's
     * declared semantics (the oracle unrolls exactly this many steps). */

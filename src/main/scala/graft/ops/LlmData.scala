@@ -500,11 +500,15 @@ object LlmData {
     * divide + 6 dp final round. Docs with < 2 tokens report 0 bigrams,
     * NULL surprisal.
     *
-    * Scale shape: one doc-partitioned lead window, two partial aggs
-    * over (vocab²)- and vocab-cardinality keys, one term join back on
-    * the pair key (AQE broadcasts the term table while the vocabulary
-    * is small; at web vocab it degrades to a hash join on the pair
-    * key, never a cartesian). */
+    * Scale shape: the bigram relation is materialized ONCE (eager
+    * localCheckpoint — three consumers read it: the pair counts, the
+    * prefix counts, and the per-doc scoring join; without truncation
+    * each would re-run the explode + doc-partitioned lead window, the
+    * query's dominant cost, from the scan), then two partial aggs
+    * over (vocab²)- and vocab-cardinality keys and one term join back
+    * on the pair key (AQE broadcasts the term table while the
+    * vocabulary is small; at web vocab it degrades to a hash join on
+    * the pair key, never a cartesian). */
   def textSurprisalBigram(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = DecimalType(28, 9)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -515,6 +519,7 @@ object LlmData {
       .withColumn("nxt", lead(col("tok"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+      .localCheckpoint(true)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val terms = c12.join(c1, Seq("w1"))

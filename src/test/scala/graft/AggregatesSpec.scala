@@ -188,10 +188,16 @@ class AggregatesSpec extends SparkTestBase {
       assert(got(k)._2 >= -1.0 && got(k)._2 <= 1.0)
     }
     // repartition invariance: the decimal moments re-associate exactly
-    val re = ops.Aggregates.aggCorrMoments(spark, sfDir)
-    val got2 = re.repartition(7).collect()
+    // — the INPUT is repartitioned (repartitioning the 3-row output
+    // would re-run the identical upstream plan and prove nothing)
+    val li = graft.ops.Util.t(spark, sfDir, "lineitem")
+    val got2 = ops.Aggregates.corrMoments(li.repartition(7)).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     assert(got2 == got)
+    val got3 = ops.Aggregates.corrMoments(li.repartition(3, col("l_partkey")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got3 == got)
   }
 
   test("D19: theta functions are SQL-callable via GraftExtensions") {
