@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked child's stdout through RAW (no sbt "[info] " logger
+// prefix): the bench/verify mains emit machine-parsed JSON lines, and a
+// logger-framed line is not valid JSON to the harness that scrapes the
+// output stream (every BENCH_r*.json since r9 recorded "parsed": null
+// because the tail lines arrived as `[info] {...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a pair list — the grouping stage that
   * turns near-duplicate PAIRS into dedup CLUSTERS (keep one canonical
@@ -26,8 +27,11 @@ import org.apache.spark.sql.functions._
   * round cap (round-5 verdict: the defect this rewrite fixes). Each
   * phase is one shuffle-join + aggregate over the edge list; the
   * fixpoint check compares consecutive edge sets over materialized
-  * (checkpointed) rows. Reaching the cap without convergence THROWS —
-  * never returns partial labels.
+  * (checkpointed) rows via a ONE-JOB order-invariant signature
+  * (count + exact-decimal Σxxhash64), with a deterministic `except`
+  * confirm that runs only on a signature match — so set equality is
+  * never decided by the hash alone. Reaching the cap without
+  * convergence THROWS — never returns partial labels.
   */
 object Components {
   /** Hard iteration cap — with O(log d) convergence this allows
@@ -62,7 +66,19 @@ object Components {
       .distinct()
     // self-loops carry no information
     var e = canon.filter(col("hi") =!= col("lo")).localCheckpoint(true)
-    var eCount = e.count()
+    // order-invariant edge-set signature in ONE job per round: row
+    // count + Σ xxhash64(hi, lo) summed as exact DECIMAL(38,0) (a
+    // BIGINT sum of uniform 64-bit hashes overflows almost surely,
+    // which ANSI mode turns into a runtime error; the decimal sum is
+    // exact for any realistic edge count). Equal signatures are only
+    // a SCREEN — the deterministic `except` confirm below decides.
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r: Row = df.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var (eCount, eSig) = sig(e)
     var converged = eCount == 0
     var round = 0
     while (!converged && round < MaxRounds) {
@@ -91,11 +107,16 @@ object Components {
         .distinct()
         .localCheckpoint(true)
       // fixpoint: both sides are distinct sets of materialized rows, so
-      // equal counts + empty difference ⇔ set equality
-      val ssCount = ss.count()
-      converged = ssCount == eCount && ss.except(e).count() == 0
+      // equal counts + empty difference ⇔ set equality. The signature
+      // screens in one job; the `except` job runs ONLY on a signature
+      // match — once, at convergence (a colliding non-equal round would
+      // simply fail the confirm and keep iterating, never mislabel)
+      val (ssCount, ssSig) = sig(ss)
+      converged = ssCount == eCount && ssSig.compareTo(eSig) == 0 &&
+        ss.except(e).count() == 0
       e = ss
       eCount = ssCount
+      eSig = ssSig
     }
     if (!converged)
       throw new IllegalStateException(

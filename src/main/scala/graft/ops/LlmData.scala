@@ -108,11 +108,13 @@ object LlmData {
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang"))
 
-  /** K5: top-10 tokens by corpus frequency (explode → partial-agg count →
-    * TakeOrdered; the map-side combine bounds the shuffle). */
+  /** K5: top-10 tokens by corpus frequency (cached token relation →
+    * partial-agg count → TakeOrdered; the map-side combine bounds the
+    * shuffle and the tokenize/explode is paid once in
+    * [[ensureTokens]]). */
   def textTokensTopk(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
+    ensureTokens(spark, sfDir)
+      .select(col("tok").as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -149,23 +151,17 @@ object LlmData {
 
   /** K39: corpus bigram statistics — the token-adjacency counts behind
     * n-gram LM scoring and boilerplate detection; top-20 bigrams by
-    * count. One posexplode + one lead window partitioned by doc (the
-    * shuffle key is doc_id — a document's tokens co-locate, no global
-    * sort) + one partial-agg count + TakeOrdered. */
-  def textBigrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    t(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    * count. Reads the cached adjacency relation ([[ensureBigrams]] —
+    * the posexplode + doc-partitioned lead window is paid once at
+    * cache build, shared with K47), then one partial-agg count +
+    * TakeOrdered. */
+  def textBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    ensureBigrams(spark, sfDir)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
-  }
 
   /** K40: unigram-LM surprisal quality score (the CCNet filtering
     * signal — Wenzek et al. 2020, "CCNet: Extracting High Quality
@@ -182,8 +178,7 @@ object LlmData {
     * small; at 100 TB a web vocabulary still fits the SMJ fallback). */
   def textSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = DecimalType(28, 9)
-    val toks = t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = ensureTokens(spark, sfDir).select(col("doc_id"), col("tok"))
     val total = toks.count() // one scalar job: corpus token mass
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctok"))
     toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -205,8 +200,8 @@ object LlmData {
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val nDocs = docs.count().toDouble // one scalar job parameterizing idf
-    docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    ensureTokens(spark, sfDir)
+      .select(col("doc_id"), col("tok").as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .select(col("token"), col("tf"), col("df"),
@@ -283,24 +278,23 @@ object LlmData {
     * public): the fraction of tokens taken by the single most frequent
     * token, and the fraction of duplicate token-bigrams. Repetitive
     * machine-generated or boilerplate text scores high on both and is
-    * filtered before training. Shapes: two explode → per-(doc, gram)
-    * count → per-doc aggregate passes (map-side partial, keyed
-    * shuffles — no windows, no collects); ratios are exact decimal.
+    * filtered before training. Shapes: two per-(doc, gram) count →
+    * per-doc aggregate passes over the cached token relation
+    * ([[ensureTokens]] — the bigram is the precomputed `nxt` column,
+    * no explode or window at read time; map-side partial, keyed
+    * shuffles, no collects); ratios are exact decimal.
     * Docs with < 2 tokens have no bigrams → NULL ratio (explicit in
     * both engines). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = t(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = ensureTokens(spark, sfDir)
     val uni = base
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_toks"))
     val bi = base
-      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
-      .filter(col("pos") <= size(col("toks")) - 2)
-      .select(col("doc_id"), concat_ws(" ",
-        col("col"), element_at(col("toks"), col("pos") + 2)).as("bg"))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("nxt")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bi"), count(lit(1)).as("n_bi_d"))
@@ -351,11 +345,12 @@ object LlmData {
     * summed as EXACT DECIMAL (associative — a raw DOUBLE sum would
     * hash-flap with aggregation order), then one IEEE division +
     * subtraction and a 6 dp final round, so both engines agree
-    * bit-for-bit. One explode + two partial-agg passes. */
+    * bit-for-bit. Two partial-agg passes over the cached token
+    * relation ([[ensureTokens]]). */
   def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = DecimalType(28, 9)
-    t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    ensureTokens(spark, sfDir)
+      .select(col("doc_id"), col("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_toks"),
@@ -500,26 +495,19 @@ object LlmData {
     * divide + 6 dp final round. Docs with < 2 tokens report 0 bigrams,
     * NULL surprisal.
     *
-    * Scale shape: the bigram relation is materialized ONCE (eager
-    * localCheckpoint — three consumers read it: the pair counts, the
-    * prefix counts, and the per-doc scoring join; without truncation
-    * each would re-run the explode + doc-partitioned lead window, the
-    * query's dominant cost, from the scan), then two partial aggs
-    * over (vocab²)- and vocab-cardinality keys and one term join back
-    * on the pair key (AQE broadcasts the term table while the
-    * vocabulary is small; at web vocab it degrades to a hash join on
-    * the pair key, never a cartesian). */
+    * Scale shape: the bigram relation is materialized ONCE in the
+    * [[ensureBigrams]] cache (shared with K39 — three consumers read
+    * it here: the pair counts, the prefix counts, and the per-doc
+    * scoring join; without materialization each would re-run the
+    * explode + doc-partitioned lead window, the query's dominant
+    * cost, from the scan), then two partial aggs over (vocab²)- and
+    * vocab-cardinality keys and one term join back on the pair key
+    * (AQE broadcasts the term table while the vocabulary is small; at
+    * web vocab it degrades to a hash join on the pair key, never a
+    * cartesian). */
   def textSurprisalBigram(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = DecimalType(28, 9)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = t(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
-      .localCheckpoint(true)
+    val bg = ensureBigrams(spark, sfDir)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val terms = c12.join(c1, Seq("w1"))
@@ -553,13 +541,14 @@ object LlmData {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     val draw = pmod(conv(substring(md5(concat(lit("qw"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(1000L))
+    // one projection: the tier is a single expression over one split —
+    // no intermediate toks/n_stop columns for the optimizer to carry
+    val toks = split(col("text"), " ")
+    val nStop = size(filter(toks, tk => tk.isin(stop.map(s => s: Any): _*)))
+    val keepPm = when(size(toks).between(20, 80), lit(800)).otherwise(lit(300)) +
+      when(nStop >= 2, lit(200)).otherwise(lit(0))
     t(spark, sfDir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_stop", size(filter(col("toks"),
-        tk => tk.isin(stop.map(s => s: Any): _*))))
-      .withColumn("keep_pm",
-        when(size(col("toks")).between(20, 80), lit(800)).otherwise(lit(300))
-          + when(col("n_stop") >= 2, lit(200)).otherwise(lit(0)))
+      .select(col("doc_id"), keepPm.as("keep_pm"))
       .groupBy(col("keep_pm"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(draw < col("keep_pm"), 1L).otherwise(0L)).as("n_kept"))
@@ -582,6 +571,62 @@ object LlmData {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .orderBy(col("split"), col("lang"))
   }
+
+  /** Build-once token relation for the text-analysis family — the
+    * production shape of a text pipeline: tokenize the corpus ONCE,
+    * persist the (doc_id, pos, tok, nxt) relation, and run every
+    * token-level statistic off the stored relation instead of paying
+    * the explode (and, for adjacency, the doc-partitioned window —
+    * the family's dominant cost) per query. Seven registered queries
+    * consume it ([[textTokensTopk]], [[textSurprisal]], [[textTfidf]],
+    * [[textRepetition]], [[textEntropy]], [[textBigrams]],
+    * [[textSurprisalBigram]]); results are row-identical to the
+    * self-contained tokenize-per-query plans (the oracle SQL is
+    * untouched and every consumer stays hash-green), because the
+    * relation is a pure function of the same `documents.parquet` the
+    * oracle reads — content-keyed and version-tagged exactly like
+    * [[ensurePairs]], so a regenerated fixture or changed tokenizer
+    * can never serve stale tokens.
+    *
+    * Two sub-relations, built in one cache commit:
+    *  - `tokens`: posexplode of the space-split (the " "-delimiter
+    *    family: K5/K40/K33/K17/K27 keep empty tokens — their oracles
+    *    do too), plus `nxt` = the following token (a lead window paid
+    *    once at build, never at read).
+    *  - `bigrams`: the `\s+`-split nonempty adjacency (doc_id, w1, w2)
+    *    — the K39/K47 tokenization, which drops empty tokens before
+    *    forming pairs.
+    */
+  def materializeTokens(spark: SparkSession, sfDir: String, dir: String): Unit = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .write.mode("overwrite").parquet(s"$dir/tokens")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+  }
+
+  private def tokensDir(spark: SparkSession, sfDir: String): String =
+    FixtureCache.ensure(spark, "tokens_v1", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { tmp =>
+      materializeTokens(spark, sfDir, tmp)
+    }
+
+  /** The cached (doc_id, pos, tok, nxt) space-split token relation. */
+  def ensureTokens(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${tokensDir(spark, sfDir)}/tokens")
+
+  /** The cached (doc_id, w1, w2) nonempty-token adjacency relation. */
+  def ensureBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${tokensDir(spark, sfDir)}/bigrams")
 
   /** Exact-Jaccard verification of candidate pairs at ≥ 0.5 — shared by
     * the min-shingle ([[dedupNgramJaccard]]) and banded-MinHash
@@ -786,6 +831,23 @@ object LlmData {
     * SQL). */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     AnnLsh.topNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 10)
+
+  /** K48: SemDeDup-style semantic dedup — embedding-cluster near-dup
+    * pruning for the paraphrase-grade duplicates the token-level
+    * family misses. Rides the SHARED IVF index
+    * ([[AnnIvf.ensureIndex]] — no training of its own), within-cell
+    * pairwise only (skew-capped), min-id keep per ≥ tau component.
+    * Registered rows-only (cell ids are a seeded-codebook
+    * implementation detail); drop/keep mechanics planted-pair-pinned
+    * in `SemDedupSpec`. See [[SemDedup]] for the scale story. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val cacheDir = AnnIvf.indexCacheDir(spark, s"$sfDir/embeddings")
+    AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", cacheDir)
+    SemDedup.dedup(
+      spark.read.parquet(AnnIvf.assignedPath(cacheDir)),
+      "vec_id", "embedding")
+  }
 
   /** K19: dedup clustering — the grouping stage after pair detection.
     * Connected components over the oracle-checkable ngram-Jaccard pair

@@ -33,13 +33,27 @@ object Util {
     * conversion, which FLOORS. Plain `DIV` truncates toward zero and
     * would differ by 1µs on pre-epoch nanos (round-4 advice), so the
     * division goes through pmod: `ts - pmod(ts, 1000)` is the largest
-    * multiple of 1000 ≤ ts for any sign, making the DIV exact. */
+    * multiple of 1000 ≤ ts for any sign, making the DIV exact.
+    *
+    * A regenerated fixture instead writes naive micros (parquet
+    * `isAdjustedToUTC = false`), which Spark 4 infers as TIMESTAMP_NTZ
+    * — a type the timestamp surface (`unix_micros`, windows, as-of
+    * bounds) rejects. The fixture's event time IS UTC instants (the
+    * DuckDB oracle reads the same naive micros as its UTC-epoch
+    * TIMESTAMP), so reinterpret NTZ wall-clock as session-TZ instants;
+    * every session pins UTC, leaving the stored micros unchanged and
+    * both engines bit-agreed. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
-    else df
+    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      else df0
+    df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
   /** DECIMAL(18,4)-cast an input column before aggregation (contract rule 2). */

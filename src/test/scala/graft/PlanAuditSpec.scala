@@ -300,11 +300,15 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("round-9 additions keep their scale shapes") {
     // text_bigrams: top-k is a TakeOrdered, never a global sort; the
-    // adjacency window partitions on the high-cardinality doc_id
+    // adjacency explode + per-doc window is paid ONCE at tokens_v1
+    // cache build (round 13), so the read plan is a bare scan of the
+    // cached bigram relation — no window, no explode at query time
     val tb = plan("text_bigrams")
     assert(tb.contains("TakeOrderedAndProject"), tb)
-    assert(tb.contains("windowspecdefinition(doc_id"),
-      "bigram adjacency must window per document")
+    assert(tb.contains("graft_tokens_v1"),
+      "bigram counts must read the build-once tokens_v1 cache")
+    assert(!tb.contains("windowspecdefinition"),
+      "the adjacency window must be paid at cache build, not per query")
     // text_normalize: the dup-count window shuffles the 32-byte hash,
     // never the text column
     val tn = plan("text_normalize")

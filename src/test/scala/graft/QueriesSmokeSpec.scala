@@ -21,7 +21,8 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(rowsOnly == Set("agg_approx_distinct", "agg_approx_percentile",
       "agg_heavy_hitters", "agg_sketch_union", "agg_sketch_theta",
       "dedup_minhash",
-      "dedup_simhash", "dedup_embedding", "sim_ann_topk", "sim_ivf_topk"))
+      "dedup_simhash", "dedup_embedding", "dedup_semantic",
+      "sim_ann_topk", "sim_ivf_topk"))
   }
 
   test("entry() returns rows") {
