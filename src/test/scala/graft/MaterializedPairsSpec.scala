@@ -64,6 +64,17 @@ class MaterializedPairsSpec extends SparkTestBase {
       .orderBy("doc_a", "doc_b")))
   }
 
+  test("ensureComponents serves cached labels identical to the direct closure") {
+    val cached = rows(LlmData.ensureComponents(spark, sfDir)
+      .orderBy("id", "lbl"))
+    val direct = rows(graft.ops.Components.connected(
+        LlmData.ensurePairs(spark, sfDir).select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      .orderBy("id", "lbl"))
+    assert(cached == direct)
+    assert(cached.nonEmpty)
+  }
+
   test("a regenerated fixture gets a fresh cache; the stale one is evicted") {
     // private fixture: a copy of documents.parquet this test may touch
     val fx = java.nio.file.Files.createTempDirectory("graft_fx_").toString
