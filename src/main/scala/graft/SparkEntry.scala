@@ -129,6 +129,7 @@ object SparkEntry {
     "graph_pagerank" -> (ops.Graphs.graphPagerank _),
     "graph_similar" -> (ops.Graphs.graphSimilar _),
     "graph_health" -> (ops.Graphs.graphSimilarHealth _),
+    "graph_components" -> (ops.Graphs.graphComponents _),
     // K — LLM-training-data ops
     "dedup_exact" -> (ops.LlmData.dedupExact _),
     "dedup_substring" -> ((s, d) => ops.LlmData.dedupSubstring(s, d)),

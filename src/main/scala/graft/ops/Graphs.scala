@@ -225,6 +225,43 @@ object Graphs {
         dbl(dec(col("cn")) / (col("da") + col("db") - col("cn"))).as("jacc"))
   }
 
+  /** Support cut for [[graphComponents]] — part of the query's
+    * declared semantics (the oracle mirrors it). Tighter than L1/L2's
+    * 25 and L3's 35: at those cuts the co-occurrence graph is ONE
+    * giant component at every fixture scale (labeling it is vacuous,
+    * and the oracle's recursive closure on a size-n component builds
+    * n² reach pairs). At 48 the graph is the high-support co-purchase
+    * backbone: hundreds of small components (sf0.01: 644 nodes / 246
+    * components, max 10; sf0.1: 6.5k nodes / 2.4k components, max 20)
+    * — non-vacuous labels and a bounded closure in both engines. */
+  val ComponentsMinQty = 48
+
+  /** L4: connected-component labeling of the sparse co-occurrence
+    * graph — the graph-family registration of the same large-star/
+    * small-star machinery the dedup chain clusters with
+    * ([[Components.connected]]; K19 labels near-dup docs, L4 labels
+    * co-purchase groups). Per node: its component (min member id, the
+    * deterministic convention) and the component size.
+    *
+    * Scale shape: the closure is O(log d) bounded-shuffle rounds over
+    * the cached edge parquet (see [[Components]] for the iteration
+    * story — throws at the round cap, never mislabels); the size frame
+    * is component-cardinality and the final join is LEFT TO AQE
+    * (component counts shrink with clustering, but a giant-component
+    * graph would make a forced broadcast an OOM). Oracle: the
+    * dedup_clusters recursive min-label closure over the identical
+    * capped edge CTE. */
+  def graphComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Components.connected(
+        cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty), "u", "v")
+      .select(col("id").as("node"), col("lbl").as("component_id"))
+    val sizes = labels.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    labels.join(sizes, Seq("component_id"))
+      .select(col("node"), col("component_id"), col("n_nodes"))
+      .orderBy(col("component_id"), col("node"))
+  }
+
   /** Companion observability row for L3 (the `dedup_health` pattern):
     * one row over the same support-35 graph reporting node/edge counts,
     * the max degree, and exactly how much the [[Buckets.MaxBucket]]

@@ -1205,6 +1205,33 @@ object OracleSql {
          |    AS BIGINT) AS n_dropped_neighbors
          |FROM deg""".stripMargin,
 
+    // L4 component labeling: the dedup_clusters recursive min-label
+    // closure over the SPARSE (support-48) co-occurrence graph — at
+    // the looser cuts the graph is one giant component (vacuous
+    // labels, n² reach pairs); at 48 it is hundreds of small
+    // co-purchase components and the closure is bounded
+    "graph_components" ->
+      s"""WITH RECURSIVE ${coGraphCtes(graft.ops.Graphs.ComponentsMinQty)},
+         |und AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), verts AS (
+         |  SELECT DISTINCT src AS id FROM und
+         |), reach(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+         |), comp AS (
+         |  SELECT id AS node, MIN(lbl) AS component_id FROM reach GROUP BY id
+         |), sz AS (
+         |  SELECT component_id, COUNT(*) AS n_nodes
+         |  FROM comp GROUP BY component_id
+         |)
+         |SELECT c.node, c.component_id, CAST(s.n_nodes AS BIGINT) AS n_nodes
+         |FROM comp c JOIN sz s USING (component_id)
+         |ORDER BY component_id, node""".stripMargin,
+
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as
     // graft.ops.Layout.spread16 — and report per-16-bit-prefix-bucket

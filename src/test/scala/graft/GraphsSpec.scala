@@ -198,4 +198,18 @@ class GraphsSpec extends SparkTestBase {
     // m ≤ C(n,2); w ≤ m·(max possible shared endpoint degree) sanity
     assert(m <= n * (n - 1) / 2)
   }
+
+  test("graph_components labels the support-48 backbone into many small components (L4)") {
+    val rows = Graphs.graphComponents(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val comps = rows.groupBy(_.getLong(1))
+    // the POINT of the tighter cut: not one giant component
+    assert(comps.size > 1)
+    for ((cid, rs) <- comps) {
+      // declared size matches the actual member count
+      assert(rs.forall(_.getLong(2) == rs.length))
+      // the label is the component's minimum member id
+      assert(rs.map(_.getLong(0)).min == cid)
+    }
+  }
 }
