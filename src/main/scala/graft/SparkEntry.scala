@@ -77,6 +77,7 @@ object SparkEntry {
     "agg_percentile" -> (ops.Aggregates.aggPercentile _),
     "agg_minmax_by" -> (ops.Aggregates.aggMinmaxBy _),
     "agg_outlier_zscore" -> (ops.Aggregates.aggOutlierZscore _),
+    "agg_histogram" -> (ops.Aggregates.aggHistogram _),
     "agg_heavy_hitters" -> (ops.Aggregates.aggHeavyHitters _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "sessionize_batch" -> (ops.Events.sessionizeBatch _),
     "events_resample_ffill" -> (ops.Events.eventsResampleFfill _),
     "events_interpolate" -> (ops.Events.eventsInterpolate _),
+    "events_anomaly" -> (ops.Events.eventsAnomaly _),
     // L — graph analytics
     "graph_triangles" -> (ops.Graphs.graphTriangles _),
     "graph_pagerank" -> (ops.Graphs.graphPagerank _),
@@ -169,6 +171,7 @@ object SparkEntry {
     "text_quality" -> (ops.LlmData.textQuality _),
     "text_repetition" -> (ops.LlmData.textRepetition _),
     "text_pii_scrub" -> (ops.LlmData.textPiiScrub _),
+    "text_charset" -> (ops.LlmData.textCharset _),
     "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),

@@ -364,4 +364,32 @@ object Aggregates {
       .select(col("o_orderkey"), col("o_orderstatus"), col("cts"), col("n"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** D21: equi-width histogram of `l_extendedprice` — the
+    * distribution-profiling primitive behind optimizer statistics,
+    * data-quality dashboards, and skew detection. Declared fixed
+    * $5,000 buckets (data-independent bounds: a data-dependent
+    * min/max would need an extra pass AND make bucket edges drift with
+    * the corpus); the bucket decision runs on integer CENTS
+    * (`round(price·100)` is exact HALF_UP in both engines, then an
+    * integer DIV), so no float-boundary edge can flip a row's bucket.
+    * Share is one exact-decimal division against the 1-row total
+    * (AQE-broadcast cross join, the `sampleStratified` shape). One
+    * narrow projection + one partial-agg pass over ≤ ~22 bucket keys —
+    * map-side combine collapses the shuffle to bucket-cardinality. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = t(spark, sfDir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("c"))
+      .select(expr("c DIV 500000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val total = binned.agg(sum(col("n")).as("total"))
+    binned.crossJoin(total)
+      .select(col("bucket"),
+        (col("bucket") * 5000L).as("lo_dollars"),
+        ((col("bucket") + 1L) * 5000L).as("hi_dollars"),
+        col("n"),
+        dbl(dec(col("n")) / col("total")).as("share"))
+      .orderBy(col("bucket"))
+  }
 }

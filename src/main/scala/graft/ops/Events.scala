@@ -211,4 +211,41 @@ object Events {
         sum(col("dur_us")).as("active_us"))
       .orderBy(col("user_id"))
   }
+
+  /** J19: rolling z-score anomaly flags — the streaming-adjacent
+    * outlier screen a metrics pipeline runs per entity: each event's
+    * `value` against the mean/stddev of that user's previous 5 events
+    * (strictly preceding frame — the current value never smooths its
+    * own baseline). Events with fewer than 3 predecessors report NULL
+    * (no stable baseline), as do zero-variance baselines.
+    *
+    * Determinism discipline: the frame sums are EXACT DECIMAL (value
+    * is 2 dp; value² rounded to its exact 4 dp before the decimal
+    * cast), so both engines aggregate identical rationals; mean /
+    * variance / z then run as the IDENTICAL IEEE expression tree
+    * (correctly-rounded ops — the `events_interpolate` argument) with
+    * one 6 dp final round. Window partitions on `user_id` (the
+    * high-cardinality entity key — no global window), frame is O(1)
+    * rows; one shuffle total. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-5, -1)
+    val nP = col("n_prev").cast("double")
+    val mean = col("s1").cast("double") / nP
+    val varE = col("s2").cast("double") / nP - mean * mean
+    val z = (col("value") - mean) / sqrt(varE)
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("n_prev", count(col("value")).over(w))
+      .withColumn("s1", sum(dec(col("value"))).over(w))
+      .withColumn("s2", sum(dec(round(col("value") * col("value"), 4))).over(w))
+      .select(col("event_id"), col("user_id"), col("value"), col("n_prev"),
+        when(col("n_prev") >= 3 && varE > 0, round(z, 6))
+          .otherwise(lit(null).cast("double")).as("zscore"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) > 2.0, lit(false)))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

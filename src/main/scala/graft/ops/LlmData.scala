@@ -273,6 +273,40 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K49: charset / codepoint quality screen — the C4-style encoding
+    * filter a web-corpus pipeline runs first: per document, codepoint
+    * count, non-ASCII and control-character counts, and ASCII/digit
+    * ratios (mojibake, binary spills, and template noise all alarm
+    * here before any token-level signal). The fixture corpus is pure
+    * ASCII, so both engines deterministically inject the same
+    * non-ASCII and control-character suffixes first (a pure function
+    * of doc_id — the [[textPiiScrub]] pattern), making the counting
+    * mechanics hash-checked rather than vacuously zero.
+    *
+    * Counts are length-differences of a global regex strip; the
+    * classes stay inside the Java-regex ∩ RE2 common subset (hex
+    * ranges), so both engines compile identical automata. One narrow
+    * codegen'd projection, no shuffle before the output sort. */
+  def textCharset(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = t(spark, sfDir, "documents")
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" naïve café résumé")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" \u0007bell")).otherwise(lit(""))))
+    val n = length(col("t2"))
+    val nonAscii = n - length(regexp_replace(col("t2"), "[^\\x00-\\x7F]", ""))
+    val ctrl = n - length(regexp_replace(col("t2"), "[\\x00-\\x1F]", ""))
+    val digits = n - length(regexp_replace(col("t2"), "[0-9]", ""))
+    injected.select(col("doc_id"),
+        n.cast("long").as("n_chars"),
+        nonAscii.cast("long").as("n_non_ascii"),
+        ctrl.cast("long").as("n_ctrl"),
+        dbl(dec(n - nonAscii) / n).as("ascii_ratio"),
+        dbl(dec(digits) / n).as("digit_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K27: repetition-based quality filtering — the Gopher repetition
     * signals (Rae et al. 2021, "Scaling Language Models", §A1.1,
     * public): the fraction of tokens taken by the single most frequent

@@ -537,6 +537,23 @@ object OracleSql {
         |    * (CAST(st.n AS DECIMAL(38,0)) * st.q - st.s * st.s)
         |ORDER BY o.o_orderkey""".stripMargin,
 
+    // D21 equi-width histogram: the bucket decision is INTEGER (exact
+    // HALF_UP cents, then integer DIV) so no float boundary can flip a
+    // row's bucket between engines; share via the decimal contract
+    "agg_histogram" ->
+      s"""WITH c AS (
+         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 500000
+         |    AS bucket
+         |  FROM lineitem
+         |), h AS (
+         |  SELECT bucket, COUNT(*) AS n FROM c GROUP BY bucket
+         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+         |SELECT h.bucket, h.bucket * 5000 AS lo_dollars,
+         |  (h.bucket + 1) * 5000 AS hi_dollars, CAST(h.n AS BIGINT) AS n,
+         |  ${dbl(s"${dec("h.n")} / t.total")} AS share
+         |FROM h, t
+         |ORDER BY h.bucket""".stripMargin,
+
     // CAST to BIGINT: DuckDB's SUM over integers is HUGEINT, which the
     // driver's hasher reads as float64 and hash-mismatches against
     // Spark's BIGINT pivot counts (round-4 verdict). SUM(CASE) (not
@@ -1109,6 +1126,38 @@ object OracleSql {
         |FROM j
         |ORDER BY user_id, day""".stripMargin,
 
+    // J19 rolling z-score: frame sums are exact DECIMAL (value 2 dp,
+    // value² rounded to its exact 4 dp), then the IDENTICAL IEEE
+    // mean/variance/z expression tree as the Spark side with one 6 dp
+    // final round; < 3 predecessors or zero variance -> NULL
+    "events_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(value) OVER w AS n_prev,
+        |    SUM(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
+        |    SUM(CAST(round(value * value, 4) AS DECIMAL(18,4))) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id, value, CAST(n_prev AS BIGINT) AS n_prev,
+        |    CASE WHEN n_prev >= 3 AND
+        |      CAST(s2 AS DOUBLE) / CAST(n_prev AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE)) > 0
+        |    THEN round(
+        |      (value - CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+        |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n_prev AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))), 6)
+        |    END AS zscore
+        |  FROM b
+        |)
+        |SELECT event_id, user_id, value, n_prev, zscore,
+        |  COALESCE(abs(zscore) > 2.0, FALSE) AS is_anomaly
+        |FROM z
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // triangle census of the part co-occurrence graph (edges = part
     // pairs sharing an order), via the same degree-orientation the
     // engine uses: direct each edge low→high by (degree, id), wedge
@@ -1593,6 +1642,36 @@ object OracleSql {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_sha
         |FROM t2
         |ORDER BY doc_id""".stripMargin,
+
+    // K49 charset screen: same deterministic non-ASCII / control-char
+    // injection as the Spark side (pure function of doc_id), counts
+    // via length-difference of a GLOBAL regex strip (RE2 ∩ Java hex
+    // classes; DuckDB needs the explicit 'g' flag)
+    "text_charset" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' naïve café résumé' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(7) || 'bell'
+         |      ELSE '' END AS t2
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars,
+         |    CAST(length(t2) -
+         |      length(regexp_replace(t2, '[^\\x00-\\x7F]', '', 'g'))
+         |      AS BIGINT) AS n_non_ascii,
+         |    CAST(length(t2) -
+         |      length(regexp_replace(t2, '[\\x00-\\x1F]', '', 'g'))
+         |      AS BIGINT) AS n_ctrl,
+         |    CAST(length(t2) -
+         |      length(regexp_replace(t2, '[0-9]', '', 'g'))
+         |      AS BIGINT) AS n_digits
+         |  FROM inj
+         |)
+         |SELECT doc_id, n_chars, n_non_ascii, n_ctrl,
+         |  ${dbl(s"${dec("n_chars - n_non_ascii")} / n_chars")} AS ascii_ratio,
+         |  ${dbl(s"${dec("n_digits")} / n_chars")} AS digit_ratio
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH tk AS (

@@ -215,4 +215,15 @@ class AggregatesSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(0) - exact) / exact <= 0.05)
     assert(row.getDouble(1) >= 0.0)
   }
+  test("D21: histogram buckets partition the table; shares sum to 1") {
+    val rows = graft.ops.Aggregates.aggHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.ops.Util.t(spark, sfDir, "lineitem").count()
+    assert(rows.map(_.getLong(3)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // declared $5,000 bounds: lo = bucket*5000, hi = lo + 5000
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 5000 &&
+      r.getLong(2) == r.getLong(1) + 5000))
+  }
+
 }

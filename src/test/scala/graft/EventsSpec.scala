@@ -124,4 +124,19 @@ class EventsSpec extends SparkTestBase {
     // each share is exact-decimal truncated at 6dp; ≤5 terms per type
     assert(bad.isEmpty, bad.mkString(", "))
   }
+  test("rolling z-score null/flag laws hold on the fixture (J19)") {
+    val rows = graft.ops.Events.eventsAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nPrev, zNull, flag) = (r.getLong(3), r.isNullAt(4), r.getBoolean(5))
+      // no baseline (< 3 predecessors) -> no score, never flagged
+      if (nPrev < 3) assert(zNull && !flag)
+      // a flag requires a score beyond the 2-sigma band
+      if (flag) assert(!zNull && math.abs(r.getDouble(4)) > 2.0)
+      if (!zNull && math.abs(r.getDouble(4)) <= 2.0) assert(!flag)
+    }
+    // the screen is non-vacuous on the fixture: both flags occur
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
 }

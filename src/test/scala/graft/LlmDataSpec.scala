@@ -298,4 +298,16 @@ class LlmDataSpec extends SparkTestBase {
     // mapped language still targets (400‰ of budget 10) = 4
     assert(byLang("en").getLong(2) == 4L)
   }
+  test("charset screen counts the injected non-ASCII and control chars (K49)") {
+    val rows = LlmData.textCharset(spark, sfDir).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      // the accents land exactly on the %5 docs, the BEL on the %13 docs
+      assert((r.getLong(2) > 0) == (id % 5 == 0))
+      assert(r.getLong(3) == (if (id % 13 == 0) 1L else 0L))
+      assert((r.getDouble(4) < 1.0) == (id % 5 == 0))
+    }
+  }
+
 }
