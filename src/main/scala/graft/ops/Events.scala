@@ -227,7 +227,16 @@ object Events {
     * one 6 dp final round. Window partitions on `user_id` (the
     * high-cardinality entity key — no global window), frame is O(1)
     * rows; one shuffle total. */
-  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyScores(t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus")))
+
+  /** The scoring core over an (event_id, user_id, value, tus) frame —
+    * separated so `StreamingSpec` can pin the streaming J20 variant
+    * ([[StreamingOps.streamingAnomaly]]) row-for-row against this
+    * batch law on identical data. */
+  private[graft] def anomalyScores(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
       .rowsBetween(-5, -1)
@@ -235,9 +244,7 @@ object Events {
     val mean = col("s1").cast("double") / nP
     val varE = col("s2").cast("double") / nP - mean * mean
     val z = (col("value") - mean) / sqrt(varE)
-    t(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), col("value"),
-        unix_micros(col("ts")).as("tus"))
+    ev
       .withColumn("n_prev", count(col("value")).over(w))
       .withColumn("s1", sum(dec(col("value"))).over(w))
       .withColumn("s2", sum(dec(round(col("value") * col("value"), 4))).over(w))

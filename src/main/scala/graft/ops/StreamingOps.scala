@@ -318,6 +318,67 @@ object StreamingOps {
       .toDF("event_id", "user_id", "prev_event_id", "prev_event_type", "gap_us")
   }
 
+  /** J20: streaming rolling z-score anomaly flags — the stateful
+    * counterpart of the batch [[Events.eventsAnomaly]]: a per-user
+    * ring buffer of the last 5 values via `flatMapGroupsWithState`,
+    * each arriving event scored against its buffer BEFORE being
+    * appended (the strictly-preceding frame of the batch law). Within
+    * a micro-batch rows are processed in (ts, event_id) order — the
+    * batch window's order — and the buffer carries across batches, so
+    * results equal the batch query whenever per-user delivery is
+    * in order across batches (the [[streamingAsOfEnrich]] contract;
+    * pinned row-for-row in `StreamingSpec`).
+    *
+    * Numeric parity is EXACT: the buffer sums run as the same
+    * decimals the batch frame aggregates (value at its 2 dp, value²
+    * HALF_UP-rounded to its exact 4 dp), mean/variance/z as the same
+    * IEEE double walk, one HALF_UP 6 dp final round — `BigDecimal`
+    * here IS Spark's decimal cast/round kernel. State is O(1) per
+    * active user, partitioned by the grouping key. */
+  def streamingAnomaly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    events.selectExpr("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Double],
+          (Long, Long, Double, Long, Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[Vector[Double]]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = rows.toSeq
+            .sortBy(r => (micros(r._2), r._3))
+            .map { case (_, _, id, v) =>
+              val n = buf.length
+              val z =
+                if (n >= 3) {
+                  val s1 = buf.map(x =>
+                      JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP))
+                    .reduce(_.add(_)).doubleValue
+                  val s2 = buf.map(x =>
+                      JBD.valueOf(x * x).setScale(4, RoundingMode.HALF_UP))
+                    .reduce(_.add(_)).doubleValue
+                  val mean = s1 / n
+                  val variance = s2 / n - mean * mean
+                  if (variance > 0)
+                    Some(JBD.valueOf((v - mean) / math.sqrt(variance))
+                      .setScale(6, RoundingMode.HALF_UP).doubleValue)
+                  else None
+                } else None
+              buf = (buf :+ v).takeRight(5)
+              (id, user, v, n.toLong, z, z.exists(math.abs(_) > 2.0))
+            }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "value", "n_prev", "zscore", "is_anomaly")
+  }
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

@@ -8,6 +8,9 @@ import graft.ops.StreamingOps
 /** Top-level so Spark can derive an Encoder without an outer scope. */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
+/** Valued variant for the J19/J20 anomaly family. */
+case class EvV(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
 /** True-streaming semantics for J4-J7 via MemoryStream: watermark late
   * drop, stateful dedup, stream-static join, and mapGroupsWithState
   * accumulation across micro-batches. */
@@ -605,6 +608,48 @@ class StreamingSpec extends SparkTestBase {
         .select(unix_timestamp(col("window.start")), col("event_type"), col("n"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
       assert(streamed == batch)
+    }
+  }
+
+  test("J20: streaming rolling z-score equals the batch law across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EvV]
+    val q = StreamingOps.streamingAnomaly(in.toDF())
+      .writeStream.format("memory").queryName("j20")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    // user 1 split MID-BUFFER across the batches (the ring buffer must
+    // carry over); user 2 is constant-valued → the zero-variance branch
+    val batch1 = Seq(
+      EvV(1, ts("2024-01-01 10:00:00"), 1, 10.25),
+      EvV(2, ts("2024-01-01 10:01:00"), 1, 10.75),
+      EvV(3, ts("2024-01-01 10:02:00"), 1, 9.50),
+      EvV(4, ts("2024-01-01 10:03:00"), 1, 10.00), // first scored (n_prev=3)
+      EvV(5, ts("2024-01-01 10:00:30"), 2, 5.00),
+      EvV(6, ts("2024-01-01 10:01:30"), 2, 5.00))
+    val batch2 = Seq(
+      EvV(7, ts("2024-01-01 10:04:00"), 1, 55.00), // planted spike
+      EvV(8, ts("2024-01-01 10:05:00"), 1, 10.50),
+      EvV(9, ts("2024-01-01 10:02:30"), 2, 5.00),
+      EvV(10, ts("2024-01-01 10:03:30"), 2, 5.00)) // n=3, var=0 → NULL
+    withQuery(q) {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5))
+      }.sortBy(_._1).toSeq
+      val streamed = norm(spark.table("j20").collect())
+      val batch = norm(graft.ops.Events.anomalyScores(
+        (batch1 ++ batch2).toDF()
+          .select($"event_id", $"user_id", $"value",
+            unix_micros($"ts").as("tus"))).collect())
+      // the spike is flagged, the flat-baseline row reports NULL
+      assert(streamed.find(_._1 == 7L).exists(_._6))
+      assert(streamed.find(_._1 == 10L).exists(r => r._5.isEmpty && !r._6))
+      assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
     }
   }
 }
