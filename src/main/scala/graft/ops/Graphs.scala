@@ -252,8 +252,17 @@ object Graphs {
     * dedup_clusters recursive min-label closure over the identical
     * capped edge CTE. */
   def graphComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = Components.connected(
-        cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty), "u", "v")
+    // labels are a pure function of the edge list → build the closure
+    // ONCE per fixture content (the components_v1 discipline of the
+    // dedup chain); warm executions read a 2-column parquet
+    val dir = FixtureCache.ensure(spark,
+      s"cograph_l4_q${ComponentsMinQty}_$EdgeCacheVersion", sfDir,
+      Seq(s"$sfDir/lineitem.parquet")) { tmp =>
+      Components.connected(
+          cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty), "u", "v")
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+    }
+    val labels = spark.read.parquet(s"$dir/labels")
       .select(col("id").as("node"), col("lbl").as("component_id"))
     val sizes = labels.groupBy(col("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
