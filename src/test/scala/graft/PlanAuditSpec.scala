@@ -379,4 +379,29 @@ class PlanAuditSpec extends SparkTestBase {
           s"$q carries a join hint: ${j.hint}")
     }
   }
+
+  test("round-13 additions keep their scale shapes") {
+    // agg_histogram: the bucket agg is a partial (map-side combined)
+    // pass; the share join against the 1-row total must be a broadcast,
+    // never a shuffled join of the bucket frame
+    val ah = plan("agg_histogram")
+    assert(ah.contains("partial_count") || ah.contains("partial"), ah)
+    assert(ah.contains("BroadcastNestedLoopJoin") || ah.contains("BroadcastExchange"),
+      "1-row total must broadcast")
+    // events_anomaly: ONE window, partitioned on the user entity key —
+    // never a global (unpartitioned) window
+    val ea = plan("events_anomaly")
+    assert(ea.contains("windowspecdefinition(user_id"), ea.take(2000))
+    assert(!ea.contains("windowspecdefinition(ts"),
+      "window must partition per user, not globally")
+    // text_charset: narrow codegen'd projection — no join, no agg
+    val tc = plan("text_charset")
+    assert(!tc.contains("Join") && !tc.contains("HashAggregate"), tc)
+    // graph_components / dedup_clusters: warm plans read the committed
+    // label caches instead of re-running the closure fixpoint
+    assert(plan("graph_components").contains("cograph_l4"),
+      "L4 must read the cached labels")
+    assert(plan("dedup_clusters").contains("graft_components_v1"),
+      "K19 must read the cached labels")
+  }
 }
