@@ -255,9 +255,14 @@ object Graphs {
     // labels are a pure function of the edge list → build the closure
     // ONCE per fixture content (the components_v1 discipline of the
     // dedup chain); warm executions read a 2-column parquet
+    // name carries the SAME inputs the edge cache's name does (support
+    // cut, bucket cap, logic version) — the labels are derived from
+    // that edge relation, so any input that re-keys the edges must
+    // re-key the labels too, or a warm host serves labels built from
+    // the OLD edge set
     val dir = FixtureCache.ensure(spark,
-      s"cograph_l4_q${ComponentsMinQty}_$EdgeCacheVersion", sfDir,
-      Seq(s"$sfDir/lineitem.parquet")) { tmp =>
+      s"cograph_l4_q${ComponentsMinQty}_b${Buckets.MaxBucket}_$EdgeCacheVersion",
+      sfDir, Seq(s"$sfDir/lineitem.parquet")) { tmp =>
       Components.connected(
           cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty), "u", "v")
         .write.mode("overwrite").parquet(s"$tmp/labels")

@@ -744,9 +744,15 @@ object LlmData {
     * same path gets a fresh cache instead of stale pairs. The `v1`
     * component versions the pipeline: bump it when the pair semantics
     * change so a stale cache is never served. */
+  /** Single source of truth for the pair-cache name — downstream
+    * derived caches embed it so a version bump here re-keys them too
+    * (labels derived from v2 pairs must never be served from a v1
+    * label cache). */
+  private val PairsCacheName = "pairs_v1"
+
   def pairsCacheDir(spark: SparkSession, sfDir: String): String =
     FixtureCache.cacheDir(spark.sessionState.newHadoopConf(),
-      "pairs_v1", sfDir, Seq(s"$sfDir/documents.parquet"))
+      PairsCacheName, sfDir, Seq(s"$sfDir/documents.parquet"))
 
   /** Build-once pair-relation bootstrap through [[FixtureCache]]
     * (content-keyed dir, marker committed inside the staging dir, then
@@ -761,7 +767,7 @@ object LlmData {
     * the self-contained pipeline (`MaterializedPairsSpec`), so oracle
     * semantics are untouched. */
   def ensurePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = FixtureCache.ensure(spark, "pairs_v1", sfDir,
+    val dir = FixtureCache.ensure(spark, PairsCacheName, sfDir,
       Seq(s"$sfDir/documents.parquet")) { tmp =>
       materializePairs(spark, sfDir, s"$tmp/pairs")
     }
@@ -780,7 +786,7 @@ object LlmData {
     * cached and direct closures is pinned in `MaterializedPairsSpec`
     * (the `*FromPairs` forms still compute the closure inline). */
   def ensureComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = FixtureCache.ensure(spark, "components_v1", sfDir,
+    val dir = FixtureCache.ensure(spark, s"components_${PairsCacheName}", sfDir,
       Seq(s"$sfDir/documents.parquet")) { tmp =>
       Components.connected(
           ensurePairs(spark, sfDir).select(col("doc_a"), col("doc_b")),

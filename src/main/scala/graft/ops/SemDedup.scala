@@ -40,33 +40,49 @@ object SemDedup {
     * paraphrase-grade duplicates. */
   val Tau = 0.9
 
-  /** Every within-cell candidate pair (id_a < id_b) with its exact
-    * cosine, via the capped bucket expansion — bounded per cell, never
-    * corpus-quadratic. `assigned` must carry (`idCol`, `vecCol`,
-    * `cell`). */
-  def withinCellPairs(assigned: DataFrame, idCol: String,
+  /** The capped, sorted cell membership — one row per multi-member
+    * cell with the ≤ `cap` smallest (id, vector) payloads and the
+    * `n_overflow` truncation count. `assigned` must carry (`idCol`,
+    * `vecCol`, `cell`). */
+  def cellMembers(assigned: DataFrame, idCol: String,
       vecCol: String, cap: Int = Buckets.MaxBucket): DataFrame =
     Buckets.members(assigned, Seq("cell"), col(idCol),
-        struct(col(idCol).as("id"), col(vecCol).as("v")), cap)
+      struct(col(idCol).as("id"), col(vecCol).as("v")), cap)
+
+  /** Every within-cell candidate pair (id_a < id_b) with its exact
+    * cosine, via the capped bucket expansion — bounded per cell, never
+    * corpus-quadratic. */
+  def withinCellPairs(assigned: DataFrame, idCol: String,
+      vecCol: String, cap: Int = Buckets.MaxBucket): DataFrame =
+    pairsFromMembers(cellMembers(assigned, idCol, vecCol, cap))
+
+  private def pairsFromMembers(members: DataFrame): DataFrame =
+    members
       .select(explode(Buckets.sortedPairs(col("ids"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(AnnLsh.cosine(col("p.a.v").cast("array<double>"),
           col("p.b.v").cast("array<double>")), 6).as("cos"))
 
   /** Per-vector semantic-dedup decision over a cell-assigned embedding
-    * table: (`idCol`, cell, sem_cluster, is_kept, top_cos).
-    * `sem_cluster` is the min-id of the vector's ≥ `tau` duplicate
-    * component (its own id when it has none), `is_kept` marks the one
-    * kept member per component, and `top_cos` is the highest within-cell
-    * cosine to any other member (NULL in singleton cells) — the
-    * observability column that keeps the probe non-vacuous on a corpus
-    * with no true semantic duplicates. */
+    * table: (`idCol`, cell, sem_cluster, is_kept, top_cos,
+    * cell_overflow). `sem_cluster` is the min-id of the vector's ≥
+    * `tau` duplicate component (its own id when it has none),
+    * `is_kept` marks the one kept member per component, `top_cos` is
+    * the highest within-cell cosine to any other member (NULL in
+    * singleton cells) — the observability column that keeps the probe
+    * non-vacuous on a corpus with no true semantic duplicates — and
+    * `cell_overflow` is the vector's cell's membership-cap truncation
+    * count (the dedup_health discipline: a member past the cap is
+    * never paired, so without this column a truncated near-duplicate
+    * is indistinguishable from a genuine singleton — silent recall
+    * loss with zero alarm). */
   def dedup(assigned: DataFrame, idCol: String, vecCol: String,
       tau: Double = Tau, cap: Int = Buckets.MaxBucket): DataFrame = {
-    // two consumers (top_cos melt + duplicate closure) read the pair
-    // relation: materialize once, bounded by cells × C(cap, 2)
-    val pairs = withinCellPairs(assigned, idCol, vecCol, cap)
-      .localCheckpoint(true)
+    val members = cellMembers(assigned, idCol, vecCol, cap)
+    // three consumers (top_cos melt, duplicate closure, overflow join)
+    // read the bounded relations: materialize the pairs once
+    val overflow = members.select(col("cell"), col("n_overflow"))
+    val pairs = pairsFromMembers(members).localCheckpoint(true)
     val topCos = pairs
       .select(explode(array(
         struct(col("id_a").as("id"), col("cos")),
@@ -80,10 +96,12 @@ object SemDedup {
     assigned.select(col(idCol), col("cell"))
       .join(comp, Seq(idCol), "left")
       .join(topCos, Seq(idCol), "left")
+      .join(overflow, Seq("cell"), "left")
       .select(col(idCol), col("cell"),
         coalesce(col("lbl"), col(idCol)).as("sem_cluster"),
         (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_kept"),
-        col("top_cos"))
+        col("top_cos"),
+        coalesce(col("n_overflow"), lit(0L)).as("cell_overflow"))
       .orderBy(col(idCol))
   }
 }

@@ -16,6 +16,16 @@ import Util._
   */
 object StreamingOps {
 
+  /** Full-microsecond epoch conversion for `java.sql.Timestamp` —
+    * Spark's own `fromJavaTimestamp` walk: `getTime` already carries
+    * the integral milliseconds of the nanos field (for any sign), so
+    * only the sub-millisecond remainder is added. The previous
+    * `getTime / 1000 * 1000000` form truncated toward zero and
+    * mis-ordered pre-epoch timestamps (the same trunc-vs-floor trap
+    * `Util.t` documents for nanos fixtures). */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+
   /** J1: tumbling 1-hour windows × event_type — count + exact value sum. */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
@@ -297,8 +307,7 @@ object StreamingOps {
           // full microsecond precision (r8 advice #1): getTime alone is
           // ms-truncated, which would quantize gap_us and re-order
           // same-millisecond events vs the micro-precise batch C10/C11
-          def micros(ts: java.sql.Timestamp): Long =
-            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          def micros(ts: java.sql.Timestamp): Long = tsMicros(ts)
           var cur = state.getOption
           val out = rows.toSeq
             .sortBy(r => (micros(r._2), r._3))
@@ -348,11 +357,9 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
             state: GroupState[Vector[Double]]) =>
-          def micros(ts: java.sql.Timestamp): Long =
-            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
           var buf = state.getOption.getOrElse(Vector.empty[Double])
           val out = rows.toSeq
-            .sortBy(r => (micros(r._2), r._3))
+            .sortBy(r => (tsMicros(r._2), r._3))
             .map { case (_, _, id, v) =>
               val n = buf.length
               val z =

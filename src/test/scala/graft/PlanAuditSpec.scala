@@ -385,7 +385,7 @@ class PlanAuditSpec extends SparkTestBase {
     // pass; the share join against the 1-row total must be a broadcast,
     // never a shuffled join of the bucket frame
     val ah = plan("agg_histogram")
-    assert(ah.contains("partial_count") || ah.contains("partial"), ah)
+    assert(ah.contains("partial_count"), ah)
     assert(ah.contains("BroadcastNestedLoopJoin") || ah.contains("BroadcastExchange"),
       "1-row total must broadcast")
     // events_anomaly: ONE window, partitioned on the user entity key —
@@ -401,7 +401,7 @@ class PlanAuditSpec extends SparkTestBase {
     // label caches instead of re-running the closure fixpoint
     assert(plan("graph_components").contains("cograph_l4"),
       "L4 must read the cached labels")
-    assert(plan("dedup_clusters").contains("graft_components_v1"),
+    assert(plan("dedup_clusters").contains("graft_components_pairs_v1"),
       "K19 must read the cached labels")
   }
 }

@@ -88,5 +88,20 @@ class SemDedupSpec extends SparkTestBase {
     val cos = rows.filter(!_.isNullAt(4)).map(_.getDouble(4))
     assert(cos.nonEmpty)
     assert(cos.forall(c => c > -1.0 && c < SemDedup.Tau))
+    // no cell exceeds the membership cap at fixture scale
+    assert(rows.forall(_.getLong(5) == 0L))
+  }
+
+  test("cell overflow is observable: capped members surface in cell_overflow, never silently") {
+    // six parallel copies in one cell, cap 4: ids 5 and 6 are past the
+    // cap, generate no pairs, and come out kept — the overflow column
+    // is what stops that truncation from reading as genuine uniqueness
+    val a = rand(41)
+    val rows = (1L to 6L).map(i => (i, copyOf(a, 1.0f + i * 0.01f), 0))
+    val out = SemDedup.dedup(assigned(rows), "vec_id", "embedding", cap = 4)
+      .collect()
+    assert(out.forall(_.getLong(5) == 2L))
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L))
   }
 }
