@@ -182,7 +182,8 @@ object SparkEntry {
     "multimodal_binary_meta" -> (ops.LlmData.multimodalBinaryMeta _),
     "multimodal_decode" -> (ops.LlmData.multimodalDecode _),
     "multimodal_features" -> (ops.LlmData.multimodalFeatures _),
-    "multimodal_frame_sample" -> (ops.LlmData.multimodalFrameSample _)
+    "multimodal_frame_sample" -> (ops.LlmData.multimodalFrameSample _),
+    "multimodal_resize" -> (ops.LlmData.multimodalResize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

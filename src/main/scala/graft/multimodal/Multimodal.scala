@@ -91,6 +91,25 @@ object Multimodal {
       }.toDF("doc_id", "features")
   }
 
+  /** Resize planning for an (id, payload) DataFrame — decode + the
+    * [[resizeStub]] bounding-box geometry in ONE partition-batched
+    * pass (decoder and resize kernel share the per-partition codec
+    * instance a real implementation would hold); schema
+    * (doc_id, width, height, rs_width, rs_height, format). */
+  def withResizePlan(df: DataFrame, maxDim: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one decoder + resize kernel per partition would live here
+        it.map { case (id, payload) =>
+          val m = decodeStub(payload)
+          val r = resizeStub(m, maxDim)
+          (id, m.width, m.height, r.width, r.height, m.format)
+        }
+      }.toDF("doc_id", "width", "height", "rs_width", "rs_height", "format")
+  }
+
   /** Decode metadata for an (id, payload) DataFrame via a
     * partition-batched map — schema (doc_id, width, height, format). */
   def withDecodedMeta(df: DataFrame): DataFrame = {

@@ -1502,4 +1502,17 @@ object LlmData {
       t(spark, sfDir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
       .orderBy(col("doc_id"))
+
+  /** K50: resize planning — the bounding-box geometry pass of a media
+    * preprocessing pipeline (decode → clamp to a 256-px box preserving
+    * aspect ratio → the dimensions the pixel kernel will target),
+    * completing the decode / feature-extract / resize / frame-sample
+    * verb set as registered ops. One partition-batched map (decode +
+    * resize share the per-partition codec instance); oracle mirrors
+    * the stub decode and the IEEE scale/floor walk exactly. */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.withResizePlan(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .orderBy(col("doc_id"))
 }

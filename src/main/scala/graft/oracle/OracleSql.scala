@@ -2167,6 +2167,28 @@ object OracleSql {
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
         |  ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // K50 resize planning: same stub decode, then the IDENTICAL IEEE
+    // scale (256.0 / max-dim double divide) + floor + clamp walk the
+    // Scala resizeStub runs (toInt on a positive double == floor)
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+        |    ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, width, height, format,
+        |    LEAST(1.0, 256.0 / GREATEST(width, height)) AS scale
+        |  FROM d
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(GREATEST(1, FLOOR(width * scale)) AS INTEGER) AS rs_width,
+        |  CAST(GREATEST(1, FLOOR(height * scale)) AS INTEGER) AS rs_height,
+        |  format
+        |FROM s
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -69,4 +69,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
     assert(out.map(_.getString(2)).distinct.length == 3, "frame hashes differ")
   }
+
+  test("resize plan clamps to the box, preserves aspect, leaves small media untouched (K50)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 50L).map(i => (i, "x" * (i * 37).toInt)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    for (r <- Multimodal.withResizePlan(df).collect()) {
+      val (w, h, rw, rh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(rw >= 1 && rh >= 1 && rw <= 256 && rh <= 256)
+      if (math.max(w, h) <= 256) assert(rw == w && rh == h)
+      else {
+        // the longer edge lands on the box (255 allowed: IEEE
+        // (256/max)·max can round just below 256 before the floor)
+        assert(math.max(rw, rh) <= 256 && math.max(rw, rh) >= 255)
+        // downscale never enlarges either edge
+        assert(rw <= w && rh <= h)
+      }
+    }
+  }
 }
