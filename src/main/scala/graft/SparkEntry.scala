@@ -78,6 +78,7 @@ object SparkEntry {
     "agg_minmax_by" -> (ops.Aggregates.aggMinmaxBy _),
     "agg_outlier_zscore" -> (ops.Aggregates.aggOutlierZscore _),
     "agg_histogram" -> (ops.Aggregates.aggHistogram _),
+    "agg_mode" -> (ops.Aggregates.aggMode _),
     "agg_heavy_hitters" -> (ops.Aggregates.aggHeavyHitters _),
     // E — windows
     "win_rank" -> (ops.Windows.winRank _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "fn_map" -> (ops.Fns.fnMap _),
     "fn_bitwise" -> (ops.Fns.fnBitwise _),
     "fn_date2" -> (ops.Fns.fnDate2 _),
+    "fn_url" -> (ops.Fns.fnUrl _),
     // I — generators / UDFs
     "gen_explode_pos" -> (ops.Fns.genExplodePos _),
     "udf_scalar_fips" -> (ops.Fns.udfScalarFips _),

@@ -392,4 +392,27 @@ object Aggregates {
         dbl(dec(col("n")) / col("total")).as("share"))
       .orderBy(col("bucket"))
   }
+
+  /** D22: exact per-group mode — the most frequent `o_orderpriority`
+    * per order status, with its count and the group size. Declared
+    * deterministic tie-break: highest count, then the alphabetically
+    * first value (a bare `mode()` is nondeterministic on ties in both
+    * engines, which is exactly why profilers re-implement it this
+    * way). Two partial-agg passes, the argmax via one `min_by` over
+    * the composite (−count, value) key — no window, no per-group
+    * task; the candidate frame is (groups × distinct values), tiny by
+    * construction. */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(struct(col("o_orderpriority").as("p"), col("c").as("pc")),
+          struct((-col("c")).as("nc"), col("o_orderpriority"))).as("m"),
+        sum(col("c")).as("n_rows"))
+      .select(col("o_orderstatus"), col("m.p").as("mode_priority"),
+        col("m.pc").as("n_mode"), col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

@@ -186,4 +186,29 @@ object Fns {
       .selectExpr("p_partkey", "char_ngrams(p_name)")
       .orderBy(col("p_partkey"), col("pos"))
   }
+
+  /** H11: URL parsing battery — the host / path / query / parameter
+    * extraction a web-corpus pipeline runs before domain-level
+    * filtering, source attribution, and per-site mixing. The fixture
+    * carries no URL column, so a deterministic URL is synthesized per
+    * order (pure function of the row — the K35/K49 injection pattern),
+    * then dissected with Spark's native `parse_url` (codegen'd,
+    * java.net-grade parsing). The oracle mirrors with anchored
+    * regexes — exact for the synthesized shape, which is the point of
+    * controlling the input. One narrow projection, no shuffle before
+    * the output sort. */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("url", concat(
+        lit("https://www.shop"), (col("o_orderkey") % 5).cast("string"),
+        lit(".example.com/cat/"), (col("o_custkey") % 7).cast("string"),
+        lit("/item?id="), col("o_orderkey").cast("string"),
+        lit("&pri="), regexp_replace(col("o_orderpriority"), " ", "+")))
+      .select(col("o_orderkey"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'id')").as("q_id"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"))
+      .orderBy(col("o_orderkey"))
 }

@@ -554,6 +554,24 @@ object OracleSql {
          |FROM h, t
          |ORDER BY h.bucket""".stripMargin,
 
+    // D22 exact mode with the DECLARED tie-break (count DESC, value
+    // ASC) — a bare mode() is tie-nondeterministic in both engines
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY c DESC, o_orderpriority) AS rn,
+        |    SUM(c) OVER (PARTITION BY o_orderstatus) AS n_rows
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(c AS BIGINT) AS n_mode, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM r WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // CAST to BIGINT: DuckDB's SUM over integers is HUGEINT, which the
     // driver's hasher reads as float64 and hash-mismatches against
     // Spark's BIGINT pivot counts (round-4 verdict). SUM(CASE) (not
@@ -1253,6 +1271,27 @@ object OracleSql {
          |  CAST(SUM(GREATEST(d - ${graft.ops.Buckets.MaxBucket}, 0))
          |    AS BIGINT) AS n_dropped_neighbors
          |FROM deg""".stripMargin,
+
+    // H11 URL battery: same synthesized URL (pure function of the
+    // row), dissected with anchored regexes — exact for this shape,
+    // mirroring Spark's parse_url outputs field for field
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://www.shop' || CAST(o_orderkey % 5 AS VARCHAR) ||
+        |    '.example.com/cat/' || CAST(o_custkey % 7 AS VARCHAR) ||
+        |    '/item?id=' || CAST(o_orderkey AS VARCHAR) ||
+        |    '&pri=' || replace(o_orderpriority, ' ', '+') AS url
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS q_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
+        |FROM u
+        |ORDER BY o_orderkey""".stripMargin,
 
     // L4 component labeling: the dedup_clusters recursive min-label
     // closure over the SPARSE (support-48) co-occurrence graph — at
