@@ -24,6 +24,10 @@ object Multimodal {
   /** Typed metadata a decoder yields for one payload. */
   final case class MediaMeta(width: Int, height: Int, format: String)
 
+  /** Declared bounding box for the K50 registered resize plan — shared
+    * with the oracle mirror so the two can never drift. */
+  val ResizeMaxDim = 256
+
   private val Formats = Array("png", "jpeg", "webp")
 
   /** FAKE decode — deterministic function of the payload bytes only.
@@ -96,7 +100,7 @@ object Multimodal {
     * pass (decoder and resize kernel share the per-partition codec
     * instance a real implementation would hold); schema
     * (doc_id, width, height, rs_width, rs_height, format). */
-  def withResizePlan(df: DataFrame, maxDim: Int = 256): DataFrame = {
+  def withResizePlan(df: DataFrame, maxDim: Int = ResizeMaxDim): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]

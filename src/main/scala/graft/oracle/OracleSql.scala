@@ -27,6 +27,17 @@ object OracleSql {
   /** dec(x) of graft.ops.Util. */
   private def dec(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
 
+  /** The stub-decode projection shared by the multimodal oracles —
+    * ONE definition so `multimodal_decode` and `multimodal_resize` can
+    * never drift from each other (they must both mirror
+    * `Multimodal.decodeStub` exactly). */
+  private val decodeStubSql: String =
+    """SELECT doc_id,
+      |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+      |    ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
+      |  FROM documents""".stripMargin
+
   /** The token-trigram shingle-set + min-shingle-bucket CTEs — the
     * SQL-portable bucket family shared by dedup_ngram_jaccard,
     * dedup_clusters, dedup_end_to_end, and dedup_health (all four
@@ -2201,33 +2212,30 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-        |  ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  $decodeStubSql
+         |)
+         |SELECT doc_id, width, height, format FROM d
+         |ORDER BY doc_id""".stripMargin,
 
-    // K50 resize planning: same stub decode, then the IDENTICAL IEEE
-    // scale (256.0 / max-dim double divide) + floor + clamp walk the
-    // Scala resizeStub runs (toInt on a positive double == floor)
+    // K50 resize planning: the SHARED stub decode, then the IDENTICAL
+    // IEEE scale (maxDim / max-dim double divide) + floor + clamp walk
+    // the Scala resizeStub runs (toInt on a positive double == floor);
+    // the box size comes from the one declared constant
     "multimodal_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-        |    ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, width, height, format,
-        |    LEAST(1.0, 256.0 / GREATEST(width, height)) AS scale
-        |  FROM d
-        |)
-        |SELECT doc_id, width, height,
-        |  CAST(GREATEST(1, FLOOR(width * scale)) AS INTEGER) AS rs_width,
-        |  CAST(GREATEST(1, FLOOR(height * scale)) AS INTEGER) AS rs_height,
-        |  format
-        |FROM s
-        |ORDER BY doc_id""".stripMargin
+      s"""WITH d AS (
+         |  $decodeStubSql
+         |), s AS (
+         |  SELECT doc_id, width, height, format,
+         |    LEAST(1.0, ${graft.multimodal.Multimodal.ResizeMaxDim}.0
+         |      / GREATEST(width, height)) AS scale
+         |  FROM d
+         |)
+         |SELECT doc_id, width, height,
+         |  CAST(GREATEST(1, FLOOR(width * scale)) AS INTEGER) AS rs_width,
+         |  CAST(GREATEST(1, FLOOR(height * scale)) AS INTEGER) AS rs_height,
+         |  format
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
   )
 }

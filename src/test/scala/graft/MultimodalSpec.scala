@@ -83,8 +83,11 @@ class MultimodalSpec extends SparkTestBase {
         // the longer edge lands on the box (255 allowed: IEEE
         // (256/max)·max can round just below 256 before the floor)
         assert(math.max(rw, rh) <= 256 && math.max(rw, rh) >= 255)
-        // downscale never enlarges either edge
-        assert(rw <= w && rh <= h)
+        // aspect preserved: BOTH edges scale by the same factor (an
+        // independent per-edge clamp would pass the bounds above)
+        val s = math.min(1.0, 256.0 / math.max(w, h))
+        assert(rw == math.max(1, (w * s).toInt))
+        assert(rh == math.max(1, (h * s).toInt))
       }
     }
   }
