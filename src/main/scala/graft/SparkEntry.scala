@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_prune_filter" -> (ops.Scans.scanPruneFilter _),
     "sink_roundtrip_csv" -> (ops.Scans.sinkRoundtripCsv _),
     "sink_roundtrip_orc" -> (ops.Scans.sinkRoundtripOrc _),
+    "sink_roundtrip_parquet_zstd" -> (ops.Scans.sinkRoundtripParquetZstd _),
     "sink_roundtrip_json" -> (ops.Scans.sinkRoundtripJson _),
     "sink_roundtrip_xml" -> (ops.Scans.sinkRoundtripXml _),
     "sink_dsv2_audit" -> (ops.Scans.sinkDsv2Audit _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_repetition" -> (ops.LlmData.textRepetition _),
     "text_pii_scrub" -> (ops.LlmData.textPiiScrub _),
     "text_charset" -> (ops.LlmData.textCharset _),
+    "text_readability" -> (ops.LlmData.textReadability _),
     "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),

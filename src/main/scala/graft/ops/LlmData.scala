@@ -307,6 +307,44 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K51: readability scoring — the Flesch reading-ease heuristic
+    * (Flesch 1948, public; the Kincaid variants are the DoD-standard
+    * derivation) over counted sentences, words, and vowel-group
+    * "syllables": 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Training pipelines bucket corpora by
+    * readability to balance simple/complex text and to screen
+    * generated spam (which skews unnaturally mid-band).
+    *
+    * Counting rules declared exactly (both engines run the same regex
+    * automata in the Java ∩ RE2 subset): sentences = runs of [.!?]
+    * (min 1 — headline-like docs without enders count as one), words =
+    * nonempty `\s+` tokens, syllables = runs of [aeiouy] in the
+    * lowercased text. Ratios and the formula are the IDENTICAL IEEE
+    * double tree in both engines ([[Events.anomalyScores]] argument)
+    * with one 4 dp final round; zero-word docs report NULL. One narrow
+    * codegen'd projection, no shuffle before the output sort. */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val nWords = size(filter(split(col("text"), "\\s+"),
+      tk => length(tk) > 0)).cast("long")
+    val nSyll = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), nSent.as("n_sentences"), nWords.as("n_words"),
+        nSyll.as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 4))
+          .otherwise(lit(null).cast("double")).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K27: repetition-based quality filtering — the Gopher repetition
     * signals (Rae et al. 2021, "Scaling Language Models", §A1.1,
     * public): the fraction of tokens taken by the single most frequent

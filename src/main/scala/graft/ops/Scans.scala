@@ -169,6 +169,24 @@ object Scans {
     spark.read.orc(out).orderBy(col("o_orderkey"))
   }
 
+  /** A15: codec-explicit parquet roundtrip — zstd compression and a
+    * sort-within-partitions layout, the write shape a 100-TB lakehouse
+    * table actually uses (zstd ≈ gzip ratios at snappy-class speed;
+    * the per-file sort tightens min/max column stats so downstream
+    * scans skip row groups). Values must survive the codec bit-exact:
+    * the oracle scans the ORIGINAL table. */
+  def sinkRoundtripParquetZstd(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "pq_zstd_roundtrip_")
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_odate"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(out)
+    spark.read.parquet(out).orderBy(col("o_orderkey"))
+  }
+
   /** A5: the DSv2 census scan (reference R1/R2 — SURVEY §3.3): reads
     * the API-shaped JSON array-of-arrays fixture through
     * [[graft.sources.CensusSource]]. The `isin` geo predicate pushes

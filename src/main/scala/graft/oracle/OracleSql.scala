@@ -191,6 +191,14 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // A15 codec roundtrip: values must survive zstd bit-exact — the
+    // oracle scans the ORIGINAL table
+    "sink_roundtrip_parquet_zstd" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_odate
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // DSv2 manifest-committed sink: the oracle scans the ORIGINAL table
     "sink_dsv2_audit" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice AS o_price
@@ -1691,6 +1699,35 @@ object OracleSql {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_sha
         |FROM t2
+        |ORDER BY doc_id""".stripMargin,
+
+    // K51 Flesch reading ease: identical regex counting rules
+    // (sentence-ender runs min 1, nonempty whitespace tokens,
+    // lowercased vowel-group runs) + the IDENTICAL IEEE formula tree,
+    // one 4 dp final round; zero-word docs NULL
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS n_sentences,
+        |    len(list_filter(str_split_regex(text, '\s+'),
+        |      t -> length(t) > 0)) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)), 4)
+        |  END AS flesch
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
 
     // K49 charset screen: same deterministic non-ASCII / control-char
