@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_simhash" -> (ops.LlmData.dedupSimhash _),
     "dedup_embedding" -> (ops.LlmData.dedupEmbedding _),
     "dedup_semantic" -> (ops.LlmData.dedupSemantic _),
+    "dedup_incremental" -> (ops.LlmData.dedupIncremental _),
     "dedup_end_to_end" -> (ops.LlmData.dedupEndToEnd _),
     "dedup_health" -> (ops.LlmData.dedupHealth _),
     "contamination_ngram" -> ((s, d) => ops.LlmData.contaminationNgram(s, d)),

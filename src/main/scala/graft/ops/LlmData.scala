@@ -747,6 +747,66 @@ object LlmData {
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ensurePairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** K52: incremental dedup — classify a NEW ingest batch against the
+    * EXISTING corpus, the production shape at 100 TB: the stored
+    * corpus is never re-paired against itself (no old×old) and the
+    * batch members are not paired among themselves here (no new×new —
+    * that is a separate, batch-sized K6 run); only old×new candidates
+    * are generated, by probing each new document's min-shingle bucket
+    * against the STORED capped bucket membership (the index a
+    * production pipeline persists; cap per [[Buckets.MaxBucket]] with
+    * deterministic min-id rank, exactly the stored-side discipline).
+    * The fixture's "new batch" is the deterministic doc_id % 10 slice.
+    *
+    * Per new document: candidate count, duplicate count at the K6
+    * Jaccard ≥ 0.5 threshold, the best duplicate score and its
+    * (min-id tie-broken) existing partner, and the novelty verdict —
+    * the accept/reject row an ingest pipeline emits per arriving doc.
+    * Shapes: one bucket probe join (bucket-keyed, capped), the shared
+    * doc-id melt verification (one join, never doc×doc), two
+    * partial-agg passes; the new-batch frame is batch-sized. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+    val isNew = col("doc_id") % 10 === 0
+    val buckets = rows.groupBy(col("doc_id"))
+      .agg(min(col("shingle")).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val oldIdx = buckets.filter(!isNew)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Buckets.MaxBucket)
+      .select(col("bucket"), col("doc_id").as("doc_a"))
+    val cand = buckets.filter(isNew)
+      .select(col("bucket"), col("doc_id").as("doc_b"))
+      .join(oldIdx, Seq("bucket"))
+      .select(col("doc_a"), col("doc_b"))
+    val scored = pairShingleSides(cand,
+        MinHash.shingleSets(rows, "doc_id").drop("bucket"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
+      .select(col("doc_b").as("doc_new"), col("doc_a").as("doc_old"),
+        dbl(dec(col("n_int")) / col("n_union")).as("j"))
+    val agg = scored.groupBy(col("doc_new"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        max(when(col("j") >= 0.5, col("j"))).as("best_jaccard"),
+        // best partner among DUP rows only: non-dup rows get a key
+        // that sorts strictly after every dup key and a NULL value
+        min_by(when(col("j") >= 0.5, col("doc_old")),
+          struct(when(col("j") >= 0.5, -col("j"))
+            .otherwise(lit(Double.MaxValue)).as("nj"), col("doc_old")))
+          .as("best_old"))
+    docs.filter(isNew).select(col("doc_id").as("doc_new"))
+      .join(agg, Seq("doc_new"), "left")
+      .select(col("doc_new"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"), col("best_old"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
+      .orderBy(col("doc_new"))
+  }
+
   /** The K6 pair relation WITHOUT the presentation sort — what the
     * compositions ([[dedupClusters]], [[dedupKeepBest]],
     * [[dedupEndToEnd]]) consume. */

@@ -1377,6 +1377,49 @@ object OracleSql {
 
     "dedup_ngram_jaccard" -> ngramJaccardSql,
 
+    // K52 incremental dedup: only old-by-new candidates via the stored
+    // capped bucket membership (rank over OLD docs only); the same
+    // shingle CTEs, melt-free since DuckDB intersects the lists
+    // directly; best partner = min old id at the max duplicate score
+    "dedup_incremental" ->
+      s"""WITH $shingleCtes, nw AS (
+         |  SELECT doc_id, shingles, bucket FROM bk WHERE doc_id % 10 = 0
+         |), old AS (
+         |  SELECT doc_id, shingles, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |  FROM bk WHERE doc_id % 10 <> 0
+         |), sc AS (
+         |  SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+         |    len(list_intersect(n.shingles, o.shingles)) AS n_int,
+         |    len(n.shingles) + len(o.shingles)
+         |      - len(list_intersect(n.shingles, o.shingles)) AS n_union
+         |  FROM nw n JOIN old o
+         |    ON n.bucket = o.bucket AND o.rn <= ${graft.ops.Buckets.MaxBucket}
+         |), sj AS (
+         |  SELECT doc_new, doc_old,
+         |    ${dbl(s"${dec("n_int")} / n_union")} AS j
+         |  FROM sc
+         |), agg AS (
+         |  SELECT doc_new, COUNT(*) AS n_cand,
+         |    SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
+         |    MAX(CASE WHEN j >= 0.5 THEN j END) AS best_jaccard
+         |  FROM sj GROUP BY doc_new
+         |), best AS (
+         |  SELECT sj.doc_new, MIN(sj.doc_old) AS best_old
+         |  FROM sj JOIN agg USING (doc_new)
+         |  WHERE agg.best_jaccard IS NOT NULL AND sj.j = agg.best_jaccard
+         |  GROUP BY sj.doc_new
+         |)
+         |SELECT d.doc_id AS doc_new,
+         |  CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(a.n_dups, 0) AS BIGINT) AS n_dups,
+         |  a.best_jaccard, b.best_old,
+         |  coalesce(a.n_dups, 0) = 0 AS is_novel
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_new
+         |LEFT JOIN best b ON d.doc_id = b.doc_new
+         |ORDER BY doc_new""".stripMargin,
+
     // asymmetric containment over the SAME min-shingle candidate pairs
     // (and the same skew-cap rank): C(X in Y) = |X∩Y| / |X| per side,
     // kept when either direction ≥ 0.5; contained_doc picks the more-
