@@ -316,17 +316,19 @@ object LlmData {
     * generated spam (which skews unnaturally mid-band).
     *
     * Counting rules declared exactly (both engines run the same regex
-    * automata in the Java ∩ RE2 subset): sentences = runs of [.!?]
-    * (min 1 — headline-like docs without enders count as one), words =
-    * nonempty `\s+` tokens, syllables = runs of [aeiouy] in the
-    * lowercased text. Ratios and the formula are the IDENTICAL IEEE
+    * automata in the Java ∩ RE2 subset — the whitespace class is the
+    * explicit hex set, because Java's `\s` includes U+000B while
+    * RE2's does not): sentences = runs of [.!?] (min 1 —
+    * headline-like docs without enders count as one), words =
+    * nonempty whitespace-delimited tokens, syllables = runs of
+    * [aeiouy] in the lowercased text. Ratios and the formula are the IDENTICAL IEEE
     * double tree in both engines ([[Events.anomalyScores]] argument)
     * with one 4 dp final round; zero-word docs report NULL. One narrow
     * codegen'd projection, no shuffle before the output sort. */
   def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
     val nSent = greatest(lit(1L),
       size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
-    val nWords = size(filter(split(col("text"), "\\s+"),
+    val nWords = size(filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"),
       tk => length(tk) > 0)).cast("long")
     val nSyll = size(regexp_extract_all(lower(col("text")),
       lit("[aeiouy]+"), lit(0))).cast("long")
@@ -776,16 +778,25 @@ object LlmData {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Buckets.MaxBucket)
       .select(col("bucket"), col("doc_id").as("doc_a"))
+    // normalize orientation BEFORE the melt: pairShingleSides assigns
+    // sh_a/sh_b by sorted doc_id, so its contract is doc_a < doc_b;
+    // old/new sides are re-derived after scoring from the batch
+    // predicate (safe: the two sides are disjoint by construction)
     val cand = buckets.filter(isNew)
       .select(col("bucket"), col("doc_id").as("doc_b"))
       .join(oldIdx, Seq("bucket"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     val scored = pairShingleSides(cand,
         MinHash.shingleSets(rows, "doc_id").drop("bucket"))
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
-      .select(col("doc_b").as("doc_new"), col("doc_a").as("doc_old"),
+      .select(
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_new"),
+        when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_old"),
         dbl(dec(col("n_int")) / col("n_union")).as("j"))
     val agg = scored.groupBy(col("doc_new"))
       .agg(count(lit(1)).as("n_cand"),

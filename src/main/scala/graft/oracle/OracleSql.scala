@@ -1753,7 +1753,7 @@ object OracleSql {
         |  SELECT doc_id,
         |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
         |      AS n_sentences,
-        |    len(list_filter(str_split_regex(text, '\s+'),
+        |    len(list_filter(str_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |      t -> length(t) > 0)) AS n_words,
         |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
         |      AS n_syllables
