@@ -327,6 +327,33 @@ object StreamingOps {
       .toDF("event_id", "user_id", "prev_event_id", "prev_event_type", "gap_us")
   }
 
+  /** J21: LEFT-OUTER stream-stream interval join — the "did this view
+    * ever convert?" question the inner J8 cannot answer online: a view
+    * with no click inside its 5-minute window must STILL be emitted,
+    * with NULL click columns, once the watermark PROVES no matching
+    * click can arrive. The engine holds both sides in
+    * watermark-bounded state and emits the null-extended row only at
+    * expiry — outer semantics made safe at scale because state is
+    * bounded by the watermark, never by stream length (matched rows
+    * still emit immediately, exactly as in J8). Pinned in
+    * `StreamingSpec`: immediate match, delayed NULL emission after the
+    * watermark passes the window, gap arithmetic identical to J8. */
+  def streamStreamOuterJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c, expr(
+        """user_id = click_user
+          |AND click_ts >= view_ts
+          |AND click_ts < view_ts + interval 5 minutes""".stripMargin),
+        "leftOuter")
+      .select(col("view_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** J20: streaming rolling z-score anomaly flags — the stateful
     * counterpart of the batch [[Events.eventsAnomaly]]: a per-user
     * ring buffer of the last 5 values via `flatMapGroupsWithState`,

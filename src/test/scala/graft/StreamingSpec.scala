@@ -611,6 +611,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J21: outer stream-stream join emits unmatched views with NULLs at watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.streamStreamOuterJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("j21")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      // view 1 converts inside its window; view 2 never converts
+      views.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "view"))
+      clicks.addData(Ev(50, ts("2024-01-01 10:02:00"), 1, "click"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past view 2's join window, twice —
+      // outer-null emission happens when the expired state is swept
+      for (t <- Seq("2024-01-01 11:00:00", "2024-01-01 12:00:00")) {
+        views.addData(Ev(3, ts(t), 9, "view"))
+        clicks.addData(Ev(51, ts(t), 9, "click"))
+        q.processAllAvailable()
+      }
+      val byView = spark.table("j21").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      // matched pair emitted with its click and a 2-minute gap
+      assert(byView(1L) == Some(50L))
+      val gap = spark.table("j21").collect()
+        .find(_.getLong(0) == 1L).get.getLong(3)
+      assert(gap == 120000000L)
+      // the never-converted view emitted exactly once, null-extended
+      assert(byView.contains(2L) && byView(2L).isEmpty)
+    }
+  }
+
   test("J20: streaming rolling z-score equals the batch law across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
