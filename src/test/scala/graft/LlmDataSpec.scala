@@ -310,4 +310,24 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup emits one decision per new doc; counts are consistent (K52)") {
+    val rows = LlmData.dedupIncremental(spark, sfDir).collect()
+    // exactly the new batch, each exactly once
+    assert(rows.map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).distinct.sorted.toSeq)
+    assert(rows.forall(_.getLong(0) % 10 == 0))
+    for (r <- rows) {
+      val (nCand, nDups, novel) = (r.getLong(1), r.getLong(2), r.getBoolean(5))
+      assert(nDups <= nCand)
+      assert(novel == (nDups == 0))
+      // a duplicate verdict always carries its best partner and score
+      if (nDups > 0) {
+        assert(!r.isNullAt(3) && r.getDouble(3) >= 0.5)
+        assert(!r.isNullAt(4) && r.getLong(4) % 10 != 0)
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // non-vacuous on the fixture: both verdicts occur
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
 }
