@@ -39,6 +39,17 @@ object Components {
     * near-dup graph; hitting it throws rather than mislabeling. */
   val MaxRounds = 20
 
+  /** Version tag for the closure LOGIC itself, carried in every cache
+    * name whose content embeds labels produced by [[connected]] (the
+    * L4 `cograph_l4_*` cache and the K19 `components_*` cache). The
+    * upstream cache names already version their INPUTS (edge
+    * derivation, bucket cap); without this tag a change to the
+    * labeling algorithm — a different tie-break, a different label
+    * convention — would keep every input mtime identical and silently
+    * serve stale labels from warm hosts. Bump whenever [[connected]]'s
+    * output function changes. */
+  val Version = "cc_v1"
+
   /** (id, lbl) for every vertex of `edges`; lbl = the minimum member id
     * of the vertex's component.
     *

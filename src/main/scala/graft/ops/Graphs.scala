@@ -261,7 +261,7 @@ object Graphs {
     // re-key the labels too, or a warm host serves labels built from
     // the OLD edge set
     val dir = FixtureCache.ensure(spark,
-      s"cograph_l4_q${ComponentsMinQty}_b${Buckets.MaxBucket}_$EdgeCacheVersion",
+      s"cograph_l4_q${ComponentsMinQty}_b${Buckets.MaxBucket}_${EdgeCacheVersion}_${Components.Version}",
       sfDir, Seq(s"$sfDir/lineitem.parquet")) { tmp =>
       Components.connected(
           cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty), "u", "v")

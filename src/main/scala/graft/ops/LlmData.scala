@@ -302,8 +302,8 @@ object LlmData {
         n.cast("long").as("n_chars"),
         nonAscii.cast("long").as("n_non_ascii"),
         ctrl.cast("long").as("n_ctrl"),
-        dbl(dec(n - nonAscii) / n).as("ascii_ratio"),
-        dbl(dec(digits) / n).as("digit_ratio"))
+        when(n > 0, dbl(dec(n - nonAscii) / n)).as("ascii_ratio"),
+        when(n > 0, dbl(dec(digits) / n)).as("digit_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -895,7 +895,8 @@ object LlmData {
     * cached and direct closures is pinned in `MaterializedPairsSpec`
     * (the `*FromPairs` forms still compute the closure inline). */
   def ensureComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = FixtureCache.ensure(spark, s"components_${PairsCacheName}", sfDir,
+    val dir = FixtureCache.ensure(spark,
+      s"components_${PairsCacheName}_${Components.Version}", sfDir,
       Seq(s"$sfDir/documents.parquet")) { tmp =>
       Components.connected(
           ensurePairs(spark, sfDir).select(col("doc_a"), col("doc_b")),

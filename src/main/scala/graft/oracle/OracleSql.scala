@@ -1798,8 +1798,12 @@ object OracleSql {
          |  FROM inj
          |)
          |SELECT doc_id, n_chars, n_non_ascii, n_ctrl,
-         |  ${dbl(s"${dec("n_chars - n_non_ascii")} / n_chars")} AS ascii_ratio,
-         |  ${dbl(s"${dec("n_digits")} / n_chars")} AS digit_ratio
+         |  CASE WHEN n_chars > 0
+         |    THEN ${dbl(s"${dec("n_chars - n_non_ascii")} / n_chars")}
+         |  END AS ascii_ratio,
+         |  CASE WHEN n_chars > 0
+         |    THEN ${dbl(s"${dec("n_digits")} / n_chars")}
+         |  END AS digit_ratio
          |FROM m
          |ORDER BY doc_id""".stripMargin,
 
