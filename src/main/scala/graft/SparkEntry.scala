@@ -179,6 +179,7 @@ object SparkEntry {
     "text_readability" -> (ops.LlmData.textReadability _),
     "text_entropy" -> (ops.LlmData.textEntropy _),
     "chunk_tokens" -> ((s, d) => ops.LlmData.chunkTokens(s, d)),
+    "pack_sequences" -> ((s, d) => ops.LlmData.packSequences(s, d)),
     "sample_hash_bernoulli" -> (ops.LlmData.sampleHashBernoulli _),
     "sample_reservoir" -> (ops.LlmData.sampleReservoir _),
     "split_holdout" -> (ops.LlmData.splitHoldout _),

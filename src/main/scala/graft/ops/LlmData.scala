@@ -1390,6 +1390,19 @@ object LlmData {
     * no shuffle until the output sort. */
   def chunkTokens(spark: SparkSession, sfDir: String,
       window: Int = 32, stride: Int = 24): DataFrame =
+    chunkSpans(spark, sfDir, window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("len").as("n_chunk_toks"),
+        sha2(array_join(slice(col("toks"), col("start"), col("len")), " "), 256)
+          .as("chunk_sha"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The K30 chunk geometry (doc_id, toks, n, chunk_id, start, len) —
+    * the ONE copy of the window/stride arithmetic, shared by
+    * [[chunkTokens]] (which hashes the chunk text) and
+    * [[packSequences]] (which only needs the lengths — Catalyst prunes
+    * `toks` away there, so the split never runs on that path). */
+  private def chunkSpans(spark: SparkSession, sfDir: String,
+      window: Int, stride: Int): DataFrame =
     t(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
@@ -1400,10 +1413,67 @@ object LlmData {
         explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
       .withColumn("start", col("chunk_id") * stride + 1)
       .withColumn("len", least(lit(window), col("n") - col("start") + 1))
-      .select(col("doc_id"), col("chunk_id"), col("len").as("n_chunk_toks"),
-        sha2(array_join(slice(col("toks"), col("start"), col("len")), " "), 256)
-          .as("chunk_sha"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** K53: sequence packing — the last preprocessing stage before a
+    * training run: pack [[chunkTokens]]'s variable-length chunks
+    * (each ≤ window ≤ seqLen) into fixed-capacity training sequences,
+    * next-fit in deterministic (doc_id, chunk_id) order WITHIN the K31
+    * md5 shard (salt 'shard', mod 16 — packing composes with the
+    * sharded corpus layout, and bins never cross shard files, exactly
+    * how a production loader packs per shard). A chunk that would
+    * overflow the open sequence closes it and starts the next; no
+    * chunk is ever split. Emits per sequence the chunk/doc counts,
+    * token total, fill ratio against capacity, and the
+    * lexicographically-sorted member list (`doc:chunk`) — the packing
+    * is content-exact verifiable without shipping text.
+    *
+    * Scale shape: the sequential fold is per-shard state of THREE
+    * scalars (shard, open fill, sequence counter) inside
+    * `mapPartitions` over rows already hash-partitioned by shard and
+    * externally (spillably) sorted by `sortWithinPartitions` — no
+    * in-memory group materialization, no text movement (rows are
+    * (shard, doc, chunk, len)), and shard count scales with the
+    * corpus, so no task ever holds more than one shard's metadata
+    * stream. The same fold shape is how a 1000-executor run packs a
+    * 100 TB corpus: one pass per shard file. First-fit-decreasing
+    * packs ~2% tighter but needs a global sort by length and loses
+    * doc locality within sequences; doc_id-order next-fit is the
+    * standard loader compromise and is what the oracle can mirror
+    * (one recursive scan per shard). */
+  def packSequences(spark: SparkSession, sfDir: String,
+      seqLen: Int = 64, shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val shard = pmod(conv(substring(md5(concat(lit("shard"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong))
+    val assigned = chunkSpans(spark, sfDir, window = 32, stride = 24)
+      .select(shard.as("shard"), col("doc_id"), col("chunk_id"),
+        col("len").cast("long").as("n_toks"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("chunk_id"))
+      .as[(Long, Long, Int, Long)]
+      .mapPartitions { it =>
+        // next-fit fold: O(1) state, resets at each shard boundary (a
+        // hash partition may carry several shards back to back)
+        var cur = Long.MinValue; var fill = 0L; var seq = 0L
+        it.map { case (sh, d, c, n) =>
+          if (sh != cur) { cur = sh; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + n > seqLen) { seq += 1; fill = 0L }
+          fill += n
+          (sh, seq, d, c, n)
+        }
+      }
+      .toDF("shard", "seq_id", "doc_id", "chunk_id", "n_toks")
+    assigned
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        dbl(dec(sum(col("n_toks"))) / seqLen).as("fill_ratio"),
+        concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("doc_id"), col("chunk_id"))))).as("members"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
 
   /** K24: stratified corpus sampling — proportional allocation of a
     * fixed sample budget across languages (the corpus-mixing primitive:

@@ -1713,6 +1713,51 @@ object OracleSql {
         |FROM ch
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // sequence packing: next-fit of the chunk_tokens spans (window 32,
+    // stride 24) into 64-token sequences, (doc_id, chunk_id) order
+    // within the md5 'shard' mod-16 shard; the recursive CTE advances
+    // every shard one chunk per iteration, carrying (seq_id, fill) —
+    // the sequential fold the engine runs inside mapPartitions
+    "pack_sequences" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents
+         |), cfg AS (
+         |  SELECT doc_id, n, (GREATEST(n - 32, 0) + 23) // 24 + 1 AS n_chunks
+         |  FROM tk
+         |), ch AS (
+         |  SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM cfg
+         |), items AS (
+         |  SELECT ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+         |    doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |    CAST(LEAST(32, n - chunk_id * 24) AS BIGINT) AS n_toks
+         |  FROM ch
+         |), ranked AS (
+         |  SELECT shard, doc_id, chunk_id, n_toks,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_id) AS rn
+         |  FROM items
+         |), rec AS (
+         |  SELECT shard, rn, doc_id, chunk_id, n_toks,
+         |    CAST(0 AS BIGINT) AS seq_id, n_toks AS fill
+         |  FROM ranked WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.chunk_id, r.n_toks,
+         |    CASE WHEN p.fill + r.n_toks > 64 THEN p.seq_id + 1
+         |      ELSE p.seq_id END,
+         |    CASE WHEN p.fill + r.n_toks > 64 THEN r.n_toks
+         |      ELSE p.fill + r.n_toks END
+         |  FROM rec p JOIN ranked r ON r.shard = p.shard AND r.rn = p.rn + 1
+         |)
+         |SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  ${dbl(s"${dec("SUM(n_toks)")} / 64")} AS fill_ratio,
+         |  string_agg(doc_id || ':' || chunk_id, ','
+         |    ORDER BY doc_id || ':' || chunk_id) AS members
+         |FROM rec
+         |GROUP BY shard, seq_id
+         |ORDER BY shard, seq_id""".stripMargin,
+
     // Gopher repetition filters (Rae et al. 2021, public): top-token
     // fraction + duplicate-bigram fraction per doc; <2-token docs have
     // no bigrams -> NULL ratio in both engines

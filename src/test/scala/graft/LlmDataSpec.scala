@@ -330,4 +330,38 @@ class LlmDataSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("pack_sequences conserves chunks and satisfies the next-fit laws (K53)") {
+    import org.apache.spark.sql.functions._
+    val seqLen = 64
+    val packed = LlmData.packSequences(spark, sfDir).collect()
+    // conservation: every K30 chunk lands in exactly one sequence
+    val chunkRows = LlmData.chunkTokens(spark, sfDir)
+      .agg(count(lit(1)), sum(col("n_chunk_toks"))).head()
+    assert(packed.map(_.getLong(2)).sum == chunkRows.getLong(0))
+    assert(packed.map(_.getLong(4)).sum == chunkRows.getLong(1))
+    // members are exhaustive and disjoint across sequences
+    val members = packed.flatMap(_.getString(6).split(","))
+    assert(members.length.toLong == chunkRows.getLong(0))
+    assert(members.distinct.length == members.length)
+    for (r <- packed) {
+      val (nChunks, nDocs, nToks, fill) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      // capacity: a sequence never overflows; fill_ratio is exact n/L
+      assert(nToks <= seqLen && nChunks >= 1 && nDocs >= 1 && nDocs <= nChunks)
+      assert(math.abs(fill - nToks.toDouble / seqLen) < 1e-9)
+    }
+    // next-fit tightness law: consecutive sequences of one shard can
+    // never both be mergeable — seq i closed BECAUSE seq i+1's first
+    // chunk (≤ 32 tokens) did not fit, so fill_i + 32 > L or
+    // fill_i + first(i+1) > L; weaker corollary pinned here: within a
+    // shard, at most the LAST sequence may be under half capacity
+    for ((_, seqs) <- packed.groupBy(_.getLong(0))) {
+      val byId = seqs.sortBy(_.getLong(1))
+      assert(byId.map(_.getLong(1)).toSeq == byId.indices.map(_.toLong))
+      byId.dropRight(1).foreach(r => assert(r.getLong(4) > seqLen - 32,
+        s"non-final sequence ${r.getLong(1)} of shard ${r.getLong(0)} " +
+          s"closed at fill ${r.getLong(4)} though any <=32-token chunk fit"))
+    }
+  }
+
 }
