@@ -31,6 +31,7 @@ object SparkEntry {
     "sink_append_audit_log" -> (ops.Scans.sinkAppendAuditLog _),
     "scan_census_dsv2" -> (ops.Scans.scanCensusDsv2 _),
     "warehouse_merge_upsert" -> (ops.Scans.warehouseMergeUpsert _),
+    "warehouse_merge_scd2" -> (ops.Scans.warehouseMergeScd2 _),
     "sink_partitioned_prune" -> (ops.Scans.sinkPartitionedPrune _),
     "join_bucketed_colocated" -> (ops.Scans.joinBucketedColocated _),
     "scan_schema_evolution" -> (ops.Scans.scanSchemaEvolution _),

@@ -68,23 +68,106 @@ object Warehouse {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"updates schema ${updates.columns.mkString(",")} != target ${cols.mkString(",")}")
+    import org.apache.spark.sql.functions.{col, when}
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val u = guardedUpdates(updates, keys)
+    target.alias("t").join(u, cond, "full_outer")
+      .select(cols.map(c =>
+        when(col("u.__exists").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** The MERGE cardinality guard shared by [[merge]] and [[mergeScd2]]:
+    * the count window rides the SAME shuffle the join needs on the
+    * update side (both hash-partition on the keys), so the guard adds
+    * no data movement; it is folded INTO the `__exists` marker the
+    * output switch reads — a standalone guard column would be pruned
+    * away (and the error with it) as dead by ColumnPruning. */
+  private def guardedUpdates(updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
     import org.apache.spark.sql.expressions.Window
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
-    // the count window rides the SAME shuffle the join needs on the
-    // update side (both hash-partition on the keys), so the guard adds
-    // no data movement; it is folded INTO the `__exists` marker the
-    // output switch reads — a standalone guard column would be pruned
-    // away (and the error with it) as dead by ColumnPruning
     val existsOrFail = when(
       count(lit(1)).over(Window.partitionBy(keys.map(col): _*)) > 1,
       raise_error(lit("MERGE_CARDINALITY_VIOLATION: updates contain " +
         s"duplicate merge keys (${keys.mkString(", ")})")))
       .otherwise(lit(true))
-    val u = updates.withColumn("__exists", existsOrFail).alias("u")
+    updates.withColumn("__exists", existsOrFail).alias("u")
+  }
+
+  /** MERGE upsert, SCD type 2 — the history-PRESERVING load the
+    * reference's Redshift warehouse runs beside [[merge]]'s
+    * existence-switch overwrite: instead of replacing a matched row,
+    * the current (`valid_to IS NULL`) version is CLOSED at the batch
+    * time and the incoming attributes open a new version, so every
+    * key's attribute timeline survives (`valid_from`/`valid_to` range
+    * rows, the Kimball type-2 dimension — public design).
+    *
+    * `target` carries `keys ++ attrs ++ (validFrom, validTo)`;
+    * `updates` carries `keys ++ attrs` (no validity columns — the
+    * merge owns them). Per update row, matched against the target's
+    * OPEN version of its key:
+    *
+    *  - attrs CHANGED (any attr not null-safely equal): the open row
+    *    closes (`valid_to = asOf`) and a new open row inserts
+    *    (`valid_from = asOf`);
+    *  - attrs unchanged: the open row passes through untouched — no
+    *    spurious version (the idempotence that makes re-running a
+    *    batch a no-op);
+    *  - key absent from the target: a new open row inserts;
+    *  - target rows not matched by any update — ALL history rows and
+    *    untouched open rows — pass through unchanged.
+    *
+    * Scale shape: the SAME single shuffle as [[merge]] — ONE
+    * full-outer join on the keys over the whole target (history rows
+    * ride along as unmatched left rows; the open-version restriction
+    * is part of the join condition, not a second scan), with the
+    * changed/unchanged switch and the close+open row pair emitted by
+    * one codegen'd `explode` of a per-row struct array. No window over
+    * the target, no self-join of versions. Same `updates`-unique-on-
+    * keys precondition as [[merge]], enforced by the same in-flight
+    * guard; `target` must hold at most one open row per key (the SCD2
+    * table invariant — pinned, with the no-overlap law, in
+    * `WarehouseSpec`). */
+  def mergeScd2(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      asOf: org.apache.spark.sql.Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val cols = target.columns.toSeq
+    val attrs = cols.filterNot(c =>
+      keys.contains(c) || c == validFrom || c == validTo)
+    require(updates.columns.toSeq == keys ++ attrs ||
+        updates.columns.toSeq == cols.filterNot(Seq(validFrom, validTo).contains),
+      s"updates schema ${updates.columns.mkString(",")} != target business " +
+        s"columns ${(keys ++ attrs).mkString(",")}")
+    val validFromType = target.schema(validFrom).dataType
+    val validToType = target.schema(validTo).dataType
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _) &&
+      col(s"t.$validTo").isNull
+    val u = guardedUpdates(updates, keys)
+    // `t.valid_from` is non-null on every real SCD2 row, so it doubles
+    // as the target-presence marker after the full-outer join
+    val tPresent = col(s"t.$validFrom").isNotNull
+    val unchanged =
+      if (attrs.isEmpty) lit(true)
+      else attrs.map(a => col(s"t.$a") <=> col(s"u.$a")).reduce(_ && _)
+    val tRow = struct(cols.map(c => col(s"t.$c").as(c)): _*)
+    val closedOld = struct(cols.map {
+      case c if c == validTo => asOf.cast(validToType).as(validTo)
+      case c => col(s"t.$c").as(c)
+    }: _*)
+    val newOpen = struct(cols.map {
+      case c if c == validFrom => asOf.cast(validFromType).as(validFrom)
+      case c if c == validTo => lit(null).cast(validToType).as(validTo)
+      case c => col(s"u.$c").as(c)
+    }: _*)
     target.alias("t").join(u, cond, "full_outer")
-      .select(cols.map(c =>
-        when(col("u.__exists").isNotNull, col(s"u.$c"))
-          .otherwise(col(s"t.$c")).as(c)): _*)
+      .select(explode(
+        when(col("u.__exists").isNull, array(tRow))
+          .when(!tPresent, array(newOpen))
+          .when(unchanged, array(tRow))
+          .otherwise(array(closedOld, newOpen))).as("r"))
+      .select(col("r.*"))
   }
 }

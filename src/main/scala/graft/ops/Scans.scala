@@ -394,4 +394,43 @@ object Scans {
         cents(col("c_acctbal")).as("acctbal_cents"))
       .orderBy(col("c_custkey"))
   }
+
+  /** A16: SCD2 MERGE load ([[graft.census.Warehouse.mergeScd2]]) — the
+    * history-preserving counterpart of A6 over the same customer
+    * dimension. The target carries a synthesized timeline (every 20th
+    * customer has a closed 2023 version at 500.00 less, everyone an
+    * open 2024 version); the 2025-06-01 batch then exercises every
+    * merge arm at once: every 10th customer changes (+1000.00 → close
+    * the 2024 row, open a 2025 one), every other 7th re-sends its
+    * UNCHANGED attributes (idempotence: no spurious version), every
+    * 100th inserts under a fresh key. The full versioned table comes
+    * back out; (key, valid_from) is unique by construction, so the
+    * ORDER BY is fully tie-broken. */
+  def warehouseMergeScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val asOf = java.sql.Date.valueOf("2025-06-01")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val open = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val hist = cust.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") - 500.0d).as("c_acctbal"),
+        lit(java.sql.Date.valueOf("2023-01-01")).as("valid_from"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("valid_to"))
+    val changed = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"))
+    val same = cust.filter(col("c_custkey") % 7 === 0 &&
+      col("c_custkey") % 10 =!= 0)
+    val inserts = cust.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal"))
+    graft.census.Warehouse.mergeScd2(hist.union(open),
+        changed.union(same).union(inserts), Seq("c_custkey"), lit(asOf))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
 }

@@ -299,6 +299,58 @@ object OracleSql {
         |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
+    // SCD2 merge: history rows pass through; open rows close + reopen
+    // when attrs changed, pass through when unchanged; fresh keys open.
+    // The join leg mirrors the engine's single full-outer join over the
+    // OPEN slice; the IS NOT DISTINCT FROM comparisons mirror the
+    // null-safe attr equality of Warehouse.mergeScd2
+    "warehouse_merge_scd2" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal - 500 AS c_acctbal,
+        |    DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to
+        |  FROM cust WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    DATE '2024-01-01', CAST(NULL AS DATE)
+        |  FROM cust
+        |), upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+        |  FROM cust WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal
+        |  FROM cust WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || '_new', c_acctbal
+        |  FROM cust WHERE c_custkey % 100 = 0
+        |), j AS (
+        |  SELECT t.c_custkey AS tk, t.c_name AS tn, t.c_acctbal AS tb,
+        |    t.valid_from AS tf, t.valid_to AS tt,
+        |    u.c_custkey AS uk, u.c_name AS un, u.c_acctbal AS ub,
+        |    (t.c_name IS NOT DISTINCT FROM u.c_name AND
+        |     t.c_acctbal IS NOT DISTINCT FROM u.c_acctbal) AS same
+        |  FROM (SELECT * FROM tgt WHERE valid_to IS NULL) t
+        |  FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+        |), merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to
+        |  FROM tgt WHERE valid_to IS NOT NULL
+        |  UNION ALL
+        |  SELECT tk, tn, tb, tf, tt FROM j
+        |  WHERE uk IS NULL OR (tk IS NOT NULL AND same)
+        |  UNION ALL
+        |  SELECT tk, tn, tb, tf, DATE '2025-06-01' FROM j
+        |  WHERE tk IS NOT NULL AND uk IS NOT NULL AND NOT same
+        |  UNION ALL
+        |  SELECT uk, un, ub, DATE '2025-06-01', CAST(NULL AS DATE) FROM j
+        |  WHERE uk IS NOT NULL AND (tk IS NULL OR NOT same)
+        |)
+        |SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+        |  valid_from, valid_to
+        |FROM merged
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
     // ---------------- B: filters / projections ----------------
     "filter_compound" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag

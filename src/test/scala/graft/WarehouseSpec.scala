@@ -47,6 +47,65 @@ class WarehouseSpec extends SparkTestBase {
     assert(ok == Set((1L, "a"), (2L, "x"), (3L, "c")))
   }
 
+  test("mergeScd2: every arm, plus the no-overlap / one-open-row / idempotence laws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val d = java.sql.Date.valueOf(_: String)
+    def scd2(rows: Seq[(Long, String, String, Option[String])]) =
+      rows.map { case (k, v, f, t) => (k, v, d(f), t.map(d)) }
+        .toDF("id", "v", "valid_from", "valid_to")
+    // key 1: history + open (will change); 2: open, unchanged re-send;
+    // 3: open, untouched by the batch; 5: fresh key
+    val target = scd2(Seq(
+      (1L, "a0", "2023-01-01", Some("2024-01-01")),
+      (1L, "a1", "2024-01-01", None),
+      (2L, "b", "2024-01-01", None),
+      (3L, "c", "2024-01-01", None)))
+    val updates = Seq((1L, "a2"), (2L, "b"), (5L, "e")).toDF("id", "v")
+    val out = Warehouse.mergeScd2(target, updates, Seq("id"),
+      lit(d("2025-06-01")))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, "a0", "2023-01-01", Some("2024-01-01")),   // history untouched
+      (1L, "a1", "2024-01-01", Some("2025-06-01")),   // closed at batch time
+      (1L, "a2", "2025-06-01", None),                 // new open version
+      (2L, "b", "2024-01-01", None),                  // unchanged → no version
+      (3L, "c", "2024-01-01", None),                  // untouched open row
+      (5L, "e", "2025-06-01", None)))                 // fresh key opens
+    // SCD2 invariants on the merged table
+    val byKey = got.groupBy(_._1)
+    for ((k, vs) <- byKey) {
+      assert(vs.count(_._4.isEmpty) == 1, s"key $k open-row count != 1")
+      // versions never overlap: sorted by valid_from, each row's
+      // valid_to equals the next row's valid_from
+      val sorted = vs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(prev, next) => assert(prev._4.contains(next._3),
+          s"key $k: ${prev._4} does not meet ${next._3}")
+        case _ =>
+      }
+    }
+    // idempotence: re-running the same batch against the merged table
+    // changes nothing (unchanged attrs never open a version)
+    val again = Warehouse.mergeScd2(out, updates, Seq("id"),
+      lit(d("2025-07-01")))
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+      == got)
+    // same cardinality guard as SCD1
+    val e = intercept[Exception] {
+      Warehouse.mergeScd2(target,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"),
+        lit(d("2025-06-01"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE_CARDINALITY_VIOLATION")))
+  }
+
   test("append loads accumulate like COPY; overwrite rebuilds") {
     val tbl = "graft_wh_test"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
