@@ -99,6 +99,7 @@ object SparkEntry {
     "census_clean_cast" -> (ops.SortsCensus.censusCleanCast _),
     "census_sentinel_filter" -> (ops.SortsCensus.censusSentinelFilter _),
     "layout_zorder" -> (ops.Layout.layoutZorder _),
+    "layout_compaction" -> ((s, d) => ops.Layout.layoutCompaction(s, d)),
     // G — set ops
     "set_union_distinct" -> (ops.SetOps.setUnionDistinct _),
     "set_intersect" -> (ops.SetOps.setIntersect _),

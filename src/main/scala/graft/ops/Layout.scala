@@ -69,4 +69,111 @@ object Layout {
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
       .orderBy(col("z_bucket"))
+
+  /** The compaction banding rule — ONE definition, applied by the
+    * distributed planner ([[layoutCompaction]], via prefix sum) and
+    * the filesystem executor ([[compact]], via this fold): files are
+    * taken in deterministic order within a partition and grouped by
+    * the `target`-sized byte WINDOW their start offset falls in
+    * (group index = floor(bytes-before-this-file / target)). Chosen
+    * over true greedy refill because it is a pure function of the
+    * prefix sum — one codegen'd DIV, no sequential reset state — and
+    * it keeps the bound OPTIMIZE actually needs: occupied windows are
+    * a subset of 0..floor(total/target), so a partition compacts to
+    * at most `total_bytes DIV target + 1` files. A group may
+    * under-fill by at most its predecessor's overflow (the window a
+    * large file runs into holds less of its own budget); that slack
+    * is bounded by the largest single file and does not accumulate. */
+  def bandBySize(sizes: Seq[Long], target: Long): Seq[Int] = {
+    var cum = 0L
+    sizes.map { b => val g = (cum / target).toInt; cum += b; g }
+  }
+
+  /** F9: small-file compaction PLAN — the OPTIMIZE movement the
+    * streaming sinks (J9 idempotent appends, J15 CDC upserts) make
+    * necessary: every micro-batch writes a file per task, and a
+    * 100 TB table accretes millions of under-sized files that
+    * dominate scan open/seek cost. The file inventory here is
+    * synthesized deterministically from the events table (partition =
+    * event date, one file per writer task = user_id mod 50, file size
+    * = Σ per-row byte estimate) so the PLANNER itself — the banding,
+    * the per-partition accounting, the moved-bytes bill — is
+    * oracle-checked end to end; [[compact]] applies the identical
+    * rule to a real directory tree.
+    *
+    * Per partition: file count before/after, groups that actually
+    * merge (≥ 2 members), and the bytes a rewrite would move —
+    * single-file groups cost nothing, which is what makes OPTIMIZE
+    * incremental. Scale shape: the inventory is METADATA (3 narrow
+    * columns, one row per file — millions of rows for a 100 TB
+    * table, not billions); the running total is [[Strata.prefixSum]]'s
+    * two-pass range-bucketed prefix sum, so no partition's file list
+    * ever serializes through one task, and the banding itself is one
+    * codegen'd integer DIV. */
+  def layoutCompaction(spark: SparkSession, sfDir: String,
+      target: Long = 8192L): DataFrame = {
+    val files = t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("part"),
+        pmod(col("user_id"), lit(50L)).as("file_id"),
+        (lit(64L) + length(coalesce(col("props"), lit("")))).as("row_bytes"))
+      .groupBy(col("part"), col("file_id"))
+      .agg(sum(col("row_bytes")).as("bytes"))
+    val banded = Strata.prefixSum(files, Seq("part"), "file_id", "bytes",
+        out = "cum")
+      .withColumn("grp", expr(s"(cum - bytes) DIV $target"))
+    banded.groupBy(col("part"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+      .groupBy(col("part"))
+      .agg(sum(col("n_files")).as("n_files"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_files") > 1, 1L).otherwise(0L)).as("n_compacted_groups"),
+        sum(col("bytes")).as("bytes_total"),
+        sum(when(col("n_files") > 1, col("bytes")).otherwise(0L)).as("bytes_moved"))
+      .orderBy(col("part"))
+  }
+
+  /** Apply [[bandBySize]] to a real partitioned parquet root: per
+    * partition directory, files (name-ordered) band into groups and
+    * every ≥ 2-member group is rewritten as ONE file (read members →
+    * coalesce(1) → staged write → atomic rename into the partition
+    * dir, then delete the members). Single-file groups are untouched.
+    * The listing and the group loop are driver-side METADATA work —
+    * the same division of labor as every lakehouse OPTIMIZE (the
+    * planner reads the file manifest; only the rewrites are cluster
+    * jobs). Returns (files_before, files_after). */
+  def compact(spark: SparkSession, root: String, target: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(rootPath).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("."))
+    var before = 0
+    var after = 0
+    for (dir <- partDirs) {
+      val files = fs.listStatus(dir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      before += files.length
+      val groups = bandBySize(files.toSeq.map(_.getLen), target)
+        .zip(files).groupBy(_._1).toSeq.sortBy(_._1)
+      for ((g, members) <- groups) {
+        if (members.length < 2) after += members.length
+        else {
+          val tmp = new Path(dir.getPath, s".compact-$g-staging")
+          spark.read.parquet(members.map(_._2.getPath.toString): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val partFile = fs.listStatus(tmp)
+            .map(_.getPath).find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"no output file under $tmp"))
+          val dest = new Path(dir.getPath, s"compacted-$g-${partFile.getName}")
+          require(fs.rename(partFile, dest), s"rename $partFile -> $dest failed")
+          members.foreach(m => fs.delete(m._2.getPath, false))
+          require(fs.delete(tmp, true), s"staging cleanup of $tmp failed")
+          after += 1
+        }
+      }
+    }
+    (before, after)
+  }
 }

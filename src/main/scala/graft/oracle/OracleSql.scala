@@ -1418,6 +1418,39 @@ object OracleSql {
         |GROUP BY z >> 16
         |ORDER BY z_bucket""".stripMargin,
 
+    // compaction plan over the synthesized file inventory (partition =
+    // event date, file = user_id mod 50, size = sum of 64+len(props));
+    // banding: group = floor(bytes-before / 8192) over file_id order
+    "layout_compaction" ->
+      """WITH fr AS (
+        |  SELECT CAST(ts AS DATE) AS part, user_id % 50 AS file_id,
+        |    64 + length(COALESCE(props, '')) AS row_bytes
+        |  FROM events
+        |), f AS (
+        |  SELECT part, file_id, CAST(SUM(row_bytes) AS BIGINT) AS bytes
+        |  FROM fr GROUP BY part, file_id
+        |), c AS (
+        |  SELECT part, bytes,
+        |    SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+        |      AS cum_before
+        |  FROM f
+        |), g AS (
+        |  SELECT part, cum_before // 8192 AS grp,
+        |    COUNT(*) AS n_files, SUM(bytes) AS bytes
+        |  FROM c GROUP BY part, cum_before // 8192
+        |)
+        |SELECT part, CAST(SUM(n_files) AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_files > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_compacted_groups,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(CASE WHEN n_files > 1 THEN bytes ELSE 0 END) AS BIGINT)
+        |    AS bytes_moved
+        |FROM g
+        |GROUP BY part
+        |ORDER BY part""".stripMargin,
+
     // ---------------- K: LLM-data ops ----------------
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),

@@ -23,4 +23,52 @@ class SinkRootSpec extends SparkTestBase {
   test("default (no override) still round-trips") {
     assert(ops.Scans.sinkRoundtripCsv(spark, sfDir).count() > 0)
   }
+
+  test("compact: applying the plan reduces file count and preserves rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString + "/t"
+    // the J9/J15 pathology: many writer tasks per partition → many
+    // small files (6 per partition here)
+    val df = (1 to 600).map(i => (i.toLong, i % 3, s"payload_$i"))
+      .toDF("id", "part", "payload")
+    df.repartition(6, col("id")).write.partitionBy("part").parquet(root)
+    def parquetFiles(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(_.isDirectory).map(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .sum
+    }
+    val nBefore = parquetFiles()
+    assert(nBefore >= 18, s"expected >=6 files x 3 partitions, got $nBefore")
+    // huge target → every partition collapses to one group/file
+    val (before, after) = ops.Layout.compact(spark, root, target = 1L << 30)
+    assert(before == nBefore)
+    assert(after == 3)
+    assert(parquetFiles() == 3)
+    // contents survive byte-for-byte (same rows, partition col intact)
+    val got = spark.read.parquet(root)
+      .select(col("id"), col("part").cast("int"), col("payload"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == (1 to 600).map(i => (i.toLong, i % 3, s"payload_$i")).toSet)
+    // idempotence: a second pass finds nothing to merge
+    val (b2, a2) = ops.Layout.compact(spark, root, target = 1L << 30)
+    assert(b2 == 3 && a2 == 3 && parquetFiles() == 3)
+  }
+
+  test("bandBySize: window banding bounds the compacted file count") {
+    val sizes = Seq(60L, 60L, 60L, 30L, 120L, 10L)
+    val bands = ops.Layout.bandBySize(sizes, 100L)
+    // cum-before: 0,60,120,180,210,330 → windows 0,0,1,1,2,3 (the 120
+    // file overflows window 2, so window 1's own budget under-fills —
+    // bounded slack, documented in the scaladoc)
+    assert(bands == Seq(0, 0, 1, 1, 2, 3))
+    // the OPTIMIZE bound: at most total DIV target + 1 groups, ids
+    // monotone over the file order
+    assert(bands.distinct.length <= sizes.sum / 100L + 1)
+    assert(bands == bands.sorted)
+  }
 }
