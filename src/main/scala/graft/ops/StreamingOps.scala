@@ -354,6 +354,35 @@ object StreamingOps {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** J22: FULL-outer stream-stream interval join — completes the
+    * J8/J21 matrix with the direction J21 cannot see: a click with no
+    * preceding view inside the 5-minute window (bot traffic, lost
+    * impressions, attribution gaps) must surface too, view-side
+    * columns NULL. Same watermark-bounded state as J8/J21 — matched
+    * pairs emit immediately; EITHER side's unmatched rows emit
+    * null-extended once the opposite watermark proves no partner can
+    * arrive, so state stays bounded by the watermark on both sides.
+    * `user_id` is coalesced across sides (it must survive whichever
+    * side is missing). Pinned in `StreamingSpec`: immediate match,
+    * delayed NULL emission in BOTH directions. */
+  def streamStreamFullOuterJoin(views: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c, expr(
+        """user_id = click_user
+          |AND click_ts >= view_ts
+          |AND click_ts < view_ts + interval 5 minutes""".stripMargin),
+        "fullOuter")
+      .select(col("view_id"), col("click_id"),
+        coalesce(col("user_id"), col("click_user")).as("uid"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** J20: streaming rolling z-score anomaly flags — the stateful
     * counterpart of the batch [[Events.eventsAnomaly]]: a per-user
     * ring buffer of the last 5 values via `flatMapGroupsWithState`,

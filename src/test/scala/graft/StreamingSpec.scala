@@ -646,6 +646,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J22: full-outer stream-stream join emits NULLs in BOTH directions at expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.streamStreamFullOuterJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("j22")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      // view 1 converts; view 2 never converts (view-side NULL leg);
+      // click 60 has no view inside [click-5min, click] (click-side leg)
+      views.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "view"))
+      clicks.addData(Ev(50, ts("2024-01-01 10:02:00"), 1, "click"),
+        Ev(60, ts("2024-01-01 10:12:00"), 3, "click"))
+      q.processAllAvailable()
+      // sweep both watermarks far past every window, twice
+      for (t <- Seq("2024-01-01 11:00:00", "2024-01-01 12:00:00")) {
+        views.addData(Ev(3, ts(t), 9, "view"))
+        clicks.addData(Ev(51, ts(t), 9, "click"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("j22").collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2))
+      }.toSet
+      // matched pair, unconverted view, and view-less click all present
+      assert(rows.contains((Some(1L), Some(50L), 1L)))
+      assert(rows.contains((Some(2L), None, 2L)))
+      assert(rows.contains((None, Some(60L), 3L)))
+      // the matched pair still carries the J8/J21 gap arithmetic
+      val gap = spark.table("j22").collect()
+        .find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get.getLong(3)
+      assert(gap == 120000000L)
+    }
+  }
+
   test("J20: streaming rolling z-score equals the batch law across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
