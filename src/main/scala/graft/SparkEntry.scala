@@ -164,6 +164,7 @@ object SparkEntry {
     "text_surprisal_bigram" -> (ops.LlmData.textSurprisalBigram _),
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
+    "sim_pq_topk" -> (ops.LlmData.simPqTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),

@@ -990,6 +990,32 @@ object LlmData {
       "vec_id", "embedding", qVec, 5, model, excludeId = Some(0L))
   }
 
+  /** K54: PQ-codes approximate nearest neighbors of vec_id=0 — the
+    * compressed rung after K18's IVF-Flat ([[AnnPq]]: M=16 per-subspace
+    * codebooks fit on a seeded sample, the corpus encoded ONCE to 16
+    * 4-bit codes per vector, asymmetric-distance scoring from codes
+    * only — the raw vectors never enter the query path, which is what
+    * makes ANN work when the vectors themselves are the 100-TB
+    * payload). The first execution per fixture builds the code table
+    * ([[AnnPq.ensureIndex]]); every subsequent query is a driver-side
+    * M×KSub distance table + M lookups per candidate. Registered
+    * rows-only (seeded k-means codebooks aren't portable SQL);
+    * self-minimum / planted-duplicate / ADC-consistency laws pinned in
+    * `AnnPqSpec`, rank agreement with brute force in
+    * `GroundTruthSpec`. */
+  def simPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val dim = df.select(size(col("embedding"))).head().getInt(0)
+    val dir = AnnPq.ensureIndex(spark, df, "vec_id", "embedding",
+      s"$sfDir/embeddings", dim)
+    val books = AnnPq.loadCodebooks(spark, s"$dir/codebook")
+    // single-row bounded lookup of the query vector (documented pattern)
+    val qVec = df.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    AnnPq.topKFromCodes(spark.read.parquet(s"$dir/codes"),
+      "vec_id", qVec, books, 5, excludeId = Some(0L))
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

@@ -205,6 +205,23 @@ class GroundTruthSpec extends SparkTestBase {
     assert(recall >= 0.4, s"K18 sf0.01 recall@5 $recall below the pinned floor")
   }
 
+  test("K54 sim_pq_topk: recall@5 vs the oracle-checked exact sim_topk") {
+    // deterministic (seeded per-subspace k-means, fixed fixture):
+    // ADC from 8x16 codes is a coarse but unbiased distance estimate;
+    // measured on the fixture and pinned as the regression floor
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val pq = LlmData.simPqTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val recall = pq.count(exact.contains).toDouble / exact.size
+      info(s"K54 $dir recall@5 = $recall (pq=$pq exact=$exact)")
+      // measured 2/5 at every fixture scale with the 16x16 geometry
+      // (codes-only ADC on the near-uniform random fixture — the same
+      // floor the IVF rung pins); planted-structure recall is pinned
+      // at 1.0 in AnnPqSpec
+      assert(recall >= 0.4, s"K54 $dir recall@5 $recall below floor")
+    }
+  }
+
   test("D17 agg_heavy_hitters: CMS never under-counts; over-count within the eps*N bound") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val est = Util.t(spark, dir, "documents") // exact truth per probe
