@@ -109,7 +109,9 @@ object AnnPq {
   /** Encode every vector to its M codes — the offline compression
     * pass, one narrow projection (the 100-TB story: this is the ONLY
     * pass that ever reads the raw vectors; everything downstream reads
-    * 4–8 B of codes per vector). */
+    * 4–8 B of codes per vector). Expression formulation — the
+    * readable reference semantics; [[encodeNative]] is the codegen'd
+    * production path, pinned bit-identical in `AnnPqSpec`. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       books: Codebooks): DataFrame = {
     val dsub = books(0)(0).length
@@ -119,6 +121,18 @@ object AnnPq {
           nearestCode(slice(col("vn"), j * dsub + 1, dsub), books(j)))
           .toIndexedSeq: _*).as("codes"))
   }
+
+  /** Codegen'd encode via [[graft.functions.PqCodes]] — one fused
+    * per-row loop instead of M × KSub interpreted `aggregate` lambdas
+    * (the higher-order functions run interpreted; this pass reads
+    * every raw vector of the corpus, so it must stay inside
+    * whole-stage codegen). Bit-identical to [[encode]] by the shared
+    * fold-order/tie-break contract. */
+  def encodeNative(df: DataFrame, idCol: String, vecCol: String,
+      books: Codebooks): DataFrame =
+    df.select(col(idCol),
+      graft.functions.PqCodes(col(vecCol).cast("array<double>"), books, KSub)
+        .as("codes"))
 
   /** Driver-side ADC table for one query: dt(j)(k) = squared L2 from
     * the query's j-th (normalized) subvector to centroid k of
@@ -192,7 +206,7 @@ object AnnPq {
       Seq(s"$sourceDir.parquet")) { staging =>
       val books = fitCodebooks(df, vecCol, dim, FitSampleFraction)
       saveCodebooks(spark, books, s"$staging/codebook")
-      encode(df, idCol, vecCol, books)
+      encodeNative(df, idCol, vecCol, books)
         .write.mode("overwrite").parquet(s"$staging/codes")
     }
 }

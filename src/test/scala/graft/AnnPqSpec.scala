@@ -93,6 +93,40 @@ class AnnPqSpec extends SparkTestBase {
     assert(hits >= 4, s"only $hits/5 planted neighbors in top-5: $top")
   }
 
+  test("native codegen encode is bit-identical to the expression formulation") {
+    // the PqCodes kernel promises the aggregate fold order and the
+    // array_position first-minimum tie rule; any drift here silently
+    // corrupts every stored code table
+    val vs = randomVecs(200, 61) :+ Seq.fill(64)(0f) // include a zero vector
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val books = AnnPq.fitCodebooks(df, "embedding", dim = 64)
+    val expr = AnnPq.encode(df, "vec_id", "embedding", books)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val native = AnnPq.encodeNative(df, "vec_id", "embedding", books)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(expr.length == native.length && expr.length == vs.length)
+    expr.zip(native).foreach { case ((ei, ec), (ni, nc)) =>
+      assert(ei == ni && ec == nc, s"vec $ei: expr $ec != native $nc")
+    }
+  }
+
+  test("native encode NULL semantics: short vector and null element yield NULL codes") {
+    import spark.implicits._
+    val books = AnnPq.fitCodebooks(
+      vecsDf(randomVecs(40, 71).zipWithIndex.map { case (v, i) => i.toLong -> v }),
+      "embedding", dim = 64)
+    val df = Seq(
+      (0L, Some(Seq.fill(64)(Some(1.0f)))),
+      (1L, Some(Seq.fill(32)(Some(1.0f)))),            // too short
+      (2L, Some(Some(1.0f) +: Seq.fill(63)(Option.empty[Float]))), // null elem
+      (3L, Option.empty[Seq[Option[Float]]])           // null vector
+    ).toDF("vec_id", "embedding")
+    val out = AnnPq.encodeNative(df, "vec_id", "embedding", books)
+      .orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
   test("codebooks survive a save/load round trip bit-exact") {
     val vs = randomVecs(60, 51)
     val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
