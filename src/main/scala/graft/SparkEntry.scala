@@ -165,6 +165,7 @@ object SparkEntry {
     "sim_ann_topk" -> (ops.LlmData.simAnnTopk _),
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "sim_pq_topk" -> (ops.LlmData.simPqTopk _),
+    "sim_ivfpq_topk" -> (ops.LlmData.simIvfPqTopk _),
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),

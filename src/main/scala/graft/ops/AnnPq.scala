@@ -209,4 +209,52 @@ object AnnPq {
       encodeNative(df, idCol, vecCol, books)
         .write.mode("overwrite").parquet(s"$staging/codes")
     }
+
+  /** Build-once IVFPQ index (the FAISS IVFPQ composition): the PQ
+    * codes stored IN the inverted lists — the cell-assigned corpus
+    * ([[AnnIvf.ensureIndex]]'s table) re-encoded to codes and written
+    * PARTITIONED BY cell, so a probe reads only the probed cells'
+    * partition directories AND only 8 B of codes per candidate. This
+    * is the full 100-TB serving shape: IVF prunes WHICH vectors are
+    * scored, PQ makes scoring them independent of the raw vectors.
+    * Shares the PQ codebooks of [[ensureIndex]] (one quantizer per
+    * corpus — the SemDeDup shared-artifact discipline). Returns
+    * (ivfpq lists path, codebooks, IVF model). */
+  def ensureIvfPqIndex(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, sourceDir: String, dim: Int)
+      : (String, Codebooks, org.apache.spark.ml.clustering.KMeansModel) = {
+    val ivfDir = AnnIvf.indexCacheDir(spark, sourceDir)
+    val model = AnnIvf.ensureIndex(spark, df, idCol, vecCol, ivfDir)
+    val pqDir = ensureIndex(spark, df, idCol, vecCol, sourceDir, dim)
+    val books = loadCodebooks(spark, s"$pqDir/codebook")
+    // the name versions BOTH upstream geometries: a changed coarse
+    // quantizer (AnnIvf.K) or PQ geometry must miss, never serve
+    // stale inverted lists
+    val dir = FixtureCache.ensure(spark,
+      s"ivfpq_m${M}x${KSub}_c${AnnIvf.K}_v1", sourceDir,
+      Seq(s"$sourceDir.parquet")) { staging =>
+      // one narrow pass: id + codes + cell straight off the assigned
+      // table (no self-join — the encode is a per-row projection)
+      spark.read.parquet(AnnIvf.assignedPath(ivfDir))
+        .select(col(idCol),
+          graft.functions.PqCodes(col(vecCol).cast("array<double>"),
+            books, KSub).as("codes"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/lists")
+    }
+    (s"$dir/lists", books, model)
+  }
+
+  /** IVFPQ probe: partition-prune to the `probes` nearest cells, then
+    * ADC-score the surviving codes — no raw vector is read anywhere
+    * in the query path. */
+  def ivfPqTopK(spark: SparkSession, listsPath: String, idCol: String,
+      qVec: Seq[Float], books: Codebooks,
+      model: org.apache.spark.ml.clustering.KMeansModel, k: Int,
+      excludeId: Option[Long] = None, probes: Int = AnnIvf.Probes): DataFrame =
+    topKFromCodes(
+      spark.read.parquet(listsPath)
+        .filter(col("cell").isin(AnnIvf.probeCells(qVec, model, probes): _*)),
+      idCol, qVec, books, k, excludeId)
 }

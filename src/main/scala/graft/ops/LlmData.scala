@@ -1016,6 +1016,26 @@ object LlmData {
       "vec_id", qVec, books, 5, excludeId = Some(0L))
   }
 
+  /** K57: IVFPQ approximate nearest neighbors of vec_id=0 — the FAISS
+    * IVFPQ composition of K18 and K54: the PQ codes stored IN the
+    * IVF inverted lists ([[AnnPq.ensureIvfPqIndex]] — cell-partitioned
+    * codes table), so the probe partition-prunes to 2 of 16 cells AND
+    * scores candidates from 8 B of codes each; neither the corpus
+    * scan nor the scoring ever touches a raw vector. The end-state
+    * serving shape at 100 TB. Registered rows-only; planted-duplicate
+    * law in `AnnPqSpec`, recall pinned in `GroundTruthSpec`. */
+  def simIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val dim = df.select(size(col("embedding"))).head().getInt(0)
+    val (lists, books, model) = AnnPq.ensureIvfPqIndex(
+      spark, df, "vec_id", "embedding", s"$sfDir/embeddings", dim)
+    // single-row bounded lookup of the query vector (documented pattern)
+    val qVec = df.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    AnnPq.ivfPqTopK(spark, lists, "vec_id", qVec, books, model, 5,
+      excludeId = Some(0L))
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

@@ -142,6 +142,49 @@ class AnnPqSpec extends SparkTestBase {
     }
   }
 
+  test("IVFPQ mechanics: a planted duplicate survives cell pruning and ADC ranks it #1") {
+    // in-memory composition (no cache): coarse-assign, encode, prune
+    // to probed cells, ADC-score — the duplicate must land in the
+    // query's own probed cell and share its argmin codes
+    import graft.ops.AnnIvf
+    val q = randomVecs(1, 81).head
+    val noise = randomVecs(120, 82)
+    val df = vecsDf(Seq(0L -> q, 1L -> q) ++
+      noise.zipWithIndex.map { case (v, i) => (10L + i) -> v })
+    val model = AnnIvf.codebook(df, "embedding")
+    val books = AnnPq.fitCodebooks(df, "embedding", dim = 64)
+    val assigned = model.transform(df.withColumn("fv",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding"))))
+    val pruned = assigned.filter(col("cell").isin(
+      AnnIvf.probeCells(q, model): _*))
+    val codes = AnnPq.encodeNative(pruned, "vec_id", "embedding", books)
+    val top = AnnPq.topKFromCodes(codes, "vec_id", q, books, 5,
+      excludeId = Some(0L)).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 1L,
+      s"planted duplicate lost through IVFPQ: ${top.toSeq}")
+  }
+
+  test("sim_ivfpq_topk executes; inverted-list codes agree with the PQ code table") {
+    val out = ops.LlmData.simIvfPqTopk(spark, sfDir).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(0) != 0L))
+    // the lists build re-encodes the IVF assigned table with the SAME
+    // codebooks the flat PQ index used — every vector's codes must be
+    // identical in both artifacts or the two rungs silently diverge
+    val df = graft.ops.Util.t(spark, sfDir, "embeddings")
+    val dim = df.select(size(col("embedding"))).head().getInt(0)
+    val (lists, _, _) = AnnPq.ensureIvfPqIndex(
+      spark, df, "vec_id", "embedding", s"$sfDir/embeddings", dim)
+    val pqDir = AnnPq.ensureIndex(
+      spark, df, "vec_id", "embedding", s"$sfDir/embeddings", dim)
+    val mismatch = spark.read.parquet(lists).select(col("vec_id"), col("codes").as("lc"))
+      .join(spark.read.parquet(s"$pqDir/codes"), Seq("vec_id"))
+      .filter(col("lc") =!= col("codes")).count()
+    assert(mismatch == 0L, s"$mismatch vectors code differently in lists vs flat PQ")
+    val nLists = spark.read.parquet(lists).count()
+    assert(nLists == df.count(), "inverted lists must cover the whole corpus")
+  }
+
   test("sim_pq_topk query executes on the fixture corpus (codes-only path)") {
     val out = ops.LlmData.simPqTopk(spark, sfDir).collect()
     assert(out.length == 5)

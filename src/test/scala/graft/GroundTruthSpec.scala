@@ -222,6 +222,41 @@ class GroundTruthSpec extends SparkTestBase {
     }
   }
 
+  test("K57 sim_ivfpq_topk: equals PQ-ADC ranking restricted to the probed cells") {
+    // on the isotropic random fixture the compounded losses (2/16-cell
+    // pruning x ADC noise) honestly give recall ~0 — same finding as
+    // the round-9 IVF nprobe-2 pin — so the binding check is the exact
+    // STRUCTURAL law: the composed index must rank precisely as the
+    // flat PQ index would over the IVF-surviving candidates (planted-
+    // structure recall is pinned in AnnPqSpec where structure exists)
+    import graft.ops.{AnnIvf, AnnPq}
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val df = Util.t(spark, dir, "embeddings")
+      val dim = df.select(size(col("embedding"))).head().getInt(0)
+      val src = s"$dir/embeddings"
+      val (_, books, model) = AnnPq.ensureIvfPqIndex(
+        spark, df, "vec_id", "embedding", src, dim)
+      val qVec = df.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val cells = AnnIvf.probeCells(qVec, model)
+      val members = spark.read
+        .parquet(AnnIvf.assignedPath(AnnIvf.indexCacheDir(spark, src)))
+        .filter(col("cell").isin(cells: _*)).select(col("vec_id"))
+      val pqDir = AnnPq.ensureIndex(spark, df, "vec_id", "embedding", src, dim)
+      val restricted = AnnPq.topKFromCodes(
+        spark.read.parquet(s"$pqDir/codes").join(members, Seq("vec_id")),
+        "vec_id", qVec, books, 5, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ivfpq = LlmData.simIvfPqTopk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val recall = ivfpq.count(p => exact.contains(p._1)).toDouble / exact.size
+      info(s"K57 $dir recall@5 = $recall (structural law binding)")
+      assert(ivfpq == restricted,
+        s"$dir: ivfpq $ivfpq != cell-restricted PQ ranking $restricted")
+    }
+  }
+
   test("D17 agg_heavy_hitters: CMS never under-counts; over-count within the eps*N bound") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val est = Util.t(spark, dir, "documents") // exact truth per probe

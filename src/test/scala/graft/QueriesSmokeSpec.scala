@@ -22,7 +22,7 @@ class QueriesSmokeSpec extends SparkTestBase {
       "agg_heavy_hitters", "agg_sketch_union", "agg_sketch_theta",
       "dedup_minhash",
       "dedup_simhash", "dedup_embedding", "dedup_semantic",
-      "sim_ann_topk", "sim_ivf_topk"))
+      "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk"))
   }
 
   test("entry() returns rows") {
