@@ -166,6 +166,8 @@ object SparkEntry {
     "sim_ivf_topk" -> (ops.LlmData.simIvfTopk _),
     "sim_pq_topk" -> (ops.LlmData.simPqTopk _),
     "sim_ivfpq_topk" -> (ops.LlmData.simIvfPqTopk _),
+    "sample_temperature" -> (ops.LlmData.sampleTemperature _),
+    "corpus_drift" -> (ops.LlmData.corpusDrift _),
     "text_langid" -> (ops.LlmData.textLangid _),
     "text_stats" -> (ops.LlmData.textStats _),
     "text_tokens_topk" -> (ops.LlmData.textTokensTopk _),

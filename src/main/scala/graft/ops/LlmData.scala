@@ -545,6 +545,89 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K55: temperature-scaled mixture resampling — the α = 0.5
+    * flattening every multilingual pretraining corpus applies (public:
+    * the p_l ∝ (n_l/N)^α schedule of the XLM-R / mT5 line): sampling
+    * proportional to raw counts starves low-resource languages, while
+    * uniform over-trains them, so targets follow the sqrt of
+    * availability. Same budget (half the corpus), acceptance
+    * ([[mixThreshold]] per-language 2^32 thresholds, md5 draw salt
+    * 'temp') and no-upsampling discipline as [[corpusMix]] — the only
+    * new ingredient is the weight: round(sqrt(n_l)·10⁶) as BIGINT, so
+    * the share arithmetic stays EXACT integer math (sqrt is
+    * IEEE-correctly-rounded in both engines; the rounded weight makes
+    * the cross-language sum order-free where a float Σ√n would
+    * hash-flap). Targets are ⌊budget·w_l / Σw⌋ via DECIMAL(38,0) — the
+    * BIGINT product wraps at web scale (weight ~2^46 × budget ~2^40).
+    * Flattening and budget laws pinned in `LlmDataSpec`. */
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    // lang-cardinality frame: bounded domain, broadcast by construction
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("wsum", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("n_target", expr(
+        "CAST((CAST(weight AS DECIMAL(38,0)) * (total DIV 2)) DIV wsum AS BIGINT)"))
+      .withColumn("threshold", mixThreshold)
+      .select(col("lang"), col("n_docs"), col("weight"),
+        col("n_target"), col("threshold"))
+    val draw = conv(substring(md5(concat(lit("temp"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(perLang), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("weight")).as("weight"),
+        max(col("n_target")).as("n_target"),
+        sum(when(draw < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("weight"), col("n_target"),
+        col("n_kept"),
+        when(col("n_target") === 0, lit(null).cast("double"))
+          .otherwise(dbl(dec(col("n_kept")) / col("n_target")))
+          .as("fill_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  /** K56: corpus drift — total-variation token-distribution divergence
+    * between two corpus slices (even- vs odd-numbered sources): the
+    * monitoring query a production pipeline runs when a new crawl
+    * batch lands, answering "which tokens' frequencies moved". The
+    * per-token contribution |p_a − p_b| = |c_a·N_b − c_b·N_a|/(N_a·N_b)
+    * is ranked by its EXACT integer numerator — no logs, no float
+    * terms anywhere, so the result can't hash-flap under any
+    * aggregation order (the reason TV distance is used here over KL:
+    * identical discriminative ranking for drift triage, zero
+    * portability risk). Output: top-20 drifting tokens with both
+    * counts and the numerator.
+    *
+    * Scale shape: tokens come from the shared `tokens_v1` cache; one
+    * doc_id-keyed join against the 2-column side map, one vocab-keyed
+    * partial agg, grand totals as a 1-row broadcast (never a global
+    * window — that would serialize the vocabulary through one task),
+    * then a top-20 TakeOrdered. The numerator runs in DECIMAL(38,0)
+    * (c·N overflows BIGINT at web scale) and the fixture-range result
+    * casts back to BIGINT. */
+  def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val sides = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(2L)) === 0L)
+          .as("is_a"))
+    val counts = ensureTokens(spark, sfDir).select(col("doc_id"), col("tok"))
+      .join(sides, Seq("doc_id"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        expr("""CAST(abs(CAST(c_a AS DECIMAL(38,0)) * n_b
+               |  - CAST(c_b AS DECIMAL(38,0)) * n_a) AS BIGINT)"""
+          .stripMargin).as("drift_num"))
+      .orderBy(col("drift_num").desc, col("tok"))
+      .limit(20)
+  }
+
   /** K44: deterministic holdout split — train/val/test assignment as a
     * pure function of doc_id (the [[sampleHashBernoulli]] md5 draw,
     * salt 'split', mod 1000): test < 10 (1%), val < 30 (next 2%),

@@ -2086,6 +2086,72 @@ object OracleSql {
     // mirrors LlmData.mixThreshold: cap branch short-circuits, and the
     // multiply runs in HUGEINT (Spark side: DECIMAL(38,0)) because
     // 2^32·n_target overflows BIGINT at n_target ≥ 2^31
+    // temperature resampling: integer weight = round(sqrt(n)*1e6)
+    // (sqrt is IEEE-correctly-rounded in both engines; the rounded
+    // BIGINT weight makes the cross-language sum order-free), then
+    // the corpus_mix HUGEINT threshold walk with salt 'temp'
+    "sample_temperature" ->
+      s"""WITH pl AS (
+         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, n_docs,
+         |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS weight,
+         |    SUM(n_docs) OVER () AS total,
+         |    SUM(CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT))
+         |      OVER () AS wsum
+         |  FROM pl
+         |), tg AS (
+         |  SELECT lang, n_docs, weight,
+         |    CAST((CAST(weight AS HUGEINT) * (total // 2)) // wsum AS BIGINT)
+         |      AS n_target
+         |  FROM w
+         |), th AS (
+         |  SELECT lang, n_docs, weight, n_target,
+         |    CASE WHEN n_target >= n_docs THEN CAST(4294967296 AS BIGINT)
+         |      ELSE CAST((CAST(n_target AS HUGEINT) * 4294967296) // n_docs
+         |        AS BIGINT) END AS threshold
+         |  FROM tg
+         |), kept AS (
+         |  SELECT d.lang,
+         |    SUM(CASE WHEN ('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |          < t.threshold THEN 1 ELSE 0 END) AS n_kept
+         |  FROM documents d JOIN th t ON d.lang = t.lang
+         |  GROUP BY d.lang
+         |)
+         |SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(t.weight AS BIGINT) AS weight,
+         |  CAST(t.n_target AS BIGINT) AS n_target,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept,
+         |  CASE WHEN t.n_target = 0 THEN NULL
+         |    ELSE ${dbl(s"${dec("k.n_kept")} / t.n_target")} END AS fill_ratio
+         |FROM th t JOIN kept k ON t.lang = k.lang
+         |ORDER BY t.lang""".stripMargin,
+
+    // drift contribution ranked by its EXACT integer numerator
+    // |c_a*N_b - c_b*N_a| (HUGEINT product) - no float term anywhere
+    "corpus_drift" ->
+      """WITH sides AS (
+        |  SELECT doc_id,
+        |    (CAST(substr(source, 4) AS BIGINT) % 2) = 0 AS is_a
+        |  FROM documents
+        |), tc AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN s.is_a THEN 1 ELSE 0 END) AS c_a,
+        |    SUM(CASE WHEN NOT s.is_a THEN 1 ELSE 0 END) AS c_b
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  JOIN sides s USING (doc_id)
+        |  GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM tc
+        |)
+        |SELECT tok, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(abs(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+        |    AS BIGINT) AS drift_num
+        |FROM tc, tot
+        |ORDER BY drift_num DESC, tok
+        |LIMIT 20""".stripMargin,
+
     "corpus_mix" ->
       s"""WITH pl AS (
          |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -298,6 +298,58 @@ class LlmDataSpec extends SparkTestBase {
     // mapped language still targets (400‰ of budget 10) = 4
     assert(byLang("en").getLong(2) == 4L)
   }
+  test("temperature sampling flattens the mixture within budget (K55)") {
+    val rows = LlmData.sampleTemperature(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var budgetUsed = 0L
+    var totalDocs = 0L
+    for (r <- rows) {
+      val (n, w, target, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // weight is exactly round(sqrt(n)*1e6)
+      assert(w == math.round(math.sqrt(n.toDouble) * 1e6))
+      assert(kept <= n, "never upsamples")
+      budgetUsed += target
+      totalDocs += n
+    }
+    // floored targets never exceed the half-corpus budget
+    assert(budgetUsed <= totalDocs / 2)
+    // flattening law: for any two languages with n_a <= n_b the target
+    // ratio compresses toward 1 relative to proportional sampling —
+    // target_a/target_b >= n_a/n_b, cross-multiplied to stay integer
+    for (a <- rows; b <- rows
+         if a.getLong(1) <= b.getLong(1) && b.getLong(3) > 0)
+      assert(a.getLong(3) * b.getLong(1) + b.getLong(1) // + slack for the
+        >= b.getLong(3) * a.getLong(1), // floor on both targets
+        s"${a.getString(0)} vs ${b.getString(0)}: sqrt flattening violated")
+  }
+
+  test("corpus drift ranks by the exact TV numerator; sides partition the corpus (K56)") {
+    val rows = LlmData.corpusDrift(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val nums = rows.map(_.getLong(3)).toSeq
+    assert(nums == nums.sorted.reverse, "must be sorted by drift desc")
+    // recompute the top row's numerator from raw counts driver-side
+    val docs = graft.ops.Util.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+    val sideOf = docs.map(r => r.getLong(0) ->
+      (r.getString(1).drop(3).toLong % 2 == 0)).toMap
+    val counts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    for (r <- docs; tok <- r.getString(2).split(" ", -1)) {
+      val (a, b) = counts(tok)
+      counts(tok) = if (sideOf(r.getLong(0))) (a + 1, b) else (a, b + 1)
+    }
+    val nA = counts.valuesIterator.map(_._1).sum
+    val nB = counts.valuesIterator.map(_._2).sum
+    for (r <- rows.take(3)) {
+      val (cA, cB) = counts(r.getString(0))
+      assert(r.getLong(1) == cA && r.getLong(2) == cB)
+      assert(r.getLong(3) == math.abs(cA * nB - cB * nA),
+        s"token ${r.getString(0)}: numerator mismatch")
+    }
+  }
+
   test("charset screen counts the injected non-ASCII and control chars (K49)") {
     val rows = LlmData.textCharset(spark, sfDir).collect()
     assert(rows.length == 500)
