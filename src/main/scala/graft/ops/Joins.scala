@@ -220,6 +220,38 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** C17: the native as-of join in the NEAREST direction (pandas
+    * `merge_asof(direction='nearest')`, completing the direction
+    * matrix): per purchase, the strictly-before or strictly-after
+    * event with the smaller time gap, ties preferring backward — the
+    * "closest sensor reading" alignment shape. Same single merge pass;
+    * nearest carries ONE extra right-row buffer beyond backward's
+    * (the tuple-equal rows a later probe still needs). The match side
+    * is re-derived from the output tuple ordering so the oracle can
+    * check the tie rule, not just the chosen row. */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val lhs = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rhs = t(spark, sfDir, "events")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+    graft.plans.AsOf.joinAsOf(lhs, rhs,
+        Seq("user_id"), Seq("r_user_id"),
+        Seq("ts", "event_id"), Seq("r_ts", "r_event_id"),
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("near_event_id"),
+        col("r_event_type").as("near_event_type"),
+        abs(unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"),
+        when(col("r_event_id").isNull, lit(null).cast("string"))
+          .when(col("r_ts") < col("ts") ||
+            (col("r_ts") === col("ts") && col("r_event_id") < col("event_id")),
+            lit("backward"))
+          .otherwise(lit("forward")).as("side"))
+      .orderBy(col("event_id"))
+  }
+
   /** C15: the raw-SQL surface — a TPC-H Q3-shaped shipping-priority
     * query run through `spark.sql` over registered temp views, with
     * the LITERALLY IDENTICAL SQL text the DuckDB oracle executes

@@ -525,6 +525,32 @@ object OracleSql {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    // nearest: closer of the strict lag/lead neighbors, ties backward
+    "join_asof_nearest" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER win AS p_id,
+        |    lag(event_type) OVER win AS p_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS p_gap,
+        |    lead(event_id) OVER win AS n_id,
+        |    lead(event_type) OVER win AS n_type,
+        |    lead(epoch_us(ts)) OVER win - epoch_us(ts) AS n_gap
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN p_gap IS NOT NULL AND (n_gap IS NULL OR p_gap <= n_gap)
+        |    THEN p_id ELSE n_id END AS near_event_id,
+        |  CASE WHEN p_gap IS NOT NULL AND (n_gap IS NULL OR p_gap <= n_gap)
+        |    THEN p_type ELSE n_type END AS near_event_type,
+        |  CASE WHEN p_gap IS NOT NULL AND (n_gap IS NULL OR p_gap <= n_gap)
+        |    THEN p_gap ELSE n_gap END AS gap_us,
+        |  CASE WHEN p_gap IS NOT NULL AND (n_gap IS NULL OR p_gap <= n_gap)
+        |    THEN 'backward'
+        |    WHEN n_gap IS NOT NULL THEN 'forward' END AS side
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     "join_asof_forward" ->
       """WITH w AS (
         |  SELECT event_id, user_id, event_type,

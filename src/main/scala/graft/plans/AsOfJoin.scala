@@ -39,10 +39,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Match direction — the pandas `merge_asof` surface: [[AsOfBackward]]
   * takes the greatest right row strictly BEFORE the left row (the
   * default, "latest prior"); [[AsOfForward]] the smallest right row
-  * strictly AFTER it ("earliest next"). Both strict, symmetrically. */
+  * strictly AFTER it ("earliest next"); [[AsOfNearest]] whichever of
+  * those two is closer by ABSOLUTE gap on the FIRST order column
+  * (equal gaps prefer the backward match — the declared tie rule).
+  * All strict, symmetrically: a right row whose order tuple EQUALS
+  * the left's matches in no direction. */
 sealed trait AsOfDirection
 case object AsOfBackward extends AsOfDirection
 case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
 
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -54,10 +59,11 @@ case class AsOfJoin(
   require(leftKeys.length == rightKeys.length &&
     leftOrder.length == rightOrder.length && leftOrder.nonEmpty)
   require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
-  // tolerance bounds the gap on the FIRST order column (the pandas
-  // `on` key; trailing order columns only tie-break), so it needs a
-  // numeric/temporal primary order — validated here, at plan build
-  if (tolerance.isDefined) {
+  // tolerance bounds — and the nearest direction MEASURES — the gap on
+  // the FIRST order column (the pandas `on` key; trailing order columns
+  // only tie-break), so both need a numeric/temporal primary order —
+  // validated here, at plan build
+  if (tolerance.isDefined || direction == AsOfNearest) {
     AsOf.firstOrdGetter(leftOrder.head.dataType)
     AsOf.firstOrdGetter(rightOrder.head.dataType)
     ()
@@ -118,10 +124,12 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val ordTypes = leftOrder.map(_.dataType)
     val fwd = direction == AsOfForward
+    val near = direction == AsOfNearest
     val hasTol = tolerance.isDefined
     val tolV = tolerance.getOrElse(0L)
-    val lOrdGet = if (hasTol) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
-    val rOrdGet = if (hasTol) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
+    val needGet = hasTol || near
+    val lOrdGet = if (needGet) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
+    val rOrdGet = if (needGet) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -164,6 +172,99 @@ case class AsOfJoinExec(
             keyOrd.compare(rKeyProj(rCur), lk) == 0 &&
             (!hasTol || rOrdGet(rOrdProj(rCur)) - lOrdGet(lo) <= tolV)
           outProj(joined(l, if (matched) rCur else nullRight))
+        }
+      } else if (near) new Iterator[InternalRow] {
+        // nearest = strict-backward candidate (carried, like the
+        // backward branch) vs strict-forward candidate (rCur, like the
+        // forward branch), closer FIRST-order gap wins, tie → backward.
+        // One wrinkle forces a SECOND carried row: rows whose order
+        // tuple EQUALS the current left's match neither direction for
+        // THIS left row but are the backward answer for LATER (larger)
+        // left rows — so they must be consumed into state. Slot A holds
+        // the last consumed qualifying row (ord ≤ current lo), slot B
+        // the greatest consumed row with ord strictly below A's; the
+        // backward candidate is A when A's ord < lo, else B. All slots
+        // are reused byte buffers; A→B promotion SWAPS buffers (no
+        // byte copy in the hot loop — the r8 allocation discipline).
+        final class Slot(width: Int) {
+          var row: InternalRow = _
+          private var buf: UnsafeRow = _
+          def set(r: InternalRow): Unit = r match {
+            case u: UnsafeRow =>
+              if (buf == null) {
+                buf = new UnsafeRow(width)
+                buf.pointTo(new Array[Byte](u.getSizeInBytes), u.getSizeInBytes)
+              }
+              buf.copyFrom(u)
+              row = buf
+            case other => row = other.copy()
+          }
+          /** Takes `other`'s content by reference; `other` inherits
+            * this slot's old buffer for its next set(). */
+          def stealFrom(other: Slot): Unit = {
+            val r = row; val b = buf
+            row = other.row; buf = other.buf
+            other.row = r; other.buf = b
+          }
+        }
+        private var rCur: InternalRow = advanceRightOf(rIter)
+        private val rowA = new Slot(right.output.length)
+        private val ordA = new Slot(rightOrder.length)
+        private val rowB = new Slot(right.output.length)
+        private val ordB = new Slot(rightOrder.length)
+        private val keySlot = new Slot(leftKeys.length)
+        private var hasA = false
+        private var hasB = false
+        private var hasKey = false
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lo = lOrdProj(l)
+          var advancing = true
+          while (advancing && rCur != null) {
+            val kc = keyOrd.compare(rKeyProj(rCur), lk)
+            if (kc < 0) rCur = advanceRightOf(rIter)
+            else if (kc == 0 && ordOrd.compare(rOrdProj(rCur), lo) <= 0) {
+              if (!hasKey || keyOrd.compare(keySlot.row, lk) != 0) {
+                hasA = false; hasB = false
+                keySlot.set(lk); hasKey = true
+              }
+              val ro = rOrdProj(rCur)
+              if (!hasA) { rowA.set(rCur); ordA.set(ro); hasA = true }
+              else if (ordOrd.compare(ro, ordA.row) > 0) {
+                rowB.stealFrom(rowA); ordB.stealFrom(ordA); hasB = true
+                rowA.set(rCur); ordA.set(ro)
+              } else {
+                // equal order tuple (ascending sort admits nothing
+                // less): the later row overwrites A, B unchanged
+                rowA.set(rCur)
+              }
+              rCur = advanceRightOf(rIter)
+            } else advancing = false
+          }
+          val sameKey = hasKey && keyOrd.compare(keySlot.row, lk) == 0
+          var bRow: InternalRow = null
+          var bOrd: InternalRow = null
+          if (sameKey && hasA) {
+            if (ordOrd.compare(ordA.row, lo) < 0) { bRow = rowA.row; bOrd = ordA.row }
+            else if (hasB) { bRow = rowB.row; bOrd = ordB.row }
+          }
+          val fRow: InternalRow =
+            if (rCur != null && keyOrd.compare(rKeyProj(rCur), lk) == 0) rCur
+            else null
+          val loV = lOrdGet(lo)
+          var db = if (bRow != null) loV - rOrdGet(bOrd) else Long.MaxValue
+          var df = if (fRow != null) rOrdGet(rOrdProj(fRow)) - loV else Long.MaxValue
+          if (hasTol) {
+            if (db > tolV) db = Long.MaxValue
+            if (df > tolV) df = Long.MaxValue
+          }
+          val chosen =
+            if (db == Long.MaxValue && df == Long.MaxValue) nullRight
+            else if (db <= df) bRow // tie → backward (declared rule)
+            else fRow
+          outProj(joined(l, chosen))
         }
       } else new Iterator[InternalRow] {
         private var rCur: InternalRow = advanceRightOf(rIter)
@@ -256,10 +357,12 @@ case class BroadcastAsOfJoinExec(
     val broadcastRel = right.executeBroadcast[Array[InternalRow]]()
     val ordTypes = leftOrder.map(_.dataType)
     val fwd = direction == AsOfForward
+    val near = direction == AsOfNearest
     val hasTol = tolerance.isDefined
     val tolV = tolerance.getOrElse(0L)
-    val lOrdGet = if (hasTol) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
-    val rOrdGet = if (hasTol) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
+    val needGet = hasTol || near
+    val lOrdGet = if (needGet) AsOf.firstOrdGetter(leftOrder.head.dataType) else null
+    val rOrdGet = if (needGet) AsOf.firstOrdGetter(rightOrder.head.dataType) else null
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val rOrdProj = UnsafeProjection.create(rightOrder, right.output)
@@ -291,7 +394,37 @@ case class BroadcastAsOfJoinExec(
         var matched: InternalRow = null
         if (group != null) {
           val lo = lOrdProj(l)
-          if (fwd) {
+          if (near) {
+            // both binary searches off one sorted group: the smallest
+            // entry strictly above lo and the greatest strictly below
+            var low = 0
+            var high = group.length // invariant: [0,low) <= lo
+            while (low < high) {
+              val mid = (low + high) >>> 1
+              if (ordOrd.compare(group(mid)._1, lo) <= 0) low = mid + 1
+              else high = mid
+            }
+            val fIdx = low
+            low = 0
+            high = group.length // invariant: [0,low) < lo
+            while (low < high) {
+              val mid = (low + high) >>> 1
+              if (ordOrd.compare(group(mid)._1, lo) < 0) low = mid + 1
+              else high = mid
+            }
+            val bIdx = low - 1
+            val loV = lOrdGet(lo)
+            var db = if (bIdx >= 0) loV - rOrdGet(group(bIdx)._1) else Long.MaxValue
+            var df = if (fIdx < group.length) rOrdGet(group(fIdx)._1) - loV
+              else Long.MaxValue
+            if (hasTol) {
+              if (db > tolV) db = Long.MaxValue
+              if (df > tolV) df = Long.MaxValue
+            }
+            if (db != Long.MaxValue || df != Long.MaxValue)
+              matched = if (db <= df) group(bIdx)._2 // tie → backward
+                else group(fIdx)._2
+          } else if (fwd) {
             // smallest entry with ord strictly above lo
             var low = 0
             var high = group.length // exclusive; invariant: [0,low) <= lo
@@ -360,8 +493,10 @@ object AsOf {
 
   /** As-of join `left` with `right`: per left row, the greatest right
     * row with equal `keys` and (order tuple) strictly before the left
-    * row's (`direction = "backward"`, the default) — or the smallest
-    * strictly after it (`"forward"`); unmatched left rows keep NULL
+    * row's (`direction = "backward"`, the default) — the smallest
+    * strictly after it (`"forward"`) — or whichever of those two is
+    * closer by absolute gap on the FIRST order column (`"nearest"`;
+    * equal gaps prefer backward); unmatched left rows keep NULL
     * right columns. `tolerance` (pandas `merge_asof` surface) bounds
     * the allowed gap on the FIRST order column, in that column's units
     * (microseconds for timestamps, days for dates): a nearest row
@@ -377,8 +512,9 @@ object AsOf {
     val dir = direction match {
       case "backward" => AsOfBackward
       case "forward" => AsOfForward
+      case "nearest" => AsOfNearest
       case other => throw new IllegalArgumentException(
-        s"""direction must be "backward" or "forward", got "$other"""")
+        s"""direction must be "backward", "forward" or "nearest", got "$other"""")
     }
     val spark = left.sparkSession
     ensureStrategy(spark)

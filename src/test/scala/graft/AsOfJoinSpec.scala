@@ -212,6 +212,99 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("nearest direction: closer side wins, ties prefer backward (both paths)") {
+    bothPaths { path =>
+      import spark.implicits._
+      val left = Seq(
+        (1L, "a", 10L), // backward at 7 (gap 3), forward at 12 (gap 2) -> fwd
+        (2L, "a", 5L),  // backward at 7? no - strictly before: none; fwd 7 (gap 2)
+        (3L, "a", 20L), // backward 12 (gap 8), no forward -> bwd
+        (4L, "b", 10L), // exact tie: 8 (gap 2) vs 12 (gap 2) -> backward
+        (5L, "c", 1L)   // no events at all -> NULL
+      ).toDF("id", "k", "t")
+      val right = Seq(
+        (100L, "a", 7L), (101L, "a", 12L),
+        (102L, "b", 8L), (103L, "b", 12L)
+      ).toDF("r_id", "r_k", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t"), Seq("r_t"), direction = "nearest")
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+        .toMap
+      assert(got == Map(1L -> Some(101L), 2L -> Some(100L),
+        3L -> Some(101L), 4L -> Some(102L), 5L -> None), path)
+    }
+  }
+
+  test("nearest excludes the tuple-equal row; equal-t smaller-id is a gap-0 backward match") {
+    bothPaths { path =>
+      import spark.implicits._
+      // self-join shape: the probe row itself is on the right with the
+      // IDENTICAL (t, id) tuple and must never self-match
+      val left = Seq((10L, "a", 5L)).toDF("id", "k", "t")
+      val right = Seq((9L, "a", 5L), (10L, "a", 5L), (11L, "a", 5L))
+        .toDF("r_id", "r_k", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t", "id"), Seq("r_t", "r_id"), direction = "nearest")
+        .select($"id", $"r_id").collect()
+      // backward candidate (5,9) gap 0; forward candidate (5,11) gap 0;
+      // tie -> backward
+      assert(got.length == 1 && got.head.getLong(1) == 9L, path)
+    }
+  }
+
+  test("nearest + tolerance masks both sides independently (both paths)") {
+    bothPaths { path =>
+      import spark.implicits._
+      val left = Seq((1L, "a", 10L), (2L, "a", 100L)).toDF("id", "k", "t")
+      val right = Seq((50L, "a", 4L), (51L, "a", 13L)).toDF("r_id", "r_k", "r_t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), Seq("r_k"),
+          Seq("t"), Seq("r_t"), direction = "nearest", tolerance = Some(5L))
+        .select($"id", $"r_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+        .toMap
+      // id 1: backward gap 6 > 5 masked, forward gap 3 ok -> 51
+      // id 2: nearest (51) at gap 87 -> masked entirely, never a fallback
+      assert(got == Map(1L -> Some(51L), 2L -> None), path)
+    }
+  }
+
+  test("randomized differential: nearest equals a plain-Scala reference (both paths)") {
+    import spark.implicits._
+    bothPaths { path =>
+      for (seed <- Seq(11, 12, 13)) {
+        val rnd = new scala.util.Random(seed)
+        val events = (0L until 300L).map { id =>
+          (id, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+            rnd.nextInt(4) == 0)
+        }
+        val ord = Ordering.Tuple2[Long, Long]
+        val byUser = events.groupBy(_._2)
+        val expected = events.filter(_._4).map { case (id, u, t, _) =>
+          val others = byUser(u)
+          val bwd = others.filter(e => ord.lt((e._3, e._1), (t, id)))
+            .sortBy(e => (e._3, e._1))(ord).lastOption
+          val fwd = others.filter(e => ord.gt((e._3, e._1), (t, id)))
+            .sortBy(e => (e._3, e._1))(ord).headOption
+          val db = bwd.map(e => t - e._3).getOrElse(Long.MaxValue)
+          val df = fwd.map(e => e._3 - t).getOrElse(Long.MaxValue)
+          id -> (if (db == Long.MaxValue && df == Long.MaxValue) None
+            else if (db <= df) bwd.map(_._1) else fwd.map(_._1))
+        }.toMap
+        val left = events.filter(_._4).map(e => (e._1, e._2, e._3))
+          .toDF("id", "u", "t")
+        val right = events.map(e => (e._1, e._2, e._3))
+          .toDF("r_id", "r_u", "r_t")
+        val got = AsOf.joinAsOf(left, right, Seq("u"), Seq("r_u"),
+            Seq("t", "id"), Seq("r_t", "r_id"), direction = "nearest")
+          .select($"id", $"r_id").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+          .toMap
+        assert(got == expected, s"$path seed $seed")
+      }
+    }
+  }
+
   test("registered tolerance/forward queries execute against the fixture") {
     val tolRows = Joins.joinAsofTolerance(spark, sfDir).collect()
     assert(tolRows.nonEmpty)
