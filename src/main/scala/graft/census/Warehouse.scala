@@ -95,6 +95,36 @@ object Warehouse {
     updates.withColumn("__exists", existsOrFail).alias("u")
   }
 
+  /** MERGE with a DELETE arm — the full CDC load shape
+    * (`MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE WHEN MATCHED
+    * THEN UPDATE * WHEN NOT MATCHED AND op <> 'D' THEN INSERT *`):
+    * `changes` carries the target schema plus `opCol` ('U' upsert /
+    * 'D' delete). A matched delete removes the target row; a delete
+    * of an absent key is a no-op (never an error — CDC replays and
+    * out-of-order compaction both produce them); updates/inserts
+    * behave exactly as [[merge]]. Same single full-outer shuffle; the
+    * delete arm is ONE filter on the joined stream, not a second
+    * anti-join pass. Same changes-unique-on-keys precondition,
+    * enforced by the same in-flight guard (ANSI MERGE cardinality
+    * applies to every arm — an update and a delete for one key in one
+    * batch is the violation, not a resolvable race). */
+  def mergeWithDeletes(target: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val cols = target.columns.toSeq
+    require(changes.columns.toSeq == cols :+ opCol,
+      s"changes schema ${changes.columns.mkString(",")} != target schema + $opCol")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val u = guardedUpdates(changes, keys)
+    target.alias("t").join(u, cond, "full_outer")
+      // matched delete drops the target row; unmatched delete is a
+      // no-op row that vanishes here too
+      .filter(!(col(s"u.$opCol") <=> lit("D")))
+      .select(cols.map(c =>
+        when(col("u.__exists").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
   /** MERGE upsert, SCD type 2 — the history-PRESERVING load the
     * reference's Redshift warehouse runs beside [[merge]]'s
     * existence-switch overwrite: instead of replacing a matched row,

@@ -395,6 +395,39 @@ object Scans {
       .orderBy(col("c_custkey"))
   }
 
+  /** A17: MERGE with a DELETE arm
+    * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
+    * over the A6 customer dimension: every 10th customer updates
+    * (+1000.00), every 7th-not-10th DELETES, every 100th inserts under
+    * a fresh key, and one delete targets an ABSENT key (1000001 + the
+    * insert offset misses) to exercise the no-op arm. The surviving
+    * row set comes back out; the oracle rebuilds it with the identical
+    * FULL OUTER + delete-filter composition. */
+  def warehouseMergeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = target.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"), lit("U").as("op"))
+    val deletes = target
+      .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("D").as("op"))
+    val inserts = target.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal"),
+        lit("U").as("op"))
+    val ghostDelete = target.filter(col("c_custkey") === 1L)
+      .select((col("c_custkey") + 2000000L).as("c_custkey"), col("c_name"),
+        col("c_acctbal"), lit("D").as("op"))
+    graft.census.Warehouse.mergeWithDeletes(target,
+        updates.union(deletes).union(inserts).union(ghostDelete),
+        Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** A16: SCD2 MERGE load ([[graft.census.Warehouse.mergeScd2]]) — the
     * history-preserving counterpart of A6 over the same customer
     * dimension. The target carries a synthesized timeline (every 20th

@@ -299,6 +299,33 @@ object OracleSql {
         |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
+    // MERGE with deletes: matched 'D' removes the row, unmatched 'D'
+    // is a no-op, 'U' behaves as the A6 upsert
+    "warehouse_merge_delete" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), chg AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, 'U' AS op
+        |  FROM tgt WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'D' AS op
+        |  FROM tgt WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || '_new', c_acctbal, 'U' AS op
+        |  FROM tgt WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_acctbal, 'D' AS op
+        |  FROM tgt WHERE c_custkey = 1
+        |)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END
+        |    AS c_name,
+        |  CAST(round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |    ELSE t.c_acctbal END * 100, 0) AS BIGINT) AS acctbal_cents
+        |FROM tgt t FULL OUTER JOIN chg u ON t.c_custkey = u.c_custkey
+        |WHERE u.op IS NULL OR u.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
     // SCD2 merge: history rows pass through; open rows close + reopen
     // when attrs changed, pass through when unchanged; fresh keys open.
     // The join leg mirrors the engine's single full-outer join over the

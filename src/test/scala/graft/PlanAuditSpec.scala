@@ -92,6 +92,34 @@ class PlanAuditSpec extends SparkTestBase {
         s"cell directories, read ${scan.metrics("numPartitions").value}")
   }
 
+  test("sim_ivfpq_topk probe prunes to the probed cell partitions of the lists table") {
+    val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the IVFPQ point: cell pruning at the DIRECTORY level over a
+    // codes-only relation — a per-row filter over all lists (or any
+    // read of the embedding column) is the regression this pins out
+    assert(p.contains("PartitionFilters: [cell"), p)
+    assert(!p.contains("embedding"),
+      "the IVFPQ query path must never read raw vectors\n" + p)
+  }
+
+  test("round-14 curation additions keep their scale shapes") {
+    // sample_temperature: the per-language threshold frame is bounded-
+    // domain and must broadcast; the doc-side join must not sort-merge
+    val pt = plan("sample_temperature")
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    // corpus_drift: top-20 as TakeOrdered (no global sort); the grand
+    // totals ride a 1-row broadcast, never a cartesian; and the token
+    // relation comes from the materialized cache, not a re-tokenize
+    val pd = plan("corpus_drift")
+    assert(pd.contains("TakeOrderedAndProject"), pd)
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(pd.contains("graft_tokens_v1") || pd.contains("tokens_v1"),
+      "drift must read the shared tokens cache\n" + pd)
+    assert(!pd.contains("posexplode"),
+      "drift must not re-tokenize the corpus\n" + pd)
+  }
+
   test("join_skew_salted shuffles on (key, salt), never broadcasts") {
     val p = plan("join_skew_salted")
     // the whole point is spreading the hot key across salt sub-keys —

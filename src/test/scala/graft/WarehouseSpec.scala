@@ -106,6 +106,31 @@ class WarehouseSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("MERGE_CARDINALITY_VIOLATION")))
   }
 
+  test("mergeWithDeletes: every arm — delete, ghost delete no-op, update, insert, guard") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", "U"), // matched update
+      (3L, "c", "D"),  // matched delete
+      (4L, "d", "U"),  // unmatched insert
+      (9L, "x", "D")   // ghost delete: absent key, must be a no-op
+    ).toDF("id", "v", "op")
+    val got = Warehouse.mergeWithDeletes(target, changes, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    // an update AND a delete for one key in one batch is the MERGE
+    // cardinality violation, same as duplicate updates
+    val e = intercept[Exception] {
+      Warehouse.mergeWithDeletes(target,
+        Seq((2L, "x", "U"), (2L, "y", "D")).toDF("id", "v", "op"),
+        Seq("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE_CARDINALITY_VIOLATION")))
+  }
+
   test("append loads accumulate like COPY; overwrite rebuilds") {
     val tbl = "graft_wh_test"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
