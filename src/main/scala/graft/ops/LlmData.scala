@@ -1479,7 +1479,25 @@ object LlmData {
     * broadcastable — plus a single partial-agg rollup. NULL-source
     * docs are candidates (null-safe complement, as in K23). */
   def decontaminate(spark: SparkSession, sfDir: String,
-      minShared: Int = 5): DataFrame = {
+      minShared: Int = 5): DataFrame =
+    decontaminateCore(spark, sfDir, minShared, bloomPrefilter = false)
+
+  /** K58: [[decontaminate]] with a Bloom pre-filter — the scale form
+    * of K29: a 1%-fpp Bloom of the benchmark shingles (built by the
+    * public `df.stat.bloomFilter`, ~10× smaller than the equivalent
+    * broadcast hash relation) rides into every task as one
+    * [[graft.functions.BloomMightContain]] expression reference and
+    * prunes the corpus shingle stream to candidates BEFORE the exact
+    * join. No false negatives + the unchanged exact join downstream ⇒
+    * the result is BIT-IDENTICAL to K29 (same oracle SQL; Spark-side
+    * row identity pinned in `LlmDataSpec`) — the filter only cuts the
+    * data that reaches the exchange, which at 100 TB is the job. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+      minShared: Int = 5): DataFrame =
+    decontaminateCore(spark, sfDir, minShared, bloomPrefilter = true)
+
+  private def decontaminateCore(spark: SparkSession, sfDir: String,
+      minShared: Int, bloomPrefilter: Boolean): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val shingles = MinHash
       .shingleRows(docs.select(col("doc_id"), col("text")), "doc_id", "text")
@@ -1488,7 +1506,18 @@ object LlmData {
     val tagged = shingles.join(src, Seq("doc_id"))
     val bench = tagged.filter(col("source") === "src0")
       .select(col("shingle")).distinct()
-    val removed = tagged.filter(not(col("source") <=> "src0"))
+    val corpusSide0 = tagged.filter(not(col("source") <=> "src0"))
+    val corpusSide =
+      if (!bloomPrefilter) corpusSide0
+      else {
+        // two bounded jobs over the BENCHMARK side only (eval sets are
+        // small by definition; the corpus is never counted or collected)
+        val n = math.max(bench.count(), 1L)
+        val bloom = bench.stat.bloomFilter("shingle", n, 0.01)
+        corpusSide0.filter(
+          graft.functions.BloomMightContain(col("shingle"), bloom))
+      }
+    val removed = corpusSide
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

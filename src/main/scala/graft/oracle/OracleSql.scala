@@ -1730,6 +1730,38 @@ object OracleSql {
     // distinct shingles with the benchmark are removed; per-lang
     // kept/removed accounting over all non-benchmark docs (null-safe
     // complement, as in contamination_ngram)
+    // the Bloom pre-filter variant (K58) is exactness-preserving by
+    // construction (no false negatives + unchanged exact join), so it
+    // shares K29's oracle verbatim
+    "decontaminate_bloom" ->
+      s"""WITH $shingleCtes, s AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM d
+         |), tagged AS (
+         |  SELECT s.doc_id, s.shingle, dd.source
+         |  FROM s JOIN documents dd ON s.doc_id = dd.doc_id
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM tagged WHERE source = 'src0'
+         |), removed AS (
+         |  SELECT doc_id FROM tagged
+         |  WHERE source IS DISTINCT FROM 'src0'
+         |    AND shingle IN (SELECT shingle FROM bench)
+         |  GROUP BY doc_id
+         |  HAVING COUNT(*) >= 5
+         |), base AS (
+         |  SELECT dd.doc_id, dd.lang,
+         |    len(str_split(dd.text, ' ')) AS n_toks,
+         |    dd.doc_id IN (SELECT doc_id FROM removed) AS rm
+         |  FROM documents dd
+         |  WHERE dd.source IS DISTINCT FROM 'src0'
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rm THEN 0 ELSE n_toks END) AS BIGINT) AS tokens_kept
+         |FROM base
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+
     "decontaminate" ->
       s"""WITH $shingleCtes, s AS (
          |  SELECT doc_id, unnest(shingles) AS shingle FROM d

@@ -350,6 +350,29 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the exact form (K58)") {
+    // the exactness-preservation theorem: no false negatives + the
+    // unchanged exact join downstream => identical output; a hashing
+    // mismatch between builder (putString) and probe (UTF-8 binary)
+    // would surface here as dropped removals
+    val exact = LlmData.decontaminate(spark, sfDir).collect().toSeq
+    val bloom = LlmData.decontaminateBloom(spark, sfDir).collect().toSeq
+    assert(exact == bloom)
+    assert(exact.exists(_.getLong(2) > 0), "fixture must exercise removals")
+    // and the probe itself: members always hit, a non-member miss
+    // exists at 1% fpp over a tiny probe set
+    import spark.implicits._
+    val bench = Seq("alpha", "beta", "gamma").toDF("s")
+    val bf = bench.stat.bloomFilter("s", 3, 0.01)
+    val probes = (Seq("alpha", "beta", "gamma") ++
+      (1 to 100).map(i => s"other$i")).toDF("s")
+      .select($"s", graft.functions.BloomMightContain($"s", bf).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(Seq("alpha", "beta", "gamma").forall(probes), "no false negatives ever")
+    assert((1 to 100).count(i => probes(s"other$i")) <= 5,
+      "fpp far above the 1% design point")
+  }
+
   test("charset screen counts the injected non-ASCII and control chars (K49)") {
     val rows = LlmData.textCharset(spark, sfDir).collect()
     assert(rows.length == 500)
