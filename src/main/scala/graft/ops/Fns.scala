@@ -197,6 +197,31 @@ object Fns {
     * regexes — exact for the synthesized shape, which is the point of
     * controlling the input. One narrow projection, no shuffle before
     * the output sort. */
+  /** H12: the Spark 4 VARIANT surface — semi-structured data as a
+    * first-class type instead of per-access string re-parsing:
+    * `parse_json` decodes the props JSON ONCE into the binary variant
+    * encoding, then `try_variant_get` answers typed path lookups
+    * (int AND string off the same variant — the cross-type access
+    * `get_json_object` can't give without a second parse),
+    * `schema_of_variant` reports the inferred shape, a missing path
+    * yields NULL (not an error), and `try_parse_json` absorbs a
+    * malformed document as NULL (the PERMISSIVE discipline of A11 at
+    * the cell level). At 100 TB the variant encoding is the
+    * difference between parsing the JSON once at ingest and parsing
+    * it per predicate. Oracle: DuckDB json_extract mirrors the typed
+    * lookups; the shape string and malformed-probe verdicts are
+    * fixture-constant CASE mirrors. */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "int").as("k"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing_k"),
+        schema_of_variant(col("v")).as("vtype"),
+        try_parse_json(concat(lit("{"), col("props"))).isNull.as("bad_is_null"))
+      .orderBy(col("event_id"))
+
   def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .withColumn("url", concat(

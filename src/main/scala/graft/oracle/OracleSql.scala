@@ -1013,6 +1013,21 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // VARIANT surface: typed path gets mirror as json_extract casts;
+    // the shape string and the malformed probe are fixture-constant
+    // (every props row is {"k": int}; '{' || props is invalid JSON)
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+        |  CAST(NULL AS INT) AS missing_k,
+        |  CASE WHEN props IS NULL THEN NULL
+        |    ELSE 'OBJECT<k: BIGINT>' END AS vtype,
+        |  CASE WHEN props IS NULL THEN TRUE
+        |    ELSE NOT json_valid('{' || props) END AS bad_is_null
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "fn_json" ->
       """WITH j AS (
         |  SELECT event_id, event_type,
