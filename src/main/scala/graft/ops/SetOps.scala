@@ -27,4 +27,23 @@ object SetOps {
   def setExcept(spark: SparkSession, sfDir: String): DataFrame =
     custNations(spark, sfDir).except(suppNations(spark, sfDir))
       .orderBy(col("nationkey"))
+
+  /** G4: INTERSECT ALL — the multiset semantics G2's distinct form
+    * erases: per nation, min(customer multiplicity, supplier
+    * multiplicity) surviving rows (ANSI bag intersection). The
+    * post-aggregation count makes the multiplicity itself the checked
+    * value — a DISTINCT-based shortcut would emit n = 1 everywhere
+    * and fail the oracle. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).intersectAll(suppNations(spark, sfDir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** G5: EXCEPT ALL — per nation, max(customer multiplicity −
+    * supplier multiplicity, 0) surviving rows (ANSI bag difference);
+    * nations with more suppliers than customers vanish entirely. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).exceptAll(suppNations(spark, sfDir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
 }

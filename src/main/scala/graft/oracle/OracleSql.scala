@@ -937,6 +937,20 @@ object OracleSql {
         |  SELECT s_nationkey FROM supplier
         |) ORDER BY nationkey""".stripMargin,
 
+    "set_intersect_all" ->
+      """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
     // ---------------- H: scalar functions ----------------
     "fn_string" ->
       """SELECT c_custkey,
