@@ -1499,14 +1499,18 @@ object LlmData {
   private def decontaminateCore(spark: SparkSession, sfDir: String,
       minShared: Int, bloomPrefilter: Boolean): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val shingles = MinHash
-      .shingleRows(docs.select(col("doc_id"), col("text")), "doc_id", "text")
-      .distinct()
-    val src = docs.select(col("doc_id"), col("source"))
-    val tagged = shingles.join(src, Seq("doc_id"))
-    val bench = tagged.filter(col("source") === "src0")
+    // each side shingles only ITS OWN documents — the source predicate
+    // pushes to the parquet scan, and (decisively at 100 TB) the
+    // benchmark side never materializes corpus-wide shingles (the
+    // round-14 review finding: the former shingle-everything-then-
+    // filter shape re-shingled the whole corpus per bench evaluation)
+    def sideShingles(pred: org.apache.spark.sql.Column): DataFrame =
+      MinHash.shingleRows(
+        docs.filter(pred).select(col("doc_id"), col("text")),
+        "doc_id", "text").distinct()
+    val bench = sideShingles(col("source") === "src0")
       .select(col("shingle")).distinct()
-    val corpusSide0 = tagged.filter(not(col("source") <=> "src0"))
+    val corpusSide0 = sideShingles(not(col("source") <=> "src0"))
     val corpusSide =
       if (!bloomPrefilter) corpusSide0
       else {
