@@ -395,6 +395,39 @@ object Scans {
       .orderBy(col("c_custkey"))
   }
 
+  /** A18: snapshot time travel ([[graft.sources.SnapshotStore]]) —
+    * manifest-swap snapshot isolation, the lakehouse movement the
+    * sink family lacked: three commits build three versions of a
+    * customer slice (v1 overwrite, v2 APPEND — carries v1's data
+    * directories forward without reading or rewriting a byte, v3
+    * overwrite-rebuild), then each version is read back AS OF its
+    * number and aggregated. The oracle recomputes the three row sets
+    * from the base table with pure SQL — so the store must return
+    * exactly the right historical content from its manifests, not
+    * just the latest. A fresh root per run: versions are immutable,
+    * re-running re-publishes v1..v3 identically. */
+  def warehouseTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_tt_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    (1 to 3).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("acctbal_cents_sum"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

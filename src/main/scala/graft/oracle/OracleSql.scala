@@ -299,6 +299,30 @@ object OracleSql {
         |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
+    // time travel: each version's content recomputed from the base
+    // table - the store must serve exact historical sets, not latest
+    "warehouse_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), v3 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |)
+        |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
+
     // MERGE with deletes: matched 'D' removes the row, unmatched 'D'
     // is a no-op, 'U' behaves as the A6 upsert
     "warehouse_merge_delete" ->

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-swap snapshot store — the lakehouse time-travel core
+  * (the public Delta/Iceberg design in miniature): a table is a
+  * sequence of numbered MANIFESTS, each listing the data directories
+  * that make up one immutable snapshot. Readers resolve a manifest
+  * and read exactly its listed directories; writers stage data first
+  * and publish the manifest LAST with an atomic rename — so a reader
+  * can never observe a half-written snapshot, a crashed writer
+  * leaves only invisible orphan data, and "time travel" is nothing
+  * more than resolving an older manifest.
+  *
+  * Two commit kinds cover the real warehouse movements:
+  *  - [[commitOverwrite]]: the new snapshot is exactly the new data
+  *    (the rebuild/compaction shape — old directories stay on disk
+  *    for older versions until a retention sweep).
+  *  - [[commitAppend]]: the new snapshot is the previous manifest's
+  *    directory list PLUS the new data — an append never rewrites or
+  *    even reads existing data files, which is what makes incremental
+  *    loads O(batch) instead of O(table).
+  *
+  * Scale shape: manifests are METADATA (a few hundred bytes per
+  * commit, one line per data directory); data moves only through
+  * ordinary parquet writes of the batch being committed. Version
+  * resolution lists one directory. All FS access goes through the
+  * session's Hadoop `FileSystem`, so the root may be any
+  * executor-visible FS. Concurrency: the manifest rename is the
+  * commit point — if two writers race to the same version number the
+  * rename loser's manifest stays unpublished and its data dir is an
+  * invisible orphan (same discipline as [[graft.ops.FixtureCache]]).
+  */
+object SnapshotStore {
+  private val ManifestDir = "_manifests"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(root: String, v: Int) =
+    new Path(s"$root/$ManifestDir/v$v.list")
+
+  /** Published versions, ascending (empty for a fresh root). */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/$ManifestDir")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
+  }
+
+  /** The directory list of a published version. */
+  private def readManifest(spark: SparkSession, root: String,
+      v: Int): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Stage `df` as a new data directory, then publish manifest
+    * version `prev.max + 1` whose content is `carry ++ the new dir`.
+    * The manifest itself is written to a temp name and RENAMED into
+    * place — the atomic commit point. Returns the published version. */
+  private def commit(spark: SparkSession, root: String, df: DataFrame,
+      carryFrom: Option[Int]): Int = {
+    val f = fs(spark, root)
+    val existing = versions(spark, root)
+    val v = existing.lastOption.getOrElse(0) + 1
+    val dataDir = s"$root/data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("error").parquet(dataDir)
+    val carried = carryFrom.map(readManifest(spark, root, _)).getOrElse(Nil)
+    val lines = (carried :+ dataDir).mkString("\n")
+    val mDir = new Path(s"$root/$ManifestDir")
+    if (!f.exists(mDir)) { f.mkdirs(mDir); () }
+    val tmp = new Path(mDir, s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    // rename is the commit point: the loser of a same-version race
+    // fails here and its staged data stays an invisible orphan
+    if (!f.rename(tmp, manifestPath(root, v))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit race lost for $root v$v")
+    }
+    v
+  }
+
+  /** Publish a snapshot that REPLACES the table content. */
+  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame): Int =
+    commit(spark, root, df, carryFrom = None)
+
+  /** Publish a snapshot that APPENDS to the latest version: the new
+    * manifest carries the previous directory list forward — no
+    * existing data file is read or rewritten. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int =
+    commit(spark, root, df, carryFrom = versions(spark, root).lastOption)
+
+  /** Read a snapshot: the latest by default, or AS OF `asOf` (the
+    * greatest published version ≤ asOf — the time-travel read). */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no published snapshots under $root")
+    val v = asOf.fold(vs.last) { bound =>
+      vs.filter(_ <= bound).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot at or before v$bound under $root (have $vs)"))
+    }
+    spark.read.parquet(readManifest(spark, root, v): _*)
+  }
+}

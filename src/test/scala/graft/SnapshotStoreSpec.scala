@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotStore
+
+/** Manifest-swap snapshot laws: append carries directories forward
+  * without rewriting, time travel resolves historical content
+  * exactly, orphan data without a manifest is invisible, and the
+  * as-of resolution floor/error semantics hold. */
+class SnapshotStoreSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap_").toString + "/t"
+
+  test("overwrite/append/overwrite: every version reads back exactly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = SnapshotStore.commitOverwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = SnapshotStore.commitAppend(spark, root,
+      Seq((3L, "c")).toDF("id", "v"))
+    val v3 = SnapshotStore.commitOverwrite(spark, root,
+      Seq((9L, "z")).toDF("id", "v"))
+    assert(Seq(v1, v2, v3) == Seq(1, 2, 3))
+    def ids(asOf: Int): Set[Long] =
+      SnapshotStore.read(spark, root, Some(asOf))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    assert(ids(3) == Set(9L))
+    // latest == v3
+    assert(SnapshotStore.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(9L))
+  }
+
+  test("append publishes metadata only: v1's data files are untouched") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.isFile)
+        .map(f => f.getPath.toString -> f.getModificationTime).toMap
+    val before = dataFiles()
+    SnapshotStore.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    val after = dataFiles()
+    // every v1 file survives with its original mtime; only new files added
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"append touched existing file $p")
+    }
+    assert(after.size > before.size)
+  }
+
+  test("orphan data without a published manifest is invisible") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // a crashed writer: staged data, no manifest
+    Seq((99L, "ghost")).toDF("id", "v")
+      .write.parquet(s"$root/data/v2-deadbeef")
+    assert(SnapshotStore.versions(spark, root) == Seq(1))
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("as-of resolves to the floor version; below-first errors; empty root errors") {
+    import spark.implicits._
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, root)
+    }
+    SnapshotStore.commitOverwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    // asOf beyond latest floors to latest
+    assert(SnapshotStore.read(spark, root, Some(99)).collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, root, Some(0)).collect()
+    }
+  }
+
+  test("warehouse_time_travel query: v2 superset of v1, v3 the rebuild") {
+    val rows = ops.Scans.warehouseTimeTravel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val n = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(n(2) > n(1), "append must grow the table")
+    assert(n(3) < n(2), "overwrite must replace, not accumulate")
+  }
+}
