@@ -393,6 +393,43 @@ object Aggregates {
       .orderBy(col("bucket"))
   }
 
+  /** D23: equi-DEPTH histogram of `l_extendedprice` — the second
+    * optimizer-statistics primitive beside D21's equi-width bands:
+    * equal-POPULATION buckets (what engines actually keep — height-
+    * balanced histograms make selectivity estimates robust to skew,
+    * where equi-width bands collapse into one overloaded bucket).
+    * Boundaries are the exact interpolated octile percentiles of the
+    * integer CENTS: the 1/8-grid fractions are binary-exact, the
+    * interpolation (1−g)·lo + g·hi over integers lands on exact
+    * eighths, so Spark `percentile` and DuckDB `quantile_cont` agree
+    * bit-for-bit (the D13 precedent). Bucket assignment is
+    * `size(filter(boundaries, b -> c > b))` — one codegen'd
+    * higher-order scan of a 7-element literal-ish array; ties sit on
+    * the low side in both engines by the same strict `>`.
+    *
+    * Scale shape: one exact-percentile agg (a single-pass partial
+    * aggregate whose state is the sorted sample — at true 100 TB the
+    * D15 sketch replaces it, declared trade-off), its 1-row result
+    * rides back as an AQE broadcast cross join, then one narrow
+    * partial-agg pass over 8 bucket keys. No global sort, no window. */
+  def aggHistogramEqdepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("c"))
+    val fracs = (1 to 7).map(i => i / 8.0d).mkString(", ")
+    val qs = c.agg(expr(s"percentile(c, array($fracs))").as("qs"))
+    val binned = c.crossJoin(qs)
+      .select(col("c"),
+        size(filter(col("qs"), b => col("c") > b)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+    val total = binned.agg(sum(col("n")).as("total"))
+    binned.crossJoin(total)
+      .select(col("bucket"), col("n"), col("min_cents"), col("max_cents"),
+        dbl(dec(col("n")) / col("total")).as("share"))
+      .orderBy(col("bucket"))
+  }
+
   /** D22: exact per-group mode — the most frequent `o_orderpriority`
     * per order status, with its count and the group size. Declared
     * deterministic tie-break: highest count, then the alphabetically

@@ -70,6 +70,49 @@ object Layout {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
       .orderBy(col("z_bucket"))
 
+  /** F10: zone-map file skipping over the F7 Z-order layout — the READ
+    * side of the layout story: per Z-prefix "file", the per-file
+    * min/max statistics ([[layoutZorder]]'s spans) decide whether a
+    * predicate can touch the file at all, BEFORE any data is read —
+    * the Delta/Iceberg data-skipping core, and the reason the Z-order
+    * write was worth its sort. For the declared one-dimensional
+    * predicate `l_partkey BETWEEN lo AND hi`, a file is a CANDIDATE
+    * when its [min_part, max_part] zone overlaps the range; the query
+    * reports, in one summary row, how many of the files a zone-mapped
+    * scan would open (`n_candidate_files`), how many actually hold
+    * matches, and the row mass scanned vs matched — plus the SOUNDNESS
+    * column `rows_missed` (matching rows in PRUNED files), which the
+    * zone-map overlap rule forces to 0 and the oracle re-proves.
+    *
+    * Scale shape: the zone-map relation is METADATA (one row per
+    * file); building it here is one partial-agg pass (in production it
+    * is written once at layout time and the scan planner only reads
+    * it). Z-order bounds every file to a ≤256-wide part range, so the
+    * candidate set is a small fraction of the files — the measured
+    * prune ratio IS the query's payload. */
+  def layoutZonemapSkip(spark: SparkSession, sfDir: String,
+      lo: Long = 400L, hi: Long = 480L): DataFrame = {
+    val zones = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        mortonKey(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+          .as("z"))
+      .select(col("l_partkey"), shiftright(col("z"), 16).cast("int").as("file_id"),
+        when(col("l_partkey").between(lo, hi), 1L).otherwise(0L).as("m"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        sum(col("m")).as("n_match"))
+    val cand = col("max_part") >= lo && col("min_part") <= hi
+    zones.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(cand, 1L).otherwise(0L)).as("n_candidate_files"),
+      sum(when(col("n_match") > 0, 1L).otherwise(0L)).as("n_matching_files"),
+      sum(col("n_rows")).as("rows_total"),
+      sum(when(cand, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+      sum(col("n_match")).as("rows_matched"),
+      sum(when(!cand, col("n_match")).otherwise(0L)).as("rows_missed"))
+  }
+
   /** The compaction banding rule — ONE definition, applied by the
     * distributed planner ([[layoutCompaction]], via prefix sum) and
     * the filesystem executor ([[compact]], via this fold): files are

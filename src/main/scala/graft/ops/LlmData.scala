@@ -1708,6 +1708,38 @@ object LlmData {
           .as("bpe_per_ws"))
       .orderBy(col("doc_id"))
 
+  /** K59: BPE merge LEARNING — one induction round of the
+    * byte-pair-encoding training loop (Sennrich et al. 2016, public):
+    * over the [[BpeTokenPattern]] pre-token stream, count every
+    * adjacent character pair weighted by pre-token frequency and rank
+    * the top 20 — exactly the statistic the BPE trainer consults to
+    * pick its next merge (the production loop re-runs this after
+    * applying each merge; one round is the declared scope, the
+    * fixpoint is driver iteration over the same query shape).
+    *
+    * Scale shape: pair counting collapses to the pre-token VOCABULARY
+    * first (one partial-agg pass over the corpus — the same trick
+    * every BPE trainer uses: corpus length only matters once), then
+    * the char-pair explode runs over vocabulary-cardinality rows with
+    * a ≤ word-length fan-out, and the final count is a partial agg
+    * over pair keys with a TakeOrdered top-20 (no global sort).
+    * Tie-break: count DESC then pair ASC (binary UTF-8 in both
+    * engines), so the cut is fully deterministic. */
+  def bpeLearnMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = t(spark, sfDir, "documents")
+      .select(explode(
+        regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),

@@ -499,4 +499,92 @@ object Scans {
         col("valid_from"), col("valid_to"))
       .orderBy(col("c_custkey"), col("valid_from"))
   }
+
+  /** A20: snapshot VACUUM ([[graft.sources.SnapshotStore.vacuum]]) —
+    * the retention sweep that completes A18's time-travel story: the
+    * same v1 overwrite / v2 append / v3 rebuild commits, PLUS a
+    * planted crashed-writer orphan (staged data, manifest never
+    * published), then `vacuum(keepLast = 2)`. Exactly ONE manifest
+    * drops (v1) and exactly ONE data directory is reclaimed (the
+    * orphan) — v1's data dir survives because v2's append manifest
+    * still carries it, the subtlety that makes naive age-based
+    * cleanup corrupt appended tables. The surviving versions then
+    * read back AS OF with their exact historical content (the oracle
+    * recomputes both from the base table), proving the sweep removed
+    * nothing a keeper references. */
+  def snapshotVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_vac_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    cust.filter(col("c_custkey") === 1L)
+      .write.parquet(s"$root/data/orphan-crashed-writer")
+    val (droppedManifests, removedDirs) =
+      SnapshotStore.vacuum(spark, root, keepLast = 2)
+    (2 to 3).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("acctbal_cents_sum"),
+          lit(droppedManifests.toLong).as("n_dropped_manifests"),
+          lit(removedDirs.toLong).as("n_removed_dirs"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  /** A19: point-in-time read over an SCD2 dimension — the CONSUMER of
+    * A16's history-preserving merge, and the enrichment every fact
+    * load runs: each order joins the customer VERSION that was valid
+    * on its order date (`valid_from <= d < valid_to`, open row =
+    * unbounded). The dimension is built by
+    * [[graft.census.Warehouse.mergeScd2]] itself (full 1995 history +
+    * 1998 open rows, then a 2000-06-01 batch changes every 10th
+    * customer), so the query exercises merge output THROUGH the read
+    * path; the oracle constructs the expected version timeline
+    * directly — proving both the merge and the as-of semantics at
+    * once. Per version date: orders matched, distinct customers,
+    * revenue.
+    *
+    * Scale shape: the join is an EQUI hash join on the customer key
+    * with the validity range as a post-join filter — per key only a
+    * handful of versions, so the filter touches a bounded fan-out;
+    * this is the standard SCD2 lookup shape (a range-only join would
+    * plan as a nested loop). One partial-agg rollup over 3 version
+    * dates; the distinct-customer count expands only the 3-group
+    * frame. */
+  def warehouseScd2Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val hist = cust.select(col("c_custkey"), col("c_name"),
+      (col("c_acctbal") - 500.0d).as("c_acctbal"),
+      lit(java.sql.Date.valueOf("1995-01-01")).as("valid_from"),
+      lit(java.sql.Date.valueOf("1998-01-01")).as("valid_to"))
+    val open = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(java.sql.Date.valueOf("1998-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val changed = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"))
+    val dim = graft.census.Warehouse.mergeScd2(hist.union(open), changed,
+      Seq("c_custkey"), lit(java.sql.Date.valueOf("2000-06-01")))
+    val facts = t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        cents(col("o_totalprice")).as("tpc"))
+    facts.join(dim, col("o_custkey") === col("c_custkey") &&
+        col("d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("d") < col("valid_to")))
+      .groupBy(col("valid_from"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("tpc")).as("revenue_cents"))
+      .orderBy(col("valid_from"))
+  }
 }

@@ -53,6 +53,29 @@ object OracleSql {
       |  SELECT doc_id, shingles, list_min(shingles) AS bucket FROM d
       |)""".stripMargin
 
+  /** The Morton-interleave CTE chain over `lineitem(l_partkey,
+    * l_suppkey)` — the SQL mirror of `graft.ops.Layout.spread16` /
+    * `mortonKey`, ONE definition shared by the `layout_zorder` audit
+    * and the `layout_zonemap_skip` pruning report (both must see the
+    * identical Z-file assignment). Ends in a `z` relation carrying
+    * (l_partkey, l_suppkey, z). */
+  private val mortonZCtes: String =
+    """s0 AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+      |  FROM lineitem
+      |), s1 AS (SELECT l_partkey, l_suppkey,
+      |    (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM s0
+      |), s2 AS (SELECT l_partkey, l_suppkey,
+      |    (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+      |), s3 AS (SELECT l_partkey, l_suppkey,
+      |    (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+      |), s4 AS (SELECT l_partkey, l_suppkey,
+      |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+      |), z AS (
+      |  SELECT l_partkey, l_suppkey, (a | (b << 1)) AS z FROM s4
+      |)""".stripMargin
+
   /** The part co-occurrence graph (support-pruned, quantity ≥ 25) —
     * shared by graph_triangles / graph_pagerank / graph_similar; all
     * oracles must see the identical edge set (mirror of
@@ -323,6 +346,31 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A20 vacuum: keepLast=2 drops exactly the v1 manifest and
+    // reclaims exactly the planted orphan dir (v1's data survives via
+    // v2's append manifest); surviving versions must read back with
+    // their exact historical content
+    "snapshot_vacuum" ->
+      """WITH v2 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), v3 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |)
+        |SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum,
+        |  CAST(1 AS BIGINT) AS n_dropped_manifests,
+        |  CAST(1 AS BIGINT) AS n_removed_dirs
+        |FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
+
     // MERGE with deletes: matched 'D' removes the row, unmatched 'D'
     // is a no-op, 'U' behaves as the A6 upsert
     "warehouse_merge_delete" ->
@@ -401,6 +449,39 @@ object OracleSql {
         |  valid_from, valid_to
         |FROM merged
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // A19 SCD2 point-in-time read: the oracle constructs the expected
+    // post-merge version timeline DIRECTLY (full 1995 history, 1998
+    // open rows closed at 2000-06-01 for changed keys, new open
+    // versions), so it proves mergeScd2's output AND the as-of join
+    "warehouse_scd2_asof" ->
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer
+        |), dim AS (
+        |  SELECT c_custkey, DATE '1995-01-01' AS valid_from,
+        |    DATE '1998-01-01' AS valid_to FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1998-01-01', CAST(NULL AS DATE)
+        |  FROM cust WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1998-01-01', DATE '2000-06-01'
+        |  FROM cust WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '2000-06-01', CAST(NULL AS DATE)
+        |  FROM cust WHERE c_custkey % 10 = 0
+        |), facts AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tpc
+        |  FROM orders
+        |)
+        |SELECT d2.valid_from, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(SUM(f.tpc) AS BIGINT) AS revenue_cents
+        |FROM facts f JOIN dim d2 ON f.o_custkey = d2.c_custkey
+        |  AND f.d >= d2.valid_from
+        |  AND (d2.valid_to IS NULL OR f.d < d2.valid_to)
+        |GROUP BY d2.valid_from
+        |ORDER BY d2.valid_from""".stripMargin,
 
     // ---------------- B: filters / projections ----------------
     "filter_compound" ->
@@ -699,6 +780,28 @@ object OracleSql {
          |SELECT h.bucket, h.bucket * 5000 AS lo_dollars,
          |  (h.bucket + 1) * 5000 AS hi_dollars, CAST(h.n AS BIGINT) AS n,
          |  ${dbl(s"${dec("h.n")} / t.total")} AS share
+         |FROM h, t
+         |ORDER BY h.bucket""".stripMargin,
+
+    // D23 equi-depth histogram: exact octile boundaries (quantile_cont
+    // over integer cents interpolates on exact eighths = bit-identical
+    // to Spark percentile), strict-> assignment puts ties low in both
+    "agg_histogram_eqdepth" ->
+      s"""WITH c AS (
+         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT quantile_cont(c,
+         |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+         |  FROM c
+         |), h AS (
+         |  SELECT CAST(len(list_filter(q.qs, b -> c.c > b)) AS BIGINT)
+         |      AS bucket,
+         |    COUNT(*) AS n, MIN(c.c) AS min_cents, MAX(c.c) AS max_cents
+         |  FROM c, q GROUP BY 1
+         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+         |SELECT h.bucket, CAST(h.n AS BIGINT) AS n, h.min_cents,
+         |  h.max_cents, ${dbl(s"${dec("h.n")} / t.total")} AS share
          |FROM h, t
          |ORDER BY h.bucket""".stripMargin,
 
@@ -1502,27 +1605,74 @@ object OracleSql {
     // graft.ops.Layout.spread16 — and report per-16-bit-prefix-bucket
     // row counts and dimension min/max (the per-file skipping stats)
     "layout_zorder" ->
-      """WITH s0 AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    l_partkey & 65535 AS a, l_suppkey & 65535 AS b
-        |  FROM lineitem
-        |), s1 AS (SELECT l_partkey, l_suppkey,
-        |    (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM s0
-        |), s2 AS (SELECT l_partkey, l_suppkey,
-        |    (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
-        |), s3 AS (SELECT l_partkey, l_suppkey,
-        |    (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
-        |), s4 AS (SELECT l_partkey, l_suppkey,
-        |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
-        |), z AS (
-        |  SELECT l_partkey, l_suppkey, (a | (b << 1)) AS z FROM s4
-        |)
-        |SELECT CAST(z >> 16 AS INT) AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
-        |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
-        |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
-        |FROM z
-        |GROUP BY z >> 16
-        |ORDER BY z_bucket""".stripMargin,
+      s"""WITH $mortonZCtes
+         |SELECT CAST(z >> 16 AS INT) AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM z
+         |GROUP BY z >> 16
+         |ORDER BY z_bucket""".stripMargin,
+
+    // F10 zone-map skipping over the same Z-files: candidate = zone
+    // overlap with [400, 480]; rows_missed proves overlap soundness
+    "layout_zonemap_skip" ->
+      s"""WITH $mortonZCtes, f AS (
+         |  SELECT z >> 16 AS file_id, COUNT(*) AS n_rows,
+         |    MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |    SUM(CASE WHEN l_partkey BETWEEN 400 AND 480 THEN 1 ELSE 0 END)
+         |      AS n_match
+         |  FROM z GROUP BY 1
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(CASE WHEN max_part >= 400 AND min_part <= 480
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_files,
+         |  CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matching_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(SUM(CASE WHEN max_part >= 400 AND min_part <= 480
+         |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+         |  CAST(SUM(CASE WHEN NOT (max_part >= 400 AND min_part <= 480)
+         |    THEN n_match ELSE 0 END) AS BIGINT) AS rows_missed
+         |FROM f""".stripMargin,
+
+    // F11 per-column profile: canonical string form (cents for the
+    // double; BIGINT/DATE text is engine-identical), melt, then the
+    // same two-level exact-NDV aggregation as the engine
+    "stats_table_profile" ->
+      s"""WITH canon AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+         |    CAST(o_custkey AS VARCHAR) AS o_custkey,
+         |    o_orderstatus,
+         |    CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+         |      AS o_totalprice_cents,
+         |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+         |    o_orderpriority
+         |  FROM orders
+         |), stacked AS (
+         |  SELECT 'o_orderkey' AS col_name, o_orderkey AS val FROM canon
+         |  UNION ALL SELECT 'o_custkey', o_custkey FROM canon
+         |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM canon
+         |  UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents FROM canon
+         |  UNION ALL SELECT 'o_orderdate', o_orderdate FROM canon
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM canon
+         |), pv AS (
+         |  SELECT col_name, val, COUNT(*) AS c FROM stacked GROUP BY 1, 2
+         |), p AS (
+         |  SELECT col_name, SUM(c) AS n_rows,
+         |    SUM(CASE WHEN val IS NULL THEN c ELSE 0 END) AS n_nulls,
+         |    COUNT(val) AS n_distinct,
+         |    SUM(CASE WHEN val IS NOT NULL THEN length(val) * c ELSE 0 END)
+         |      AS len_sum
+         |  FROM pv GROUP BY col_name
+         |)
+         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_nulls AS BIGINT) AS n_nulls,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CASE WHEN n_rows > n_nulls THEN
+         |    ${dbl(s"${dec("len_sum")} / (n_rows - n_nulls)")} END AS avg_len
+         |FROM p
+         |ORDER BY col_name""".stripMargin,
 
     // compaction plan over the synthesized file inventory (partition =
     // event date, file = user_id mod 50, size = sum of 64+len(props));
@@ -2386,6 +2536,26 @@ object OracleSql {
          |  ${dbl(s"${dec("len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))")} / len(str_split(text, ' '))")} AS bpe_per_ws
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    // K59 BPE merge learning: vocabulary-weighted adjacent char-pair
+    // counts over the same pre-token regex, top 20 with the declared
+    // (n DESC, pair ASC) tie-break
+    "bpe_learn_merges" ->
+      """WITH vocab AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(text,
+        |      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) AS pair, wc
+        |  FROM vocab
+        |)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin,
 
     // mirrors the engine's capped prefix-bucket + Levenshtein verify:
     // only the 256 smallest doc_ids per 16-char-prefix bucket pair up

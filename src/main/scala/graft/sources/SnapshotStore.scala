@@ -101,6 +101,45 @@ object SnapshotStore {
   def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, carryFrom = versions(spark, root).lastOption)
 
+  /** Retention sweep — the VACUUM movement that makes the
+    * overwrite-keeps-history design sustainable: keep the newest
+    * `keepLast` published versions, delete the older manifests, then
+    * delete every directory under `root/data` referenced by NO kept
+    * manifest — which also reclaims crashed-writer orphans (staged
+    * data whose manifest never published; invisible to readers, but
+    * real bytes). Deletion order is manifests FIRST: a reader racing
+    * the sweep can at worst fail to resolve a dropped version — it can
+    * never resolve a manifest whose data is already gone (data
+    * referenced by any surviving manifest is never touched; an
+    * appended-forward directory survives as long as ANY keeper lists
+    * it). Idempotent: a second sweep finds nothing to drop.
+    *
+    * Driver-side METADATA work only (list + delete, same division of
+    * labor as every lakehouse VACUUM); returns
+    * (droppedManifests, removedDataDirs). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val keep = vs.takeRight(keepLast)
+    val drop = vs.dropRight(keepLast)
+    // resolve referenced dirs BEFORE dropping manifests
+    val referenced = keep.flatMap(readManifest(spark, root, _))
+      .map(new Path(_).getName).toSet
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    val dataRoot = new Path(s"$root/data")
+    val removed =
+      if (!f.exists(dataRoot)) 0
+      else {
+        val orphans = f.listStatus(dataRoot).toSeq
+          .filter(_.isDirectory).map(_.getPath)
+          .filterNot(p => referenced.contains(p.getName))
+        orphans.foreach(p => f.delete(p, true))
+        orphans.length
+      }
+    (drop.length, removed)
+  }
+
   /** Read a snapshot: the latest by default, or AS OF `asOf` (the
     * greatest published version ≤ asOf — the time-travel read). */
   def read(spark: SparkSession, root: String,

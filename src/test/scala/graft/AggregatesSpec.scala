@@ -226,4 +226,22 @@ class AggregatesSpec extends SparkTestBase {
       r.getLong(2) == r.getLong(1) + 5000))
   }
 
+  test("D23: equi-depth buckets partition the table, are ordered, and balance") {
+    val rows = graft.ops.Aggregates.aggHistogramEqdepth(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L),
+      "all 8 octile buckets occupied, in order")
+    val total = graft.ops.Util.t(spark, sfDir, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // buckets tile the value axis: max(bucket k) <= min(bucket k+1)
+    for (w <- rows.sliding(2).filter(_.length == 2))
+      assert(w(0).getLong(3) <= w(1).getLong(2),
+        s"bucket value ranges overlap: ${w.mkString(" | ")}")
+    // equi-DEPTH: every bucket within 2x of the ideal population (ties
+    // on boundaries are the only imbalance source)
+    val ideal = total / 8.0
+    rows.foreach(r => assert(r.getLong(1) < 2 * ideal && r.getLong(1) > ideal / 2,
+      s"bucket ${r.getLong(0)} holds ${r.getLong(1)} of ~$ideal"))
+  }
+
 }

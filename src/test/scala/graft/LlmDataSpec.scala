@@ -439,4 +439,30 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("K59: bpe_learn_merges agrees with an independent driver-side recount") {
+    val got = LlmData.bpeLearnMerges(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20)
+    // independent path: regex in plain Scala over the collected corpus
+    val re = LlmData.BpeTokenPattern.r
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.ops.Util.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().foreach { row =>
+      re.findAllIn(row.getString(0)).foreach { w =>
+        if (w.length >= 2)
+          w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want,
+      s"top-20 merge candidates diverge:\n got=${got.mkString(",")}\n want=${want.mkString(",")}")
+    // descending with the declared tie-break
+    got.sliding(2).foreach {
+      case Array((p1, n1), (p2, n2)) =>
+        assert(n1 > n2 || (n1 == n2 && p1 < p2))
+      case _ =>
+    }
+  }
+
 }

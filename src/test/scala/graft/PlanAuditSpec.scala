@@ -408,6 +408,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("round-14 second-wave additions keep their scale shapes") {
+    // agg_histogram_eqdepth: boundary + bucket aggs are partial passes;
+    // the 1-row boundary/total frames broadcast; never a window/sort
+    // over the fact table
+    val eq = plan("agg_histogram_eqdepth")
+    assert(eq.contains("partial_count"), eq)
+    assert(eq.contains("BroadcastNestedLoopJoin") || eq.contains("BroadcastExchange"),
+      "1-row frames must broadcast\n" + eq)
+    assert(!eq.contains("Window"), "no window over the fact table\n" + eq)
+    // stats_table_profile: melt via Generate, exact NDV as TWO agg
+    // levels — never the count(distinct) Expand (it multiplies the
+    // scan by the column count a second time)
+    val pr = plan("stats_table_profile")
+    assert(pr.contains("Generate"), pr)
+    assert(!pr.contains("Expand"),
+      "NDV must run as two-level agg, not Expand\n" + pr)
+    // warehouse_scd2_asof: the dimension lookup is an EQUI join on the
+    // customer key (hash/sort-merge), never a nested-loop range join
+    val aso = plan("warehouse_scd2_asof")
+    assert(!aso.contains("BroadcastNestedLoopJoin") && !aso.contains("CartesianProduct"),
+      "as-of lookup must stay an equi join\n" + aso)
+    // layout_zonemap_skip: zone maps + summary are pure partial-agg
+    // passes over the scan — no join anywhere
+    val zm = plan("layout_zonemap_skip")
+    assert(!zm.contains("Join"), zm)
+    assert(zm.contains("partial_count"), zm)
+    // bpe_learn_merges: top-20 as TakeOrdered, pair counts partial
+    val bp = plan("bpe_learn_merges")
+    assert(bp.contains("TakeOrderedAndProject"), bp)
+    assert(bp.contains("partial_sum"), bp)
+  }
+
   test("round-13 additions keep their scale shapes") {
     // agg_histogram: the bucket agg is a partial (map-side combined)
     // pass; the share join against the 1-row total must be a broadcast,

@@ -89,4 +89,59 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(n(2) > n(1), "append must grow the table")
     assert(n(3) < n(2), "overwrite must replace, not accumulate")
   }
+
+  test("vacuum keeps append-referenced dirs, reclaims orphans, idempotent") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, root, Seq((9L, "z")).toDF("id", "v"))
+    // crashed writer: staged data, manifest never published
+    Seq((99L, "x")).toDF("id", "v")
+      .write.parquet(s"$root/data/orphan-crashed")
+    val (dropped, removed) = SnapshotStore.vacuum(spark, root, keepLast = 2)
+    assert(dropped == 1, "exactly the v1 manifest drops")
+    assert(removed == 1, "exactly the orphan dir is reclaimed: v1's data " +
+      "is still referenced by v2's append manifest")
+    // dropped version no longer resolves...
+    intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, root, Some(1))
+    }
+    // ...but every keeper still serves its exact historical content
+    assert(SnapshotStore.read(spark, root, Some(2))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(SnapshotStore.read(spark, root, Some(3))
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    // a second sweep finds nothing
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 2) == ((0, 0)))
+  }
+
+  test("vacuum reclaims data of dropped overwrite versions") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def nDataDirs: Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .count(_.isDirectory)
+    assert(nDataDirs == 2)
+    val (dropped, removed) = SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert((dropped, removed) == ((1, 1)),
+      "an overwrite-dropped version's data is unreferenced and reclaimed")
+    assert(nDataDirs == 1)
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("snapshot_vacuum query: constants and surviving content") {
+    val rows = ops.Scans.snapshotVacuum(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3))
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1L, "one dropped manifest")
+      assert(r.getLong(4) == 1L, "one reclaimed orphan dir")
+    }
+  }
 }

@@ -167,6 +167,21 @@ class WarehouseSpec extends SparkTestBase {
     assert(back.columns.map(_.toLowerCase).toSeq == Seq("id", "v"))
   }
 
+  test("A19: SCD2 as-of read routes every order to exactly one version") {
+    val rows = graft.ops.Scans.warehouseScd2Asof(spark, sfDir).collect()
+    assert(rows.map(_.getDate(0).toString).toSeq ==
+      Seq("1995-01-01", "1998-01-01", "2000-06-01"),
+      "the three version dates, in order")
+    val orders = graft.ops.Util.t(spark, sfDir, "orders")
+    // validity ranges partition [1995, inf) per key (the mergeScd2
+    // no-overlap law), so the as-of join is a function: every order
+    // matches exactly one dimension version
+    assert(rows.map(_.getLong(1)).sum == orders.count())
+    // only every-10th customers have a 2000-06-01 version
+    val custs = graft.ops.Util.t(spark, sfDir, "customer").count()
+    assert(rows.last.getLong(2) <= custs / 10 + 1)
+  }
+
   test("files form disjoint sorted key ranges (SORTKEY layout)") {
     val tbl = "graft_wh_sorted"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -40,6 +40,25 @@ class ZorderSpec extends SparkTestBase {
     }
   }
 
+  test("F10: zone-map skipping is sound and actually prunes") {
+    val r = Layout.layoutZonemapSkip(spark, sfDir).collect().head
+    val (nFiles, nCand, nMatch) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (rowsTotal, rowsScanned) = (r.getLong(3), r.getLong(4))
+    val (rowsMatched, rowsMissed) = (r.getLong(5), r.getLong(6))
+    assert(rowsMissed == 0L,
+      "zone overlap must never prune a file holding matches")
+    assert(nMatch <= nCand && nCand <= nFiles)
+    assert(rowsScanned <= rowsTotal && rowsMatched <= rowsScanned)
+    // the Z-order layout must make skipping WORTH it: candidates are a
+    // strict minority of the files (each file spans ≤256 part keys)
+    assert(nCand * 2 < nFiles,
+      s"zone maps pruned too little: $nCand of $nFiles files candidate")
+    // ground truth: matched rows == a direct filter count
+    val direct = graft.ops.Util.t(spark, sfDir, "lineitem")
+      .filter(col("l_partkey").between(400L, 480L)).count()
+    assert(rowsMatched == direct)
+  }
+
   test("zorderLayout range-partitions: partition z-ranges never overlap") {
     import spark.implicits._
     val li = graft.ops.Util.t(spark, sfDir, "lineitem")
