@@ -402,10 +402,11 @@ object Aggregates {
     * integer CENTS: the 1/8-grid fractions are binary-exact, the
     * interpolation (1−g)·lo + g·hi over integers lands on exact
     * eighths, so Spark `percentile` and DuckDB `quantile_cont` agree
-    * bit-for-bit (the D13 precedent). Bucket assignment is
-    * `size(filter(boundaries, b -> c > b))` — one codegen'd
-    * higher-order scan of a 7-element literal-ish array; ties sit on
-    * the low side in both engines by the same strict `>`.
+    * bit-for-bit (the D13 precedent). Bucket assignment is the sum of
+    * seven codegen'd `c > qs[i]` comparisons — NOT a higher-order
+    * `filter` lambda, which runs interpreted and measured 8× slower
+    * on the fact pass (the engine-wide lambda rule); ties sit on the
+    * low side in both engines by the same strict `>`.
     *
     * Scale shape: one exact-percentile agg (a single-pass partial
     * aggregate whose state is the sorted sample — at true 100 TB the
@@ -417,9 +418,11 @@ object Aggregates {
       .select(cents(col("l_extendedprice")).as("c"))
     val fracs = (1 to 7).map(i => i / 8.0d).mkString(", ")
     val qs = c.agg(expr(s"percentile(c, array($fracs))").as("qs"))
+    val bucket = (0 until 7)
+      .map(i => when(col("c") > col("qs").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _)
     val binned = c.crossJoin(qs)
-      .select(col("c"),
-        size(filter(col("qs"), b => col("c") > b)).cast("long").as("bucket"))
+      .select(col("c"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))

@@ -255,4 +255,36 @@ object Events {
         coalesce(abs(col("zscore")) > 2.0, lit(false)))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** J23: active-user rollup — exact DAU / trailing-7-day WAU /
+    * stickiness per day, the engagement query every event warehouse
+    * serves first. WAU is computed by the COVERAGE trick: each
+    * distinct (day, user) pair contributes to the 7 window days it
+    * covers (`sequence(day, day+6)` explode), so the rolling distinct
+    * union becomes a second plain distinct — there is NO per-day
+    * re-scan of a 7-day window and NO distinct-over-window (which
+    * Spark cannot partial-aggregate). Days with no events stay absent
+    * (the inner join keeps observed days only — a dashboard densifies
+    * downstream if it wants zeros).
+    *
+    * Scale shape: three partial-agg passes over user-day cardinality
+    * (distinct pairs → ×7 narrow explode → distinct → count) and one
+    * day-keyed join of two day-cardinality frames (AQE broadcasts
+    * them). Exact counts, no sketches — the D18 HLL union is the
+    * declared alternative when user-day pairs themselves are too
+    * many. */
+  def eventsActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        dbl(dec(col("dau")) / col("wau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

@@ -175,6 +175,48 @@ object Layout {
       .orderBy(col("part"))
   }
 
+  /** F12: DELETE planning / write-amplification report — the cost
+    * estimate a GDPR-erasure or DML DELETE run files before touching
+    * data: copy-on-write parquet cannot delete a row in place, it
+    * rewrites every FILE containing a matching row, so the real bill
+    * is `bytes_rewritten` (whole touched files), not `bytes_deleted`.
+    * Over the same synthesized inventory as F9 (partition = event
+    * date, file = writer task `user_id mod 50`), with the erasure key
+    * set `user_id % 97 = 0`, report per partition: files total vs
+    * touched, rows deleted, bytes deleted vs rewritten, and the
+    * amplification ratio — the number that justifies deletion vectors
+    * (merge-on-read) once it exceeds the read-side penalty.
+    *
+    * Scale shape: one narrow pass tags each row, one partial agg to
+    * file granularity (METADATA cardinality), one to partitions; the
+    * amplification division is the proven exact-decimal final. The
+    * plan is the same movement a lakehouse DELETE's file-pruning
+    * phase runs off column statistics. */
+  def layoutDeletePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("part"),
+        pmod(col("user_id"), lit(50L)).as("file_id"),
+        (lit(64L) + length(coalesce(col("props"), lit("")))).as("row_bytes"),
+        (col("user_id") % 97 === 0).as("del"))
+      .groupBy(col("part"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("bytes"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("del"), col("row_bytes")).otherwise(0L)).as("del_bytes"))
+    files.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("n_del") > 0, 1L).otherwise(0L)).as("n_files_touched"),
+        sum(col("n_del")).as("rows_deleted"),
+        sum(col("del_bytes")).as("bytes_deleted"),
+        sum(when(col("n_del") > 0, col("bytes")).otherwise(0L))
+          .as("bytes_rewritten"))
+      .select(col("part"), col("n_files"), col("n_files_touched"),
+        col("rows_deleted"), col("bytes_deleted"), col("bytes_rewritten"),
+        when(col("bytes_deleted") > 0,
+          dbl(dec(col("bytes_rewritten")) / col("bytes_deleted")))
+          .as("amplification"))
+      .orderBy(col("part"))
+  }
+
   /** Apply [[bandBySize]] to a real partitioned parquet root: per
     * partition directory, files (name-ordered) band into groups and
     * every ≥ 2-member group is rewritten as ONE file (read members →

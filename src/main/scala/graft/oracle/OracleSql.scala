@@ -1332,6 +1332,26 @@ object OracleSql {
     // batch gap sessionization: 30-min-gap island numbering (lag +
     // cumulative new-session flag) in (ts, event_id) order, per-user
     // session metrics — all integer micro arithmetic
+    // J23 DAU/WAU: the coverage trick — each distinct (day,user) pair
+    // contributes to the 7 window days it covers, so rolling distinct
+    // is a second plain DISTINCT, mirroring the engine exactly
+    "events_active_users" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+         |), dau AS (
+         |  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+         |), cover AS (
+         |  SELECT DISTINCT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+         |  FROM du, unnest(generate_series(0, 6)) AS t(i)
+         |), wau AS (
+         |  SELECT day, COUNT(*) AS wau FROM cover GROUP BY day
+         |)
+         |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+         |  CAST(w.wau AS BIGINT) AS wau,
+         |  ${dbl(s"${dec("d.dau")} / w.wau")} AS stickiness
+         |FROM dau d JOIN wau w USING (day)
+         |ORDER BY d.day""".stripMargin,
+
     "sessionize_batch" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
@@ -1673,6 +1693,33 @@ object OracleSql {
          |    ${dbl(s"${dec("len_sum")} / (n_rows - n_nulls)")} END AS avg_len
          |FROM p
          |ORDER BY col_name""".stripMargin,
+
+    // F12 delete plan: same synthesized inventory as F9; touched files
+    // rewrite WHOLE (copy-on-write), amplification = rewritten/deleted
+    "layout_delete_plan" ->
+      s"""WITH fr AS (
+         |  SELECT CAST(ts AS DATE) AS part, user_id % 50 AS file_id,
+         |    64 + length(COALESCE(props, '')) AS row_bytes,
+         |    user_id % 97 = 0 AS del
+         |  FROM events
+         |), f AS (
+         |  SELECT part, file_id, COUNT(*) AS n_rows, SUM(row_bytes) AS bytes,
+         |    SUM(CASE WHEN del THEN 1 ELSE 0 END) AS n_del,
+         |    SUM(CASE WHEN del THEN row_bytes ELSE 0 END) AS del_bytes
+         |  FROM fr GROUP BY part, file_id
+         |)
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_files_touched,
+         |  CAST(SUM(n_del) AS BIGINT) AS rows_deleted,
+         |  CAST(SUM(del_bytes) AS BIGINT) AS bytes_deleted,
+         |  CAST(SUM(CASE WHEN n_del > 0 THEN bytes ELSE 0 END) AS BIGINT)
+         |    AS bytes_rewritten,
+         |  CASE WHEN SUM(del_bytes) > 0 THEN
+         |    ${dbl(s"${dec("SUM(CASE WHEN n_del > 0 THEN bytes ELSE 0 END)")} / SUM(del_bytes)")}
+         |  END AS amplification
+         |FROM f GROUP BY part
+         |ORDER BY part""".stripMargin,
 
     // compaction plan over the synthesized file inventory (partition =
     // event date, file = user_id mod 50, size = sum of 64+len(props));

@@ -139,4 +139,25 @@ class EventsSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("J23: DAU/WAU laws + direct-window cross-check") {
+    val rows = Events.eventsActiveUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val du = Util.t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    for (r <- rows) {
+      val (day, dau, wau) = (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2))
+      assert(dau <= wau, s"$day: DAU $dau must be <= WAU $wau")
+      assert(math.abs(r.getDouble(3) - dau.toDouble / wau) < 1e-6)
+      // direct recount of the trailing-7-day distinct-user window
+      val direct = du.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length
+      assert(wau == direct.toLong, s"$day: WAU $wau != direct $direct")
+      assert(dau == du.count(_._1 == day).toLong)
+    }
+    // every observed day reports (inner join drops nothing real)
+    assert(rows.length == du.map(_._1).distinct.length)
+  }
+
 }

@@ -71,4 +71,29 @@ class SinkRootSpec extends SparkTestBase {
     assert(bands.distinct.length <= sizes.sum / 100L + 1)
     assert(bands == bands.sorted)
   }
+
+  test("F12: delete plan bills whole touched files; totals match direct counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Layout.layoutDeletePlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nFiles, touched) = (r.getLong(1), r.getLong(2))
+      val (deleted, delB, rewB) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(touched <= nFiles)
+      assert(rewB >= delB, "copy-on-write rewrites at least the deleted bytes")
+      if (deleted > 0) {
+        assert(touched > 0)
+        // amplification = rewritten/deleted, and >= 1 by the law above
+        assert(r.getDouble(6) >= 1.0)
+        assert(math.abs(r.getDouble(6) - rewB.toDouble / delB) < 1e-4)
+      } else assert(r.isNullAt(6) && touched == 0 && rewB == 0)
+    }
+    // grand totals agree with a direct pass over the erasure predicate
+    val direct = graft.ops.Util.t(spark, sfDir, "events")
+      .agg(sum(when(col("user_id") % 97 === 0, 1L).otherwise(0L)),
+        count(lit(1))).head
+    assert(rows.map(_.getLong(3)).sum == direct.getLong(0))
+    // non-vacuous both ways: some rows die, most survive
+    assert(direct.getLong(0) > 0 && direct.getLong(0) < direct.getLong(1))
+  }
 }
