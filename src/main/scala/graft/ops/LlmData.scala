@@ -1889,4 +1889,39 @@ object LlmData {
       t(spark, sfDir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
       .orderBy(col("doc_id"))
+
+  /** K60: multimodal ASSET dedup accounting — K1's exact-dedup
+    * discipline applied to binary payloads, rolled up per decoded
+    * format: payload copies vs distinct assets and the byte mass a
+    * content-addressed store would reclaim (`bytes_dedupable` =
+    * redundant copies × asset size). Repeated assets (the same image
+    * embedded across pages) dominate raw multimodal corpus storage,
+    * so this accounting is the first query an ingest runs.
+    *
+    * Scale shape: the payload NEVER shuffles — the dedup key is its
+    * 256-bit hash computed in the scan projection, so the exchange
+    * carries (doc_id, sha, n_bytes, format)-width rows only; the
+    * format comes from the partition-batched decode
+    * ([[graft.multimodal.Multimodal.withDecodedMeta]]) joined back
+    * doc-keyed; two partial-agg levels (per-asset, then per-format).
+    * The oracle groups by the payload itself — collision-free
+    * equivalence at any fixture scale. */
+  def multimodalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val hashes = p.select(col("doc_id"), sha2(col("payload"), 256).as("sha"),
+      length(col("payload")).as("n_bytes"))
+    val formats = graft.multimodal.Multimodal.withDecodedMeta(p)
+      .select(col("doc_id"), col("format"))
+    hashes.join(formats, Seq("doc_id"))
+      .groupBy(col("format"), col("sha"), col("n_bytes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("format"))
+      .agg(sum(col("n")).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") - 1L).as("n_dup"),
+        sum(col("n") * col("n_bytes")).as("bytes_total"),
+        sum((col("n") - 1L) * col("n_bytes")).as("bytes_dedupable"))
+      .orderBy(col("format"))
+  }
 }

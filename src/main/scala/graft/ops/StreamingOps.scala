@@ -208,6 +208,41 @@ object StreamingOps {
     ()
   }
 
+  /** J24: streaming CDC into the snapshot store — the LAKEHOUSE form
+    * of J15: each micro-batch collapses to last-change-per-key and
+    * MERGEs into the LATEST snapshot, committing the result as a NEW
+    * [[graft.sources.SnapshotStore]] version instead of rewriting a
+    * state directory in place. The store's manifest-last atomic
+    * publish replaces J15's entire rename-aside crash protocol (a
+    * crashed batch leaves only invisible orphan data — no set-aside
+    * recovery dance), and every batch's post-state stays time-
+    * travelable: version N IS the table after batch N−1, which is
+    * what makes streaming pipelines debuggable after the fact.
+    * Exactly-once by VERSION LEDGER (the [[graft.sources.AuditSink]]
+    * epoch discipline): batch `b` owns version `b + 1`; a replayed
+    * batch finds its version already published and no-ops — never a
+    * double-merge. Retention is [[graft.sources.SnapshotStore.vacuum]]
+    * downstream. Pinned in `StreamingSpec`: content per version,
+    * replay no-op, time travel to an intermediate batch. */
+  def cdcSnapshotBatch(root: String, keys: Seq[String],
+      seqCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.SnapshotStore
+    val spark = batch.sparkSession
+    val version = batchId.toInt + 1
+    if (SnapshotStore.versions(spark, root).contains(version)) return
+    val cols = batch.columns.toSeq
+    val collapsed = batch
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
+    val merged =
+      if (SnapshotStore.versions(spark, root).isEmpty) collapsed
+      else graft.census.Warehouse.merge(
+        SnapshotStore.read(spark, root), collapsed, keys)
+    SnapshotStore.commitOverwrite(spark, root, merged)
+    ()
+  }
+
   /** J10: timeout-driven sessionization via `flatMapGroupsWithState` —
     * the arbitrary-state form of `session_window` (J3): per-user
     * session state (start, last, count) accumulates while events

@@ -38,6 +38,25 @@ object OracleSql {
       |    ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1] AS format
       |  FROM documents""".stripMargin
 
+  /** K60 multimodal asset dedup: groups by the PAYLOAD itself (the
+    * engine groups by its 256-bit hash — collision-free equivalence),
+    * format from the shared stub-decode mirror. */
+  private val multimodalDedupSql: String =
+    """WITH g AS (
+      |  SELECT ['png', 'jpeg', 'webp'][octet_length(encode(text)) % 3 + 1]
+      |      AS format,
+      |    encode(text) AS payload, octet_length(encode(text)) AS n_bytes,
+      |    COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2, 3
+      |)
+      |SELECT format, CAST(SUM(n) AS BIGINT) AS n_payloads,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(n - 1) AS BIGINT) AS n_dup,
+      |  CAST(SUM(n * n_bytes) AS BIGINT) AS bytes_total,
+      |  CAST(SUM((n - 1) * n_bytes) AS BIGINT) AS bytes_dedupable
+      |FROM g GROUP BY format
+      |ORDER BY format""".stripMargin
+
   /** The token-trigram shingle-set + min-shingle-bucket CTEs — the
     * SQL-portable bucket family shared by dedup_ngram_jaccard,
     * dedup_clusters, dedup_end_to_end, and dedup_health (all four
@@ -2857,6 +2876,8 @@ object OracleSql {
     // IEEE scale (maxDim / max-dim double divide) + floor + clamp walk
     // the Scala resizeStub runs (toInt on a positive double == floor);
     // the box size comes from the one declared constant
+    "multimodal_dedup" -> multimodalDedupSql,
+
     "multimodal_resize" ->
       s"""WITH d AS (
          |  $decodeStubSql

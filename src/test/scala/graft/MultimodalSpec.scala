@@ -91,4 +91,23 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("K60: asset dedup accounting conserves docs and byte mass") {
+    val rows = graft.ops.LlmData.multimodalDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.ops.Util.t(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "every payload lands in exactly one format bucket")
+    // distinct assets across formats == distinct payloads overall
+    // (format is a function of the payload, so buckets never split
+    // an asset)
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.select(col("text")).distinct().count())
+    for (r <- rows) {
+      val (np, nd, dup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup == np - nd && nd >= 1)
+      assert(r.getLong(5) <= r.getLong(4),
+        "dedupable bytes cannot exceed total bytes")
+    }
+  }
 }
