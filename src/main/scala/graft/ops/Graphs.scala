@@ -359,4 +359,28 @@ object Graphs {
           .otherwise(dbl(dec(col("n_triangles") * 3) / col("n_wedges")))
           .as("clustering"))
   }
+
+  /** L5: log2-binned degree distribution of the co-occurrence graph —
+    * the profile read BEFORE running any other graph op: whether the
+    * degree histogram is heavy-tailed decides every downstream
+    * strategy choice (the L1 orientation bound, the L3 neighbor cap,
+    * C12-style hub salting). Binning is `length(bin(d)) − 1` — the
+    * EXACT integer ⌊log2⌋ via the binary-digit count, because a float
+    * `log2` lands on either side of a power of two per engine/libm
+    * and would flip boundary nodes between buckets. Per bucket: node
+    * count, observed degree min/max (must tile within the bucket's
+    * [2^b, 2^b+1) span), and total degree mass.
+    *
+    * Scale shape: reads the cached edge parquet, one endpoint-melt +
+    * two partial-agg passes (node-cardinality then ≤64 bucket keys) —
+    * no window, no join. */
+  def graphDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = cachedCoOccurrenceEdges(spark, sfDir)
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .groupBy((length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"), sum(col("d")).as("deg_sum"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -589,6 +589,44 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K61: epoch / REPEAT planning — the data-constrained scaling
+    * budget (Muennighoff et al. 2023, public: repeated data is
+    * near-as-good as fresh for up to ~4 epochs, then decays): given a
+    * training budget of 2× the corpus token mass and per-language
+    * targets following the K55 temperature weights (√availability,
+    * over TOKENS here), each language fills its target by repeating
+    * its available tokens up to the 4-epoch cap; report target vs
+    * effective tokens, the repeat factor, and the fill ratio — the
+    * shortfall is what a new crawl must supply. All share arithmetic
+    * is exact integer (the K55 discipline): BIGINT √-weights,
+    * DECIMAL(38,0) target products (BIGINT wraps at web scale), one
+    * proven decimal division per output ratio.
+    *
+    * Scale shape: one narrow token-count projection + one partial agg
+    * to the bounded language domain; the global sums are windows over
+    * that lang-cardinality frame (broadcast by construction — the K43
+    * precedent), never over the corpus. */
+  def corpusEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+      .withColumn("weight", expr(
+        "CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("tsum", sum(col("avail_tokens")).over(Window.partitionBy()))
+      .withColumn("wsum", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("target_tokens", expr(
+        "CAST((CAST(weight AS DECIMAL(38,0)) * tsum * 2) DIV wsum AS BIGINT)"))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("avail_tokens") * 4))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"), col("effective_tokens"),
+        dbl(dec(col("effective_tokens")) / col("avail_tokens")).as("epochs"),
+        when(col("target_tokens") === 0, lit(null).cast("double"))
+          .otherwise(dbl(dec(col("effective_tokens")) / col("target_tokens")))
+          .as("fill_ratio"))
+      .orderBy(col("lang"))
+
   /** K56: corpus drift — total-variation token-distribution divergence
     * between two corpus slices (even- vs odd-numbered sources): the
     * monitoring query a production pipeline runs when a new crawl

@@ -500,6 +500,45 @@ object Scans {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** A21: OBSERVED scan — QC metrics for free on the side of a query
+    * (`Dataset.observe` → CollectMetrics): the scan's row count, value
+    * mass, and null count are collected BY THE SAME JOB that answers
+    * the query. At 100 TB a separate QC pass is a second full scan,
+    * which is why every production load attaches its quality gates as
+    * observations instead. The observation is semantically
+    * TRANSPARENT — the registered result is the plain filtered
+    * projection (oracle-checked as usual, proving the metrics node
+    * changes nothing); the metric VALUES come back through the
+    * `Observation` handle and are pinned against direct aggregates in
+    * `ObserveSpec`. Metrics attach BEFORE the status filter, so they
+    * profile everything scanned, not just what survives.
+    *
+    * GOTCHA (pinned in `ObserveSpec`): the query must end in
+    * `orderBy().limit()` — TakeOrderedAndProject, one pass — not a
+    * global sort, whose range-SAMPLING job executes the metrics
+    * subtree a second time and silently DOUBLES every accumulated
+    * value. Any production observation placed under a global sort has
+    * this bug. */
+  def observedOrders(spark: SparkSession, sfDir: String,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("tp_cents"))
+    val m = Seq(count(lit(1)).as("n_rows"),
+      sum(col("tp_cents")).as("cents_sum"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+        .as("n_null_status"))
+    val observed = obs match {
+      case Some(o) => base.observe(o, m.head, m.tail: _*)
+      case None => base.observe("scan_qc", m.head, m.tail: _*)
+    }
+    observed.filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_orderkey")).limit(500)
+  }
+
+  def scanObserved(spark: SparkSession, sfDir: String): DataFrame =
+    observedOrders(spark, sfDir, None)
+
   /** A20: snapshot VACUUM ([[graft.sources.SnapshotStore.vacuum]]) —
     * the retention sweep that completes A18's time-travel story: the
     * same v1 overwrite / v2 append / v3 rebuild commits, PLUS a

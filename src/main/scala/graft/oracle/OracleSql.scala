@@ -365,6 +365,17 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A21 observed scan: the CollectMetrics node is semantically
+    // transparent — the oracle is the plain filtered projection; the
+    // metric values themselves are pinned in ObserveSpec
+    "scan_observed" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp_cents
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey
+        |LIMIT 500""".stripMargin,
+
     // A20 vacuum: keepLast=2 drops exactly the v1 manifest and
     // reclaims exactly the planted orphan dir (v1's data survives via
     // v2's append manifest); surviving versions must read back with
@@ -1497,6 +1508,22 @@ object OracleSql {
 
     // triangle census of the part co-occurrence graph (edges = part
     // pairs sharing an order), via the same degree-orientation the
+    // L5 degree distribution: exact integer floor(log2) via the
+    // binary-digit count (a float log2 flips power-of-two boundaries)
+    "graph_degree_dist" ->
+      s"""WITH ${coGraphCtes()}, deg AS (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+         |  ) GROUP BY node
+         |)
+         |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(MIN(d) AS BIGINT) AS min_deg,
+         |  CAST(MAX(d) AS BIGINT) AS max_deg,
+         |  CAST(SUM(d) AS BIGINT) AS deg_sum
+         |FROM deg GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
+
     // engine uses: direct each edge low→high by (degree, id), wedge
     // join on canonically-ordered out-pairs, one equi-join closes each
     // triangle exactly once
@@ -2444,6 +2471,42 @@ object OracleSql {
     // (sqrt is IEEE-correctly-rounded in both engines; the rounded
     // BIGINT weight makes the cross-language sum order-free), then
     // the corpus_mix HUGEINT threshold walk with salt 'temp'
+    // K61 epoch planning: identical sqrt-weight + HUGEINT target walk
+    // as K55 over token mass; 4-epoch repeat cap
+    "corpus_epochs" ->
+      s"""WITH pl AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    SUM(len(str_split(text, ' '))) AS avail_tokens
+         |  FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, n_docs, avail_tokens,
+         |    CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS weight,
+         |    SUM(avail_tokens) OVER () AS tsum,
+         |    SUM(CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000)
+         |      AS BIGINT)) OVER () AS wsum
+         |  FROM pl
+         |), tg AS (
+         |  SELECT lang, n_docs, avail_tokens, weight,
+         |    CAST((CAST(weight AS HUGEINT) * tsum * 2) // wsum AS BIGINT)
+         |      AS target_tokens
+         |  FROM w
+         |), eff AS (
+         |  SELECT lang, n_docs, avail_tokens, target_tokens,
+         |    LEAST(target_tokens, avail_tokens * 4) AS effective_tokens
+         |  FROM tg
+         |)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(effective_tokens AS BIGINT) AS effective_tokens,
+         |  ${dbl(s"${dec("effective_tokens")} / avail_tokens")} AS epochs,
+         |  CASE WHEN target_tokens > 0 THEN
+         |    ${dbl(s"${dec("effective_tokens")} / target_tokens")} END
+         |    AS fill_ratio
+         |FROM eff
+         |ORDER BY lang""".stripMargin,
+
     "sample_temperature" ->
       s"""WITH pl AS (
          |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -212,4 +212,24 @@ class GraphsSpec extends SparkTestBase {
       assert(rs.map(_.getLong(0)).min == cid)
     }
   }
+
+  test("L5: degree distribution tiles power-of-two spans and conserves mass") {
+    import graft.ops.Graphs
+    val rows = Graphs.graphDegreeDist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (b, minD, maxD) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      // bucket b holds exactly degrees in [2^b, 2^(b+1))
+      assert(minD >= (1L << b) && maxD < (1L << (b + 1)),
+        s"bucket $b observed [$minD, $maxD]")
+      assert(minD <= maxD && r.getLong(1) >= 1)
+    }
+    // Σ deg over buckets == 2 · |E| (handshake), nodes conserve
+    val e = Graphs.coOccurrenceEdges(spark, sfDir)
+    assert(rows.map(_.getLong(4)).sum == 2L * e.count())
+    val nNodes = e.select(org.apache.spark.sql.functions.col("u").as("n"))
+      .union(e.select(org.apache.spark.sql.functions.col("v").as("n")))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nNodes)
+  }
 }

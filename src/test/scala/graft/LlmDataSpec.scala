@@ -439,6 +439,32 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("K61: epoch planning caps repeats at 4 and flattens toward low-resource") {
+    val rows = LlmData.corpusEpochs(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val totalAvail = rows.map(_.getLong(2)).sum
+    // targets sum to the declared 2x budget (up to one floor per lang)
+    val totalTarget = rows.map(_.getLong(3)).sum
+    assert(totalTarget <= 2 * totalAvail &&
+      totalTarget > 2 * totalAvail - rows.length)
+    for (r <- rows) {
+      val (avail, target, eff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(eff == math.min(target, 4 * avail))
+      assert(r.getDouble(5) <= 4.0 + 1e-9, "never more than 4 epochs")
+      assert(math.abs(r.getDouble(5) - eff.toDouble / avail) < 1e-6)
+      assert(r.getDouble(6) <= 1.0 + 1e-9)
+    }
+    // temperature flattening: repeat factors never increase with
+    // availability (epochs = min(target/avail, 4), target/avail ~ 1/sqrt)
+    val byAvail = rows.sortBy(_.getLong(2))
+    byAvail.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(5) + 1e-6 >= hi.getDouble(5),
+          s"${lo.getString(0)} vs ${hi.getString(0)}")
+      case _ =>
+    }
+  }
+
   test("K59: bpe_learn_merges agrees with an independent driver-side recount") {
     val got = LlmData.bpeLearnMerges(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
