@@ -236,4 +236,30 @@ object Fns {
         expr("parse_url(url, 'QUERY', 'id')").as("q_id"),
         expr("parse_url(url, 'PROTOCOL')").as("proto"))
       .orderBy(col("o_orderkey"))
+
+  /** H13: the Spark 4 COLLATION surface — case-insensitive grouping
+    * as a TYPE property (`collate(s, 'UTF8_LCASE')`), not an
+    * expression rewrite: synthesized case variants of `p_brand` (raw/
+    * UPPER/lower) collapse into one group when the grouping key
+    * carries the UTF8_LCASE collation, while the binary distinct
+    * count inside each group still sees every written form. At scale
+    * the distinction matters because collation rides the type through
+    * every operator — joins, aggregations, and shuffles hash the
+    * COLLATION KEY (no `lower()` wrapper to forget on one side of a
+    * join, the classic silent-mismatch bug). Output columns are plain
+    * binary-collation strings (the canonical form is the binary MIN —
+    * deterministic in both engines); the oracle mirrors with
+    * `GROUP BY lower()`, equivalent on this ASCII domain. */
+  def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = t(spark, sfDir, "part").select(col("p_brand").as("b"))
+    val variants = b
+      .union(b.select(upper(col("b"))))
+      .union(b.select(lower(col("b"))))
+    variants
+      .groupBy(expr("collate(b, 'UTF8_LCASE')"))
+      .agg(min(col("b")).as("canon"), count(lit(1)).as("n"),
+        countDistinct(col("b")).as("n_forms"))
+      .select(col("canon"), col("n"), col("n_forms"))
+      .orderBy(col("canon"))
+  }
 }

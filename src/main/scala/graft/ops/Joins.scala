@@ -266,6 +266,20 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q3"))
   }
 
+  /** C18: TPC-H Q5 as literal SQL (same mechanism as C15) — the 6-way
+    * snowflake join (region→nation→supplier + customer→orders→lineitem
+    * meeting on the co-nationality predicate) that exercises
+    * Catalyst's JOIN ORDERING and dim-broadcast decisions at once:
+    * the optimizer must push the region filter through nation, chain
+    * the three tiny dims as broadcasts, and leave only the fact-fact
+    * orders⋈lineitem as a shuffle — the plan shape a 100 TB star
+    * schema lives or dies by. Exact-decimal revenue, DOUBLE final. */
+  def sqlTpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("region", "nation", "supplier", "customer", "orders", "lineitem")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q5"))
+  }
+
   /** C12: salted skew join — the shuffle-join counterpart of
     * D10 `agg_skew_salted`. A deterministic synthetic skew collapses a
     * third of lineitem onto one nation key (the "one hot key owns one

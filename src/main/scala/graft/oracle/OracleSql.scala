@@ -668,6 +668,38 @@ object OracleSql {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    // H13 collation: UTF8_LCASE grouping mirrored by GROUP BY lower()
+    // (equivalent on the ASCII brand domain); canon = binary MIN
+    "fn_collation" ->
+      """WITH v AS (
+        |  SELECT p_brand AS b FROM part
+        |  UNION ALL SELECT upper(p_brand) FROM part
+        |  UNION ALL SELECT lower(p_brand) FROM part
+        |)
+        |SELECT MIN(b) AS canon, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT b) AS BIGINT) AS n_forms
+        |FROM v GROUP BY lower(b)
+        |ORDER BY canon""".stripMargin,
+
+    // C18 TPC-H Q5: 6-way snowflake join, literal SQL in both engines
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     // tolerance masks the match columns when the nearest prior event
     // is farther than 6 h (21_600_000_000 us) — NULLs, never a farther
     // fallback

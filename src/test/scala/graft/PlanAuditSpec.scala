@@ -438,6 +438,13 @@ class PlanAuditSpec extends SparkTestBase {
     val bp = plan("bpe_learn_merges")
     assert(bp.contains("TakeOrderedAndProject"), bp)
     assert(bp.contains("partial_sum"), bp)
+    // sql_tpch_q5: Catalyst must chain the snowflake dims as
+    // broadcasts (region->nation->supplier, customer) — never a
+    // nested-loop or cartesian anywhere in the 6-way join
+    val q5 = plan("sql_tpch_q5")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"), q5)
   }
 
   test("round-13 additions keep their scale shapes") {
