@@ -237,6 +237,43 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K62: quality × duplication CALIBRATION — the confound check run
+    * before trusting any quality-weighted sampling (K46) or
+    * keep-best dedup (K34): if low-quality bands also carry high
+    * duplicate rates, a quality filter silently does (part of) the
+    * dedup's job and the two stages' budgets double-count. Documents
+    * band by stopword-ratio per-mille in FIXED 100-per-mille bands
+    * (data-independent edges — the D21 rationale; the ratio itself is
+    * exact integer `(1000·n_stop) DIV n_tokens`, no float boundary),
+    * each band reporting doc count, exact-duplicate membership rate,
+    * and token mass.
+    *
+    * Scale shape: duplicate membership comes from grouping the
+    * 256-bit TEXT HASH computed in the scan projection (text never
+    * shuffles — the K60 discipline); one hash-keyed join back, one
+    * 11-key partial agg. The stopword filter runs at document
+    * cardinality, not token cardinality. */
+  def qualityDupCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(sha2(col("text"), 256).as("h"),
+        size(col("toks")).as("nt"),
+        size(filter(col("toks"),
+          tk => tk.isin(stop.map(s => s: Any): _*))).as("ns"))
+      .withColumn("q_pm", expr("(1000 * ns) DIV nt"))
+    val copies = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, Seq("h"))
+      .groupBy(expr("q_pm DIV 100").as("q_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("q_band"), col("n_docs"), col("n_dup_members"),
+        dbl(dec(col("n_dup_members")) / col("n_docs")).as("dup_rate"),
+        col("n_tokens"))
+      .orderBy(col("q_band"))
+  }
+
   /** K35: PII scrub — the redaction pass a pre-training pipeline runs
     * before anything else: emails and IPv4 addresses found in document
     * text are counted and replaced with typed placeholder tokens, and

@@ -2698,6 +2698,34 @@ object OracleSql {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    // K62 quality x duplication calibration: fixed 100-per-mille
+    // stopword-ratio bands (exact integer DIV), dup membership by
+    // grouping the text itself (engine groups its hash)
+    "quality_dup_calibration" ->
+      s"""WITH d AS (
+         |  SELECT text, len(str_split(text, ' ')) AS nt,
+         |    len(list_filter(str_split(text, ' '),
+         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS ns
+         |  FROM documents
+         |), q AS (
+         |  SELECT text, nt, ((1000 * ns) // nt) // 100 AS q_band FROM d
+         |), c AS (
+         |  SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text
+         |), g AS (
+         |  SELECT q.q_band, COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_members,
+         |    SUM(q.nt) AS n_tokens
+         |  FROM q JOIN c ON q.text = c.text
+         |  GROUP BY q.q_band
+         |)
+         |SELECT CAST(q_band AS BIGINT) AS q_band,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_dup_members AS BIGINT) AS n_dup_members,
+         |  ${dbl(s"${dec("n_dup_members")} / n_docs")} AS dup_rate,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM g
+         |ORDER BY q_band""".stripMargin,
+
     // K59 BPE merge learning: vocabulary-weighted adjacent char-pair
     // counts over the same pre-token regex, top 20 with the declared
     // (n DESC, pair ASC) tie-break

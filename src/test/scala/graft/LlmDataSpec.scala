@@ -465,6 +465,29 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("K62: quality-dup calibration conserves docs and dup membership") {
+    val rows = LlmData.qualityDupCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.ops.Util.t(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // dup membership total == docs whose text occurs more than once
+    // coalesce: a fixture scale with NO exact dups sums over zero rows
+    val nDupMembers = docs
+      .groupBy(org.apache.spark.sql.functions.col("text"))
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("count")),
+        org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nDupMembers)
+    for (r <- rows) {
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 10)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
   test("K59: bpe_learn_merges agrees with an independent driver-side recount") {
     val got = LlmData.bpeLearnMerges(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
