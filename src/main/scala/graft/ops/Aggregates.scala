@@ -455,4 +455,25 @@ object Aggregates {
         col("m.pc").as("n_mode"), col("n_rows"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** D24: the conditional/boolean aggregate surface — `count_if`,
+    * `bool_and`/`bool_or`, and `sum(DISTINCT)` in ONE partial-agg
+    * pass per group. These are the predicates-as-aggregates every QC
+    * dashboard is built from ("how many rows violate X", "does every
+    * row satisfy Y", "is any row flagged"), and they all fold
+    * map-side like any sum — the discipline is running them IN the
+    * aggregation instead of materializing filtered counts per
+    * predicate (at 100 TB, k separate filtered scans for k predicates
+    * is k× the IO of one pass). DISTINCT sum is over integer cents —
+    * exact in both engines. */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        sum_distinct(cents(col("o_totalprice"))).as("cents_distinct_sum"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy(col("o_orderstatus"))
 }

@@ -262,4 +262,32 @@ object Fns {
       .select(col("canon"), col("n"), col("n_forms"))
       .orderBy(col("canon"))
   }
+
+  /** H14: the Spark 4 SQL UDF surface — `CREATE TEMPORARY FUNCTION …
+    * RETURNS … RETURN <expr>` (SQL-defined, not Scala-closure): the
+    * body is INLINED into the calling plan by Catalyst, so unlike a
+    * Scala/Python UDF it stays inside whole-stage codegen, keeps
+    * filter/pushdown transparency, and costs nothing over writing the
+    * expression by hand — which is why a shared business-logic library
+    * at 100 TB ships as SQL UDFs, not closures (I2 pins the closure
+    * path and its registration contract; this pins the SQL path). The
+    * function computes the discounted line price; the aggregate is the
+    * Util.decSumDbl discipline spelled in SQL. Oracle: the SAME query
+    * with the UDF body inlined by hand — proving the inlining is
+    * semantically exact. */
+  def fnSqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_h14")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+        |  p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0d - d)
+        |""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem_h14
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
 }

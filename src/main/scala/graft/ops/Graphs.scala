@@ -276,6 +276,60 @@ object Graphs {
       .orderBy(col("component_id"), col("node"))
   }
 
+  /** Hop cap for [[graphBfs]] — part of the query's declared semantics
+    * (the oracle unrolls exactly this depth). */
+  val BfsMaxHops = 6
+
+  /** L6: bounded-depth BFS — single-source shortest hop distances over
+    * the support-48 co-purchase backbone (the same cached edge relation
+    * L4 labels), from the deterministic seed MIN(node). The "how far is
+    * everything from X" primitive behind neighborhood expansion,
+    * blast-radius queries, and k-hop feature extraction. Depth-capped
+    * at [[BfsMaxHops]]: an unbounded closure over a 100-TB graph is the
+    * textbook runaway job — every production k-hop query declares its k
+    * up front, and the cap bounds both engines' work identically.
+    *
+    * Scale shape: the frontier loop is [[BfsMaxHops]] joins of a
+    * (src-keyed, partitioned-and-checkpointed-once) symmetric edge
+    * list against a frontier of at most node cardinality; the visited
+    * set is subtracted with a left-anti join on the node key; every
+    * round ends in an eager `localCheckpoint` (the [[pagerank]] /
+    * [[Components]] discipline — without it round k re-derives rounds
+    * 1..k−1 and the plan nests six joins deep). The seed is a 1-row
+    * bounded aggregate inlined as a literal (the `AnnIvf` point-lookup
+    * pattern — a broadcast at cluster scale). Oracle: recursive
+    * min-distance closure over the identical capped edge CTE,
+    * depth-guarded at the same cap. */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame =
+    bfsDistances(cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty))
+      .orderBy(col("node"))
+
+  /** The BFS core over an arbitrary distinct undirected (u, v) edge
+    * list, seeded at MIN(node) — separated so the frontier laws (exact
+    * path/cycle distances, the hop cap) are pinnable on known graphs
+    * (`GraphsSpec`). */
+  def bfsDistances(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.localCheckpoint(true)
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    val src = sym.agg(min(col("src"))).head.getLong(0)
+    val session = edges.sparkSession
+    import session.implicits._
+    var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist
+    for (d <- 1 to BfsMaxHops) {
+      frontier = frontier.withColumnRenamed("node", "src")
+        .join(sym, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(frontier).localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Companion observability row for L3 (the `dedup_health` pattern):
     * one row over the same support-35 graph reporting node/edge counts,
     * the max degree, and exactly how much the [[Buckets.MaxBucket]]

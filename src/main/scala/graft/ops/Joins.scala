@@ -280,6 +280,20 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q5"))
   }
 
+  /** C20: TPC-H Q18 as literal SQL (same mechanism as C15) — the
+    * "large-volume customer" shape: an IN subquery whose inner side is
+    * an aggregate-HAVING over the FACT table itself. Catalyst must
+    * plan the subquery as a semi join against the aggregated fact
+    * (not a per-row subquery execution) and reuse the lineitem scan
+    * across the two references — the self-referential filter pattern
+    * every "orders above the 99th percentile" dashboard query takes.
+    * Exact-decimal quantity sum and integer-cents ordering key. */
+  def sqlTpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q18"))
+  }
+
   /** C12: salted skew join — the shuffle-join counterpart of
     * D10 `agg_skew_salted`. A deterministic synthetic skew collapses a
     * third of lineitem onto one nation key (the "one hot key owns one

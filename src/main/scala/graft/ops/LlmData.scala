@@ -163,6 +163,63 @@ object LlmData {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Tumbling segment width (tokens) for [[textBoilerplate]]. The
+    * fixture text carries no newlines, so the "line" unit of the
+    * public recipes is an 8-token tumbling segment. */
+  val BoilerSegTokens = 8
+
+  /** A segment shared by at least this many DISTINCT documents is
+    * boilerplate (the RefinedWeb line-dedup criterion: repeated across
+    * documents, not merely repeated inside one). */
+  val BoilerMinDocs = 2
+
+  /** Per-document boilerplate accounting over any (doc_id, text)
+    * relation — the testable core of [[textBoilerplate]] (K63).
+    *
+    * Corpus-frequency boilerplate removal is the CCNet paragraph-hash
+    * dedup (Wenzek et al. 2020 §3.1) / RefinedWeb repeated-line drop
+    * (Penedo et al. 2023) — headers, nav bars, and license banners
+    * repeat across millions of pages and must be stripped BEFORE
+    * quality scoring or they dominate every n-gram statistic.
+    *
+    * Scale shape: segments are built by a NARROW transform on the
+    * split array (no explode→window — each doc emits its tumbling
+    * segments in place), and from that point only (doc_id, xxhash64)
+    * pairs move — segment TEXT never shuffles. The frequency side is
+    * one partial-agg distinct-doc count per hash; the flag returns via
+    * a left join on the hash whose build side is only the segments
+    * that cleared the ≥[[BoilerMinDocs]] bar (boilerplate is sparse in
+    * a healthy corpus — AQE broadcasts it when small). 64-bit hash
+    * equivalence stands in for text equality, the same collision
+    * budget every production line-dedup accepts. */
+  def boilerplateCounts(docs: DataFrame): DataFrame = {
+    val k = BoilerSegTokens
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(l) + ${k - 1}) div $k - 1),
+           |  s -> array_join(slice(l, s * $k + 1, $k), ' '))""".stripMargin))
+        .as("seg_text"))
+      .select(col("doc_id"), xxhash64(col("seg_text")).as("h"))
+    val boiler = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerMinDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        count(when(col("is_boiler"), 1)).as("n_boiler"))
+      .withColumn("boiler_ratio", dbl(dec(col("n_boiler")) / col("n_seg")))
+  }
+
+  /** K63: registered boilerplate accounting over the fixture corpus —
+    * per document, tumbling-segment count, boilerplate-segment count
+    * (shared with ≥ 1 other document), and the removal ratio a
+    * curation pipeline would act on. */
+  def textBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateCounts(t(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** K40: unigram-LM surprisal quality score (the CCNet filtering
     * signal — Wenzek et al. 2020, "CCNet: Extracting High Quality
     * Monolingual Datasets from Web Crawl Data", public): per document,

@@ -303,6 +303,70 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A23: the `_metadata` file-introspection surface — every file
+    * source exposes a hidden `_metadata` struct (file_name, file_size,
+    * row_index, …) that debugging, auditing, and incremental-load
+    * bookkeeping read without a separate filesystem listing; it is how
+    * a pipeline answers "which file did this corrupt row come from"
+    * (A11's question one level deeper) and how compaction planners
+    * (F9) see the row→file mapping inside the query itself. Layout is
+    * made DETERMINISTIC so file-level facts are oracle-checkable: the
+    * write repartitions by the partition column, so each year
+    * directory holds exactly ONE file and per-file `row_index` spans
+    * exactly [0, n_rows). The oracle recomputes everything from the
+    * base table (n_files must be 1, max row_index = n_rows − 1);
+    * file_size is deliberately absent (compression-dependent — the
+    * one _metadata field with no portable value). */
+  def scanMetadataFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "meta_")
+    t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .select(col("o_year"), col("_metadata.file_name").as("fname"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fname")).as("n_files"),
+        max(col("ri")).as("max_row_index"))
+      .orderBy(col("o_year"))
+  }
+
+  /** C19: DYNAMIC partition pruning — the runtime companion of A8's
+    * static prune, and the decisive star-schema scan optimization at
+    * 100 TB: the fact is partitioned by year, but the selective
+    * predicate lives on the DIMENSION (`is_current`), so the fact's
+    * surviving partitions are unknowable at plan time — no literal
+    * year predicate ever touches the fact. Catalyst inserts a
+    * `DynamicPruningExpression` into the fact scan's PartitionFilters
+    * that evaluates the (broadcast) dim side FIRST and skips every
+    * non-matching year directory at runtime; without DPP the scan
+    * reads all years and the join discards the rows after the fact.
+    * `PlanAuditSpec` pins both halves: the dynamicpruning filter in
+    * the scan AND a partitions-read count below the directory count.
+    *
+    * The dim is a year calendar derived once from the date column with
+    * an attribute flag — the standard shape (a real warehouse joins
+    * `dim_date` filtered on `is_current_quarter`, not a date literal
+    * someone must remember to update). */
+  def joinDynamicPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "dpp_")
+    t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = t(spark, sfDir, "orders")
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("is_current", col("d_year") >= 1997)
+      .filter(col("is_current"))
+    fact.join(dim, fact("o_year") === dim("d_year"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumDbl(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** The fixture key the current `graft_bkt_*` tables were built from
     * (null until first build). Guarded by the object lock in
     * [[joinBucketedColocated]]; keyed on fixture CONTENT so switching
@@ -577,6 +641,61 @@ object Scans {
           lit(droppedManifests.toLong).as("n_dropped_manifests"),
           lit(removedDirs.toLong).as("n_removed_dirs"))
     }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  /** A22: snapshot CHANGE FEED — the row-level diff between committed
+    * versions of the A18 snapshot store, i.e. the read side of CDC
+    * (Delta's table_changes / Iceberg's changelog scan): downstream
+    * incremental consumers ask "what changed between v_a and v_b"
+    * instead of re-reading the whole table. The same three commits as
+    * A18 (v1 overwrite, v2 append, v3 overwrite-rebuild) are published,
+    * then the feed is computed for v1→v2 (pure inserts — the append)
+    * and v2→v3 (updates for the rebuilt keys, deletes for the rest),
+    * covering all three op kinds. Unchanged rows are NOT part of a
+    * change feed and are filtered on the exact integer-cents
+    * comparison.
+    *
+    * Scale shape: one FULL OUTER shuffle per version pair on the key —
+    * the identical movement as the A6 MERGE, and the best possible
+    * without file-level change tracking; a store that recorded per-file
+    * add/remove in its manifests could skip the unchanged files
+    * entirely, which is exactly what the A18 manifests enable for the
+    * append case (v2's feed IS its appended directories). The oracle
+    * recomputes both version contents from the base table and diffs
+    * them with the same FULL OUTER composition. */
+  def warehouseSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_diff_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    def feed(va: Int, vb: Int): DataFrame = {
+      val a = SnapshotStore.read(spark, root, asOf = Some(va))
+        .select(col("c_custkey").as("key_a"),
+          cents(col("c_acctbal")).as("cents_before"))
+      val b = SnapshotStore.read(spark, root, asOf = Some(vb))
+        .select(col("c_custkey").as("key_b"),
+          cents(col("c_acctbal")).as("cents_after"))
+      a.join(b, col("key_a") === col("key_b"), "full_outer")
+        .withColumn("op",
+          when(col("key_a").isNull, "I")
+            .when(col("key_b").isNull, "D")
+            .otherwise("U"))
+        .filter(col("op") =!= "U" ||
+          col("cents_before") =!= col("cents_after"))
+        .select(lit(va).as("from_v"), lit(vb).as("to_v"), col("op"),
+          coalesce(col("key_a"), col("key_b")).as("c_custkey"),
+          col("cents_before"), col("cents_after"))
+    }
+    feed(1, 2).unionAll(feed(2, 3))
+      .orderBy(col("from_v"), col("c_custkey"))
   }
 
   /** A19: point-in-time read over an SCD2 dimension — the CONSUMER of

@@ -75,6 +75,22 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** J25: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` (Spark 3.5+). J5's
+    * `dropDuplicates` keeps every key it has ever seen (state grows
+    * with the id universe — unusable on an unbounded stream); the
+    * within-watermark variant evicts a key's state once the watermark
+    * passes its event time + delay, so state is bounded by the keys of
+    * one watermark window: THE production shape for at-least-once
+    * ingest dedup, where duplicates arrive close together (client
+    * retries, source replays) and a key seen again much later is a
+    * genuinely new record. Semantic difference from J5 pinned in
+    * `StreamingSpec`: a duplicate id inside the delay is suppressed;
+    * the same id arriving after its state expired is emitted AGAIN. */
+  def streamingDedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** J6: stream ⋈ static dimension join. No broadcast hint: the user
     * dim is user-cardinality (grows with the user base), so the
     * planner's threshold decides per micro-batch — broadcast while the
@@ -130,6 +146,32 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(out)
+
+  /** J26: bounded BACKFILL — `Trigger.AvailableNow`: process every
+    * input file available at start (in rate-limited micro-batches,
+    * unlike the single giant batch of the deprecated `Trigger.Once`),
+    * commit the checkpoint, then STOP. This is the production
+    * bootstrap/catch-up path: the same streaming query that normally
+    * tails the source replays months of history as a terminating job
+    * with the SAME code, checkpoint, and exactly-once bookkeeping — no
+    * separate batch variant to keep in sync. Files landing after start
+    * are NOT consumed (bounded by the start-time listing); a RESTART
+    * on the same checkpoint consumes exactly the delta. Both halves
+    * pinned in `StreamingSpec`. */
+  def backfillAvailableNow(spark: SparkSession, srcDir: String,
+      checkpoint: String, queryName: String): Unit = {
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 
   /** J12: streaming CDC upsert — the change-data pattern a warehouse
     * actually ingests with: each micro-batch of keyed change rows

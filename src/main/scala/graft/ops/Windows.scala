@@ -154,4 +154,32 @@ object Windows {
       .orderBy(col("o_orderkey"), col("o_custkey"), col("first_order"),
         col("last_order"), col("second_order"))
   }
+
+  /** E8: IGNORE NULLS window navigation — the gap-filling semantics of
+    * E7's value functions over a SPARSE column: a reading exists only
+    * on every 3rd order (deterministic NULL synthesis — the fixture
+    * has no NULLs), and per customer the query carries forward the
+    * last known reading (`last_value IGNORE NULLS` over the running
+    * frame — THE forward-fill primitive under J17's resample), plus
+    * the first and second non-null readings over the full frame.
+    * Without IGNORE NULLS each of these returns NULL whenever the
+    * nearest row is a gap — the respect-nulls default is the second
+    * classic window trap beside E7's default-frame one. One shuffle on
+    * the partition key, two frames over the same sort. */
+  def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, cents(col("o_totalprice")))
+          .as("v"))
+      .select(col("o_custkey"), col("o_orderkey"), col("v"),
+        last(col("v"), ignoreNulls = true).over(run).as("ffill"),
+        first(col("v"), ignoreNulls = true).over(full).as("first_nn"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(full)
+          .as("second_nn"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }

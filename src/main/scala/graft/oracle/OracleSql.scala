@@ -310,6 +310,30 @@ object OracleSql {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 
+    // A23 _metadata introspection: the deterministic one-file-per-year
+    // layout makes the file-level facts recomputable from the base
+    // table (n_files = 1, row_index spans [0, n_rows))
+    "scan_metadata_files" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  count(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) - 1 AS BIGINT) AS max_row_index
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+
+    // C19 dynamic partition pruning must be value-transparent: the
+    // oracle computes the joined-and-pruned result directly (every
+    // year ≥ 1997 survives the calendar-dim filter)
+    "join_dynamic_prune" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  count(*) AS n_orders,
+         |  ${dbl(s"sum(${dec("o_totalprice")})")} AS total_price
+         |FROM orders
+         |WHERE year(o_orderdate) >= 1997
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
+
     // bucketing must be value-transparent: the oracle joins the
     // original unbucketed tables
     "join_bucketed_colocated" ->
@@ -364,6 +388,39 @@ object OracleSql {
         |SELECT 3, CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+
+    // A22 snapshot change feed: both version contents recomputed from
+    // the base table, diffed with the same FULL OUTER + op-case
+    // composition the engine runs; unchanged rows filtered on the
+    // exact integer-cents comparison.
+    "warehouse_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey % 10 IN (0, 5)
+        |), v3 AS (
+        |  SELECT c_custkey,
+        |    CAST(round((c_acctbal + 1000) * 100, 0) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), d12 AS (
+        |  SELECT 1 AS from_v, 2 AS to_v,
+        |    CASE WHEN a.c_custkey IS NULL THEN 'I'
+        |         WHEN b.c_custkey IS NULL THEN 'D' ELSE 'U' END AS op,
+        |    COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    a.cents AS cents_before, b.cents AS cents_after
+        |  FROM v1 a FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+        |), d23 AS (
+        |  SELECT 2, 3,
+        |    CASE WHEN a.c_custkey IS NULL THEN 'I'
+        |         WHEN b.c_custkey IS NULL THEN 'D' ELSE 'U' END,
+        |    COALESCE(a.c_custkey, b.c_custkey), a.cents, b.cents
+        |  FROM v2 a FULL JOIN v3 b ON a.c_custkey = b.c_custkey
+        |)
+        |SELECT * FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+        |WHERE op <> 'U' OR cents_before <> cents_after
+        |ORDER BY from_v, c_custkey""".stripMargin,
 
     // A21 observed scan: the CollectMetrics node is semantically
     // transparent — the oracle is the plain filtered projection; the
@@ -681,6 +738,18 @@ object OracleSql {
         |FROM v GROUP BY lower(b)
         |ORDER BY canon""".stripMargin,
 
+    // H14 SQL UDF: the engine declares graft_disc_price as a SQL UDF
+    // and Catalyst inlines it; the oracle inlines the body by hand —
+    // the two must be semantically identical
+    "fn_sql_udf" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // C18 TPC-H Q5: 6-way snowflake join, literal SQL in both engines
     "sql_tpch_q5" ->
       """SELECT n_name,
@@ -699,6 +768,25 @@ object OracleSql {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // C20 TPC-H Q18: large-volume customers — literal SQL in both
+    // engines (spark.sql runs this exact text); the IN subquery is the
+    // aggregate-HAVING self-reference Catalyst plans as a semi join
+    "sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     // tolerance masks the match columns when the nearest prior event
     // is farther than 6 h (21_600_000_000 us) — NULLs, never a farther
@@ -885,6 +973,21 @@ object OracleSql {
         |FROM r WHERE rn = 1
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // D24 conditional/boolean aggregates: count_if mirrored by the
+    // ANSI FILTER clause; DISTINCT sum over exact integer cents
+    // (HUGEINT→BIGINT cast per the agg_pivot note)
+    "agg_conditional" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(SUM(DISTINCT CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents_distinct_sum,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // CAST to BIGINT: DuckDB's SUM over integers is HUGEINT, which the
     // driver's hasher reads as float64 and hash-mismatches against
     // Spark's BIGINT pivot counts (round-4 verdict). SUM(CASE) (not
@@ -1050,6 +1153,27 @@ object OracleSql {
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey, o_custkey, first_order, last_order, second_order""".stripMargin,
+
+    // E8 IGNORE NULLS navigation: identical deterministic NULL
+    // synthesis (every 3rd order carries a reading) and identical
+    // frames; IGNORE NULLS sits inside the call in DuckDB
+    "win_ignore_nulls" ->
+      """WITH b AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS v
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, v,
+        |  last_value(v IGNORE NULLS) OVER runw AS ffill,
+        |  first_value(v IGNORE NULLS) OVER fullw AS first_nn,
+        |  nth_value(v, 2 IGNORE NULLS) OVER fullw AS second_nn
+        |FROM b
+        |WINDOW runw AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fullw AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // ---------------- F: sorts / limits / census ----------------
     "sort_multi_nulls" ->
@@ -1697,6 +1821,29 @@ object OracleSql {
          |SELECT c.node, c.component_id, CAST(s.n_nodes AS BIGINT) AS n_nodes
          |FROM comp c JOIN sz s USING (component_id)
          |ORDER BY component_id, node""".stripMargin,
+
+    // L6 bounded-depth BFS: recursive min-distance closure over the
+    // same support-48 edge CTE, depth-guarded at Graphs.BfsMaxHops —
+    // UNION (set) semantics bound the (id, d) space so the recursion
+    // terminates on cyclic graphs
+    "graph_bfs" ->
+      s"""WITH RECURSIVE ${coGraphCtes(graft.ops.Graphs.ComponentsMinQty)},
+         |und AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), seed AS (
+         |  SELECT MIN(src) AS s FROM und
+         |), walk(id, d) AS (
+         |  SELECT s, 0 FROM seed
+         |  UNION
+         |  SELECT u.dst, w.d + 1 FROM walk w
+         |  JOIN und u ON u.src = w.id
+         |  WHERE w.d < ${graft.ops.Graphs.BfsMaxHops}
+         |)
+         |SELECT id AS node, CAST(MIN(d) AS INT) AS dist
+         |FROM walk GROUP BY id
+         |ORDER BY node""".stripMargin,
 
     // Z-order layout audit: Morton-interleave the low 16 bits of
     // (l_partkey, l_suppkey) — the same magic-number dilation as
@@ -2899,6 +3046,32 @@ object OracleSql {
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram
         |LIMIT 20""".stripMargin,
+
+    // K63 boilerplate accounting: the engine groups segments by their
+    // 64-bit xxhash; the oracle groups by the segment text itself —
+    // collision-free equivalence at corpus scale. Tumbling 8-token
+    // segments mirror LlmData.BoilerSegTokens; the trailing short
+    // segment is a segment like any other (both sides slice-and-cap).
+    "text_boilerplate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), segs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, (len(l) + 7) // 8),
+         |      s -> array_to_string(list_slice(l, s * 8 + 1, s * 8 + 8),
+         |        ' '))) AS seg_text
+         |  FROM base
+         |), freq AS (
+         |  SELECT seg_text, count(DISTINCT doc_id) AS nd
+         |  FROM segs GROUP BY seg_text
+         |)
+         |SELECT s.doc_id, count(*) AS n_seg,
+         |  count(*) FILTER (WHERE f.nd >= 2) AS n_boiler,
+         |  ${dbl(s"${dec("count(*) FILTER (WHERE f.nd >= 2)")} / count(*)")}
+         |    AS boiler_ratio
+         |FROM segs s JOIN freq f USING (seg_text)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
 
     "text_tfidf" ->
       """SELECT token, tf, df,

@@ -232,4 +232,42 @@ class GraphsSpec extends SparkTestBase {
       .distinct().count()
     assert(rows.map(_.getLong(1)).sum == nNodes)
   }
+
+  test("L6: BFS distances are exact on a path and capped at BfsMaxHops") {
+    import spark.implicits._
+    // path 0-1-2-...-9 from seed MIN=0: dist(i)=i, capped at 6 hops —
+    // nodes 7..9 are beyond the declared depth and must be ABSENT
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
+    val d = Graphs.bfsDistances(path).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == (0 to Graphs.BfsMaxHops).map(i => i.toLong -> i).toMap)
+  }
+
+  test("L6: BFS on a cycle takes the shorter way around") {
+    import spark.implicits._
+    // 6-cycle 0-1-2-3-4-5-0: two directions meet at node 3
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 0L)).toDF("u", "v")
+    val d = Graphs.bfsDistances(cycle).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2, 3L -> 3))
+  }
+
+  test("L6: fixture BFS — seed at dist 0, frontier monotone (graph_bfs)") {
+    val rows = Graphs.graphBfs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows.nonEmpty)
+    val byNode = rows.toMap
+    assert(byNode(rows.map(_._1).min) == 0, "seed is MIN(node) at dist 0")
+    assert(rows.count(_._2 == 0) == 1, "exactly one seed")
+    assert(rows.forall { case (_, d) => d >= 0 && d <= Graphs.BfsMaxHops })
+    // every reached non-seed node has a neighbor one hop closer
+    val edges = Graphs.cachedCoOccurrenceEdges(spark, sfDir,
+      Graphs.ComponentsMinQty).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    for ((n, d) <- rows if d > 0)
+      assert(nbrs(n).exists(m => byNode.get(m).contains(d - 1)),
+        s"node $n at dist $d has no parent at ${d - 1}")
+  }
 }

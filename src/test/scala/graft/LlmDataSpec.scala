@@ -514,4 +514,36 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  test("K63: boilerplate = segments shared across DISTINCT docs only") {
+    import spark.implicits._
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ") // one full segment
+    val docs = Seq(
+      (0L, shared + " tail0 t1"),              // segs: shared, "tail0 t1"
+      (1L, shared + " other x y z"),           // segs: shared, "other x y z"
+      (2L, "p q r s t u v w"),                 // unique single segment
+      (3L, ("m " * 16).trim)                   // "m"×8 twice — SAME doc only
+    ).toDF("doc_id", "text")
+    val r = LlmData.boilerplateCounts(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L) == ((2L, 1L, 0.5)))
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((1L, 0L, 0.0)))
+    // within-one-doc repetition is NOT boilerplate (distinct-doc bar)
+    assert(r(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("K63: fixture boilerplate accounting is internally consistent") {
+    val rows = LlmData.textBoilerplate(spark, sfDir).collect()
+    val nDocs = graft.ops.Util.t(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs, "every document gets a row")
+    for (r <- rows) {
+      val (nSeg, nBoiler, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nSeg >= 1 && nBoiler >= 0 && nBoiler <= nSeg)
+      assert(math.abs(ratio - nBoiler.toDouble / nSeg) < 1e-6)
+    }
+    // the fixture plants exact duplicates → some boilerplate must exist
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
 }

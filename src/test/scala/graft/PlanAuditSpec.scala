@@ -57,6 +57,37 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected exactly 1 partition read: ${scan.metrics("numPartitions").value}")
   }
 
+  test("join_dynamic_prune: the fact scan carries a runtime pruning filter") {
+    val df = SparkEntry.queries("join_dynamic_prune")(spark, sfDir)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    // the partitioned fact scan (the one over o_year directories) must
+    // be pruned by a DYNAMIC filter — no literal year predicate exists
+    // on the fact side to prune statically
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val fact = scans.filter(_.toString.contains("o_year"))
+      .find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail(s"no partitioned fact scan found:\n$scans"))
+    assert(fact.partitionFilters.mkString(",").toLowerCase
+      .contains("dynamicpruning"), fact.toString)
+    // and the runtime prune must actually skip directories: the
+    // fixture spans years before 1997
+    val read = fact.metrics("numPartitions").value
+    val all = spark.read.parquet(
+      fact.relation.location.rootPaths.head.toString)
+      .select("o_year").distinct().count()
+    assert(read < all, s"DPP read $read of $all partitions — no skip")
+  }
+
   test("join_bucketed_colocated joins with no exchange on either side") {
     val p = plan("join_bucketed_colocated")
     assert(p.contains("SortMergeJoin"), p)

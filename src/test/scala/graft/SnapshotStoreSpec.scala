@@ -144,4 +144,24 @@ class SnapshotStoreSpec extends SparkTestBase {
       assert(r.getLong(4) == 1L, "one reclaimed orphan dir")
     }
   }
+
+  test("warehouse_snapshot_diff: feed ops partition correctly (A22)") {
+    val rows = ops.Scans.warehouseSnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val (d12, d23) = rows.partition(_._1 == 1)
+    // v1→v2 was a pure APPEND: the feed is inserts only, all %10==5
+    assert(d12.nonEmpty && d12.forall(r => r._2 == 2 && r._3 == "I"))
+    assert(d12.forall(_._4 % 10 == 5))
+    // v2→v3 rebuild: updates exactly the %100==0 keys, deletes the rest
+    val ups = d23.filter(_._3 == "U")
+    val dels = d23.filter(_._3 == "D")
+    assert(d23.nonEmpty && ups.forall(_._4 % 100 == 0))
+    assert(dels.forall(r => r._4 % 100 != 0 && (r._4 % 10 == 0 || r._4 % 10 == 5)))
+    assert(d23.count(_._3 == "I") == 0, "the rebuild's keys all pre-exist")
+    // a change feed never reports an unchanged row: U rows moved value
+    val full = ops.Scans.warehouseSnapshotDiff(spark, sfDir).collect()
+    for (r <- full if r.getString(2) == "U")
+      assert(r.getLong(4) != r.getLong(5))
+  }
 }

@@ -68,6 +68,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J25: dedup-within-watermark suppresses near dups, re-emits after expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingDedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("j25")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(1, ts("2024-01-01 10:01:00"), 1, "view")) // retry dup, inside delay
+      q.processAllAvailable()
+      assert(spark.table("j25")
+        .filter($"event_id" === 1L).count() == 1L)
+      // advance the watermark past id 1's expiry (10:00 + 10 min):
+      // an 11:00 event moves the watermark to 10:50
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 2, "click"))
+      q.processAllAvailable()
+      // same id, long after its state expired → a genuinely new record
+      in.addData(Ev(1, ts("2024-01-01 11:05:00"), 1, "view"))
+      q.processAllAvailable()
+      val n1 = spark.table("j25").filter($"event_id" === 1L).count()
+      assert(n1 == 2L, s"expired id must re-emit (got $n1 rows for id 1)")
+      // J5's forever-state dedup would have suppressed the re-arrival —
+      // that contrast is the point of the within-watermark variant
+    }
+  }
+
+  test("J26: AvailableNow backfill terminates, bounds input, resumes the delta") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_bf_src_").toString
+    val ckpt = tmpCheckpoint()
+    def drop(rows: (Long, Long, String)*): Unit =
+      rows.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    drop((1L, 1L, "view"), (2L, 1L, "click"))
+    drop((3L, 2L, "view"))
+    // backfill 1: consumes everything available at start, then STOPS
+    StreamingOps.backfillAvailableNow(spark, src, ckpt, "j26")
+    val n1 = spark.table("j26").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n1 == Map("view" -> 2L, "click" -> 1L))
+    // a file landing AFTER termination is not consumed by the done run
+    drop((4L, 3L, "purchase"))
+    assert(spark.table("j26").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == n1)
+    // restart on the SAME checkpoint: exactly the delta is processed
+    StreamingOps.backfillAvailableNow(spark, src, ckpt, "j26b")
+    val n2 = spark.table("j26b").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n2 == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("J6: stream-static broadcast join enriches events with the dim") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
