@@ -219,7 +219,15 @@ object Fns {
         try_variant_get(col("v"), "$.k", "string").as("k_str"),
         try_variant_get(col("v"), "$.missing", "int").as("missing_k"),
         schema_of_variant(col("v")).as("vtype"),
-        try_parse_json(concat(lit("{"), col("props"))).isNull.as("bad_is_null"))
+        // the malformed-document probe drives a caught EXCEPTION per
+        // evaluation — probing every row cost ~1 s of pure
+        // throw/catch at sf0.1, so the absorb-don't-fail semantics
+        // are sampled on every 100th event (NULL elsewhere); at
+        // 100 TB a per-row exception probe would be a real CPU line
+        // item, which is itself the lesson
+        when(col("event_id") % 100 === 0,
+          try_parse_json(concat(lit("{"), col("props"))).isNull)
+          .as("bad_is_null"))
       .orderBy(col("event_id"))
 
   def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
@@ -262,6 +270,35 @@ object Fns {
       .select(col("canon"), col("n"), col("n_forms"))
       .orderBy(col("canon"))
   }
+
+  /** H15: the try_* ANSI-safe arithmetic surface — Spark 4 runs ANSI
+    * mode by default, where division by zero, numeric overflow, and
+    * bad casts THROW and kill the job; `try_divide`/`try_add`/
+    * `try_cast`/`try_element_at` return NULL instead, which is the
+    * production posture for dirty data at 100 TB (one malformed cell
+    * must not kill a load — A11's PERMISSIVE discipline at the
+    * expression level, with the NULL observable per cell instead of
+    * per record). Each probe is deterministic: a zero divisor every
+    * 5th key, a non-numeric string every 3rd, a guaranteed BIGINT
+    * overflow every odd key, an out-of-bounds list index when the
+    * split yields one part. Oracle: DuckDB divides-to-NULL natively
+    * and mirrors the rest with TRY_CAST / list indexing / a CASE for
+    * the analytically-known overflow. */
+  def fnTryArith(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 5).as("d"),
+        concat(when(col("o_orderkey") % 3 === 0, lit("x"))
+            .otherwise(lit("")),
+          (col("o_orderkey") % 100).cast("string")).as("s"))
+      .select(col("o_orderkey"),
+        expr("try_divide(CAST(o_orderkey AS DOUBLE), CAST(d AS DOUBLE))")
+          .as("q"),
+        expr("try_cast(s AS INT)").as("n"),
+        expr("try_add(CAST(9223372036854775807 AS BIGINT), o_orderkey % 2)")
+          .as("ov"),
+        expr("try_element_at(split(s, 'x'), 2)").as("second_part"))
+      .orderBy(col("o_orderkey"))
 
   /** H14: the Spark 4 SQL UDF surface — `CREATE TEMPORARY FUNCTION …
     * RETURNS … RETURN <expr>` (SQL-defined, not Scala-closure): the

@@ -280,6 +280,37 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q5"))
   }
 
+  /** C21: NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the
+    * dimension-lookup correctness trap: a plain equi join silently
+    * DROPS every row whose key is NULL (NULL = NULL is NULL, not
+    * true), so unknown-key facts vanish from the rollup and the
+    * totals quietly stop reconciling. The null-safe operator treats
+    * NULL as a JOINABLE value: unknown-key customers land on the
+    * planted 'UNKNOWN' dimension row instead of disappearing — the
+    * unknown-member convention every warehouse dimension carries.
+    * `EqualNullSafe` is a hashable join key in Catalyst, so this
+    * plans as a normal hash/sort-merge join (NULLs hash to one value
+    * — a NULL-heavy fact side is a skew key like any other, handled
+    * by the same AQE/salting toolbox as C12). Deterministic NULL
+    * synthesis: every 10th customer's nation is unknown. */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(null))
+          .otherwise(col("c_nationkey")).cast("long").as("nkey"),
+        col("c_acctbal"))
+    val dim = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("dkey"),
+        col("n_name"))
+      .unionAll(Seq((Option.empty[Long], "UNKNOWN")).toDF("dkey", "n_name"))
+    cust.join(dim, col("nkey") <=> col("dkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        decSumDbl(col("c_acctbal")).as("acctbal_sum"))
+      .orderBy(col("n_name"))
+  }
+
   /** C20: TPC-H Q18 as literal SQL (same mechanism as C15) — the
     * "large-volume customer" shape: an IN subquery whose inner side is
     * an aggregate-HAVING over the FACT table itself. Catalyst must

@@ -303,6 +303,79 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A24: declarative data-quality EXPECTATIONS in one pass — the
+    * Delta-Live-Tables/Great-Expectations movement: every load
+    * declares its invariants (not-null, value range, domain pattern,
+    * key uniqueness) and the engine reports violation counts from the
+    * SAME aggregation, never one filtered scan per rule (k rules as k
+    * scans is k× the IO at 100 TB — the A21 rationale as a rule
+    * battery). Violations are SYNTHESIZED deterministically (the
+    * fixture is clean): NULL status every 97th key, negated price
+    * every 89th, malformed priority every 83rd, every 101st row
+    * re-sent (duplicate key). One row out: each rule's violation
+    * count plus a thresholded verdict (<2% nulls), all computed
+    * exactly; uniqueness = COUNT(*) − COUNT(DISTINCT key) rides the
+    * same pass. */
+  def scanExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("tp"),
+        when(col("o_orderkey") % 83 === 0, lit("9-BOGUS"))
+          .otherwise(col("o_orderpriority")).as("pr"))
+    val d2 = dirty.unionAll(dirty.filter(col("o_orderkey") % 101 === 0))
+    d2.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null_status"),
+      sum(when(col("tp") < 0 || col("tp") > 1000000, 1L).otherwise(0L))
+        .as("n_price_oob"),
+      sum(when(!col("pr").rlike("^[1-5]-"), 1L).otherwise(0L))
+        .as("n_bad_priority"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_keys"))
+      .withColumn("status_ok",
+        col("n_null_status") * 50 < col("n_rows"))
+  }
+
+  /** A25: snapshot OPTIMIZE — compaction + sort-order rewrite AS A
+    * COMMIT: four commits accrete the small-file layout every
+    * streaming/CDC load produces (v1 overwrite + three appends, one
+    * file each — the J9/J15 accretion shape), then OPTIMIZE reads the
+    * latest snapshot and republishes it compacted (2 files,
+    * sorted-within-partitions on the key so zone maps tighten — the
+    * A15 rationale) as version 5. The movement the public
+    * `OPTIMIZE` / `rewrite_data_files` commands run: content is
+    * BIT-IDENTICAL (the oracle proves v5 ≡ v4), only the file layout
+    * changes, and history stays time-travelable — v1..v4 still read
+    * exactly (F9 plans this compaction; this op commits it through
+    * the store). File counts come from `_metadata` (A23) and are
+    * deterministic by construction: 1, 2, 3, 4, then 2. */
+  def snapshotOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_opt_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    def slice(m: Int) = cust.filter(col("c_custkey") % 10 === m)
+      .repartition(1)
+    SnapshotStore.commitOverwrite(spark, root, slice(0))
+    SnapshotStore.commitAppend(spark, root, slice(5))
+    SnapshotStore.commitAppend(spark, root, slice(7))
+    SnapshotStore.commitAppend(spark, root, slice(3))
+    SnapshotStore.commitOverwrite(spark, root,
+      SnapshotStore.read(spark, root)
+        .repartition(2).sortWithinPartitions(col("c_custkey")))
+    (1 to 5).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .select(col("c_acctbal"), col("_metadata.file_name").as("fname"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("cents_sum"),
+          countDistinct(col("fname")).as("n_files"))
+        .select(lit(v).as("version"), col("n_rows"), col("cents_sum"),
+          col("n_files"))
+    }.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
   /** A23: the `_metadata` file-introspection surface — every file
     * source exposes a hidden `_metadata` struct (file_name, file_size,
     * row_index, …) that debugging, auditing, and incremental-load

@@ -310,6 +310,58 @@ object OracleSql {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 
+    // A24 expectations: identical deterministic dirt synthesis, one
+    // aggregation with FILTER-clause rule counts
+    "scan_expectations" ->
+      """WITH dirty AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS tp,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN '9-BOGUS'
+        |         ELSE o_orderpriority END AS pr
+        |  FROM orders
+        |), d2 AS (
+        |  SELECT * FROM dirty
+        |  UNION ALL SELECT * FROM dirty WHERE o_orderkey % 101 = 0
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE st IS NULL) AS BIGINT)
+        |    AS n_null_status,
+        |  CAST(count(*) FILTER (WHERE tp < 0 OR tp > 1000000) AS BIGINT)
+        |    AS n_price_oob,
+        |  CAST(count(*) FILTER (WHERE NOT regexp_matches(pr, '^[1-5]-'))
+        |    AS BIGINT) AS n_bad_priority,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS n_dup_keys,
+        |  count(*) FILTER (WHERE st IS NULL) * 50 < count(*) AS status_ok
+        |FROM d2""".stripMargin,
+
+    // A25 snapshot OPTIMIZE: version contents recomputed from the base
+    // table (v5 must be bit-identical to v4 — OPTIMIZE changes layout,
+    // never content); file counts are deterministic by construction
+    "snapshot_optimize" ->
+      """WITH t AS (
+        |  SELECT c_custkey % 10 AS m,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer
+        |), v(version, nf) AS (
+        |  VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 2)
+        |), k(version, mm) AS (
+        |  VALUES (1, 0),
+        |    (2, 0), (2, 5),
+        |    (3, 0), (3, 5), (3, 7),
+        |    (4, 0), (4, 5), (4, 7), (4, 3),
+        |    (5, 0), (5, 5), (5, 7), (5, 3)
+        |)
+        |SELECT k.version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS cents_sum,
+        |  CAST(MIN(v.nf) AS BIGINT) AS n_files
+        |FROM k JOIN t ON t.m = k.mm JOIN v ON v.version = k.version
+        |GROUP BY k.version
+        |ORDER BY k.version""".stripMargin,
+
     // A23 _metadata introspection: the deterministic one-file-per-year
     // layout makes the file-level facts recomputable from the base
     // table (n_files = 1, row_index spans [0, n_rows))
@@ -321,6 +373,27 @@ object OracleSql {
         |FROM orders
         |GROUP BY 1
         |ORDER BY o_year""".stripMargin,
+
+    // C21 null-safe join: IS NOT DISTINCT FROM joins the planted
+    // NULL keys onto the UNKNOWN dimension row instead of dropping
+    // them (a plain equi join loses every 10th customer here)
+    "join_null_safe" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 10 = 0 THEN NULL
+         |         ELSE c_nationkey END AS nkey,
+         |    c_acctbal
+         |  FROM customer
+         |), dim AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS dkey, n_name FROM nation
+         |  UNION ALL
+         |  SELECT CAST(NULL AS BIGINT), 'UNKNOWN'
+         |)
+         |SELECT n_name, count(*) AS n_cust,
+         |  ${dbl(s"sum(${dec("c_acctbal")})")} AS acctbal_sum
+         |FROM cust JOIN dim ON nkey IS NOT DISTINCT FROM dkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
 
     // C19 dynamic partition pruning must be value-transparent: the
     // oracle computes the joined-and-pruned result directly (every
@@ -737,6 +810,24 @@ object OracleSql {
         |  CAST(COUNT(DISTINCT b) AS BIGINT) AS n_forms
         |FROM v GROUP BY lower(b)
         |ORDER BY canon""".stripMargin,
+
+    // H15 try_* arithmetic: DuckDB divides-to-NULL natively; TRY_CAST
+    // and out-of-bounds list indexing mirror try_cast/try_element_at;
+    // the BIGINT overflow is analytically known (odd keys overflow)
+    "fn_try_arith" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderkey % 5 AS d,
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN 'x' ELSE '' END) ||
+        |      CAST(o_orderkey % 100 AS VARCHAR) AS s
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  CAST(o_orderkey AS DOUBLE) / CAST(d AS DOUBLE) AS q,
+        |  TRY_CAST(s AS INTEGER) AS n,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END AS ov,
+        |  string_split(s, 'x')[2] AS second_part
+        |FROM b
+        |ORDER BY o_orderkey""".stripMargin,
 
     // H14 SQL UDF: the engine declares graft_disc_price as a SQL UDF
     // and Catalyst inlines it; the oracle inlines the body by hand —
@@ -1350,7 +1441,8 @@ object OracleSql {
         |  CAST(NULL AS INT) AS missing_k,
         |  CASE WHEN props IS NULL THEN NULL
         |    ELSE 'OBJECT<k: BIGINT>' END AS vtype,
-        |  CASE WHEN props IS NULL THEN TRUE
+        |  CASE WHEN event_id % 100 <> 0 THEN NULL
+        |    WHEN props IS NULL THEN TRUE
         |    ELSE NOT json_valid('{' || props) END AS bad_is_null
         |FROM events
         |ORDER BY event_id""".stripMargin,

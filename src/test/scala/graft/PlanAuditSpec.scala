@@ -440,11 +440,17 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("round-14 second-wave additions keep their scale shapes") {
-    // agg_histogram_eqdepth: boundary + bucket aggs are partial passes;
-    // the 1-row boundary/total frames broadcast; never a window/sort
-    // over the fact table
+    // agg_histogram_eqdepth: the percentile+bin subtree is eagerly
+    // materialized (≤8 rows) BEFORE the total/share branches — the
+    // final plan must read the checkpointed RDD (proving the heavy
+    // subtree cannot re-execute per branch), broadcast the 1-row
+    // total, and never window/sort the fact table. The partial-agg
+    // discipline of the bin pass itself is pinned on the
+    // pre-checkpoint subtree via a fresh execution below.
     val eq = plan("agg_histogram_eqdepth")
-    assert(eq.contains("partial_count"), eq)
+    assert(eq.contains("Scan ExistingRDD"),
+      "binned frame must be checkpointed — both branches re-ran the " +
+        "exact-percentile pass otherwise\n" + eq)
     assert(eq.contains("BroadcastNestedLoopJoin") || eq.contains("BroadcastExchange"),
       "1-row frames must broadcast\n" + eq)
     assert(!eq.contains("Window"), "no window over the fact table\n" + eq)

@@ -145,6 +145,20 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot_optimize: layout shrinks, content identical, history intact (A25)") {
+    val rows = ops.Scans.snapshotOptimize(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+    val byV = rows.map(r => r._1 -> r).toMap
+    // OPTIMIZE never changes content: v5 ≡ v4 in rows and value mass
+    assert(byV(5)._2 == byV(4)._2 && byV(5)._3 == byV(4)._3)
+    // ...but shrinks the accreted small files 4 → 2
+    assert(rows.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L, 2L))
+    // appends only ever grow the row count
+    assert(byV(1)._2 < byV(2)._2 && byV(2)._2 < byV(3)._2 &&
+      byV(3)._2 < byV(4)._2)
+  }
+
   test("warehouse_snapshot_diff: feed ops partition correctly (A22)") {
     val rows = ops.Scans.warehouseSnapshotDiff(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
