@@ -156,6 +156,34 @@ object Aggregates {
     per.unionByName(all).orderBy(col("scope"))
   }
 
+  /** D25: sketch PERSISTENCE — the sketch-as-column pattern D18's
+    * in-memory rollup stops short of: per-(status, year) HLL sketches
+    * are WRITTEN TO PARQUET as binary blobs (the pre-aggregated cube
+    * a 100-TB warehouse maintains incrementally — each load appends
+    * its partition's sketches and NEVER re-scans history), then a
+    * later, separate read rolls the stored blobs up per status and
+    * estimates. The property that makes the pattern work — and what
+    * the spec pins — is that serialization is LOSSLESS: the estimate
+    * from stored-then-unioned sketches is IDENTICAL to the estimate
+    * from a direct one-pass union (same bytes → same estimate), so
+    * the cube answers any coarser rollup without touching the fact
+    * table again. Rows-only (HLL estimates are engine-specific);
+    * exactness-vs-direct and 5%-of-exact laws in `AggregatesSpec`. */
+  def aggSketchPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Scans.freshSinkDir(spark, "sketch_cube_")
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_cells"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_cust_est"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** D19: theta-sketch distinct-set ALGEBRA
     * ([[graft.functions.ThetaSketchAgg]], Apache DataSketches) — the
     * capability D18's HLL family lacks: set INTERSECTION and DIFFERENCE

@@ -330,6 +330,66 @@ object Graphs {
     dist
   }
 
+  /** Fixed round count for [[graphLabelProp]] — declared semantics
+    * (the oracle unrolls exactly this many rounds). */
+  val LpaRounds = 3
+
+  /** L7: label-propagation community detection (Raghavan et al. 2007,
+    * public) — the near-linear community algorithm run on link/host
+    * graphs to group sources before per-community curation decisions.
+    * Deterministic synchronous variant: every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its NEIGHBORS, ties broken by smallest label (bare LPA is
+    * tie-nondeterministic — the same reason D22 re-implements mode).
+    * Exactly [[LpaRounds]] rounds: fixed-round LPA is the declared
+    * semantics (a convergence loop is data-dependent and
+    * un-oracle-able), and on the sparse support-48 backbone three
+    * rounds already collapse the small components.
+    *
+    * Scale shape per round: one co-partitioned join of the symmetric
+    * edge list against the node-cardinality label frame + two
+    * partial-agg passes ((node, label) counts, then the argmax via
+    * `min_by` on the (−count, label) key — the D22 trick, no window,
+    * no per-node subquery); eager localCheckpoint per round (the
+    * [[pagerank]] discipline). Oracle: [[LpaRounds]] unrolled
+    * count+row_number CTE rounds over the identical edge CTE. */
+  def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = labelPropagation(
+      cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("id").as("node"), col("lbl").as("community"),
+        col("n_members"))
+      .orderBy(col("community"), col("node"))
+  }
+
+  /** The LPA core over an arbitrary distinct undirected (u, v) edge
+    * list: the (id, lbl) frame after [[LpaRounds]] deterministic
+    * rounds — separated so the propagation laws (clique collapse,
+    * disconnected-part independence) are pinnable on known graphs
+    * (`GraphsSpec`). */
+  def labelPropagation(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.localCheckpoint(true)
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst")).localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      labels = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")),
+          Seq("dst"))
+        .groupBy(col("src"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min_by(col("nlbl"),
+          struct((-col("c")).as("nc"), col("nlbl"))).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Companion observability row for L3 (the `dedup_health` pattern):
     * one row over the same support-35 graph reporting node/edge counts,
     * the max degree, and exactly how much the [[Buckets.MaxBucket]]

@@ -42,8 +42,10 @@ object Scans {
       .getOrElse(tmpSinkRoot.toString)
 
   /** Unique per-invocation sink path: concurrent runs must not clobber
-    * each other's output (round-3 advice). */
-  private def freshSinkDir(spark: SparkSession, prefix: String): String =
+    * each other's output (round-3 advice). Package-private so sibling
+    * op families with a sink leg (D25 sketch cube) share the root
+    * discipline instead of growing their own. */
+  private[ops] def freshSinkDir(spark: SparkSession, prefix: String): String =
     s"${sinkRoot(spark)}/$prefix${java.util.UUID.randomUUID().toString}"
 
   /** A1: projection-only scan of lineitem — parquet reads exactly 4 columns. */

@@ -1914,6 +1914,40 @@ object OracleSql {
          |FROM comp c JOIN sz s USING (component_id)
          |ORDER BY component_id, node""".stripMargin,
 
+    // L7 label propagation: Graphs.LpaRounds unrolled count+argmax
+    // rounds over the identical capped edge CTE; argmax = row_number
+    // ordered (c DESC, lbl) — the deterministic tie-min rule
+    "graph_label_prop" -> {
+      val rounds = (1 to graft.ops.Graphs.LpaRounds).map { i =>
+        s"""r$i AS (
+           |  SELECT u.src, l.lbl, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON l.id = u.dst
+           |  GROUP BY u.src, l.lbl
+           |), l$i AS (
+           |  SELECT src AS id, lbl FROM (
+           |    SELECT src, lbl,
+           |      row_number() OVER (PARTITION BY src
+           |        ORDER BY c DESC, lbl) AS rn
+           |    FROM r$i) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val last = s"l${graft.ops.Graphs.LpaRounds}"
+      s"""WITH ${coGraphCtes(graft.ops.Graphs.ComponentsMinQty)},
+         |und AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM und
+         |), $rounds, sz AS (
+         |  SELECT lbl, count(*) AS n FROM $last GROUP BY lbl
+         |)
+         |SELECT $last.id AS node, $last.lbl AS community,
+         |  CAST(sz.n AS BIGINT) AS n_members
+         |FROM $last JOIN sz USING (lbl)
+         |ORDER BY community, node""".stripMargin
+    },
+
     // L6 bounded-depth BFS: recursive min-distance closure over the
     // same support-48 edge CTE, depth-guarded at Graphs.BfsMaxHops —
     // UNION (set) semantics bound the (id, d) space so the recursion

@@ -122,6 +122,35 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("D25: persisted sketch cube rolls up LOSSLESSLY and within 5% of exact") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = ops.Aggregates.aggSketchPersist(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val orders = graft.ops.Util.t(spark, dir, "orders")
+      // the core property: storing blobs in parquet and unioning LATER
+      // must give the IDENTICAL estimate as a direct in-memory union
+      // over the same cells (same bytes -> same estimate)
+      val direct = orders
+        .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("y"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+        .groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.map(g => g._1 -> g._3).toMap == direct,
+        s"$dir: stored-blob rollup diverges from the direct union")
+      // and the estimate itself stays inside the D9/D18 envelope
+      val exact = orders.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((k, nCells, est) <- got) {
+        assert(nCells >= 1)
+        assert(math.abs(est - exact(k)).toDouble / exact(k) <= 0.05,
+          s"$dir scope $k: $est vs exact ${exact(k)}")
+      }
+    }
+  }
+
   test("D19: theta set-algebra estimates within 5% of exact truth") {
     // sf0.1 matters here: ~10k distinct customers per status exceeds
     // the 2^12 nominal entries, so the sketch leaves exact mode and

@@ -233,6 +233,35 @@ class GraphsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == nNodes)
   }
 
+  test("L7: LPA collapses disconnected cliques to independent communities") {
+    import spark.implicits._
+    val twoCliques = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val lbl = Graphs.labelPropagation(twoCliques).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE label; parts never cross-talk
+    assert(Set(lbl(0L), lbl(1L), lbl(2L)).size == 1)
+    assert(Set(lbl(10L), lbl(11L), lbl(12L)).size == 1)
+    assert(lbl(0L) != lbl(10L))
+    assert(Set(0L, 1L, 2L).contains(lbl(0L)) &&
+      Set(10L, 11L, 12L).contains(lbl(10L)))
+  }
+
+  test("L7: fixture communities are consistent (graph_label_prop)") {
+    val rows = Graphs.graphLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val comms = rows.groupBy(_._2)
+    assert(comms.size > 1, "not one giant community on the sparse cut")
+    val nodes = rows.map(_._1).toSet
+    for ((c, rs) <- comms) {
+      assert(rs.forall(_._3 == rs.length), s"declared size wrong for $c")
+      // labels originate as node ids and only ever propagate — every
+      // surviving label must be a node of the graph
+      assert(nodes.contains(c), s"label $c is not a graph node")
+    }
+  }
+
   test("L6: BFS distances are exact on a path and capped at BfsMaxHops") {
     import spark.implicits._
     // path 0-1-2-...-9 from seed MIN=0: dist(i)=i, capped at 6 hops —
