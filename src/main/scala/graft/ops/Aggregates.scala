@@ -156,6 +156,32 @@ object Aggregates {
     per.unionByName(all).orderBy(col("scope"))
   }
 
+  /** D26: EXACT distinct counting via bitmaps (`bitmap_bucket_number`
+    * / `bitmap_construct_agg` / `bitmap_count`, Spark 3.5+) — the
+    * third point on the distinct-count spectrum: COUNT(DISTINCT) is
+    * exact but its state is the value set itself (a shuffle of every
+    * distinct value); D9/D18 sketches are fixed-size but approximate;
+    * bitmaps are EXACT with mergeable fixed-bucket state — for dense
+    * integer keys (surrogate ids) the state is bits, not values, and
+    * per-bucket partials combine by OR. This is how warehouses keep
+    * exact distinct-user cubes at 100 TB (per-partition bitmap
+    * columns, OR-merged at query time — composable where
+    * COUNT(DISTINCT) is not). Two partial-agg levels: (group, bucket)
+    * bitmap construction, then bitmap_count summed per group; the
+    * result must EQUAL plain count(distinct) — the oracle is the
+    * plain form, so exactness is the checked contract. */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"),
+        col("o_custkey"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bm"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_cust_exact"))
+      .orderBy(col("o_orderstatus"))
+
   /** D25: sketch PERSISTENCE — the sketch-as-column pattern D18's
     * in-memory rollup stops short of: per-(status, year) HLL sketches
     * are WRITTEN TO PARQUET as binary blobs (the pre-aggregated cube

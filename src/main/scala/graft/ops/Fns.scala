@@ -166,6 +166,26 @@ object Fns {
       .withColumnRenamed("col", "token")
       .orderBy(col("doc_id"), col("pos"))
 
+  /** I5: OUTER explode — the generator-side silent-row-loss trap
+    * (C21's theme at the generator): plain `explode` DROPS every row
+    * whose array is empty, so a "parts and their matching words"
+    * listing silently loses exactly the parts with no match — the
+    * rows an audit most wants to see. `explode_outer` keeps them with
+    * a NULL element. The match list (words starting with 'w') is
+    * empty for a fixture-stable subset of parts, so both behaviors
+    * are exercised; the higher-order `filter` runs interpreted, which
+    * is fine on a dimension-sized column and exactly what the
+    * MinHash/AnnLsh scaladocs say NOT to do on a fact-table hot path.
+    * NULL sort position is explicit (Spark and DuckDB default
+    * opposite). */
+  def genExplodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        expr("filter(split(p_name, ' '), w -> w LIKE 'w%')").as("l"))
+      .select(col("p_partkey"), size(col("l")).as("n_match"),
+        explode_outer(col("l")).as("word"))
+      .orderBy(col("p_partkey"), col("word").asc_nulls_first)
+
   /** I2: scalar UDF capability proof — FIPS zero-pad over the census
     * states domain (oracle uses lpad). */
   def udfScalarFips(spark: SparkSession, sfDir: String): DataFrame = {
@@ -270,6 +290,32 @@ object Fns {
       .select(col("canon"), col("n"), col("n_forms"))
       .orderBy(col("canon"))
   }
+
+  /** H16: the timezone surface — `from_utc_timestamp` against IANA
+    * zones: event time is stored as UTC instants (the only sane 100-TB
+    * contract — storing local wall time loses an hour of data every
+    * DST fall-back), and localization happens AT READ in the query.
+    * Per event: the New York local date and hour, the Tokyo hour, and
+    * the NY UTC-offset in minutes (−300 EST / −240 EDT — the offset
+    * column makes the DST transition itself visible and oracle-checked
+    * when the fixture spans it). Finals are DATE/INT — never raw
+    * TIMESTAMP out (the driver hasher contract); the offset is derived
+    * by integer epoch subtraction, where the sub-second fraction
+    * cancels before any division. Oracle: DuckDB ICU
+    * `AT TIME ZONE 'UTC' AT TIME ZONE <zone>` double-hop. */
+  def fnTimezone(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        col("ts"),
+        from_utc_timestamp(col("ts"), "America/New_York").as("ny"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tky"))
+      .select(col("event_id"),
+        to_date(col("ny")).as("ny_date"),
+        hour(col("ny")).as("ny_hour"),
+        hour(col("tky")).as("tokyo_hour"),
+        ((unix_timestamp(col("ny")) - expr("unix_micros(ts) DIV 1000000"))
+          / 60).cast("int").as("ny_offset_min"))
+      .orderBy(col("event_id"))
 
   /** H15: the try_* ANSI-safe arithmetic surface — Spark 4 runs ANSI
     * mode by default, where division by zero, numeric overflow, and

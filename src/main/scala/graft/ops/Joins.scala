@@ -280,6 +280,21 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q5"))
   }
 
+  /** C22: LATERAL correlated subquery join as literal SQL (the C15
+    * mechanism) — top-2 customers per nation via `LATERAL (… ORDER BY
+    * … LIMIT 2)`: the SQL-standard formulation of per-group top-k.
+    * Catalyst decorrelates the lateral subquery into a ranked join
+    * (DomainJoin → window/limit per key) rather than executing it
+    * per outer row — the difference between one distributed plan and
+    * 25 (or at 100 TB, millions of) point queries; F3 pins the
+    * DataFrame window formulation, this pins the SQL-surface one.
+    * Inner AND outer ORDER BYs are fully tie-broken. */
+  def sqlLateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("nation", "customer").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_lateral_topk"))
+  }
+
   /** C21: NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the
     * dimension-lookup correctness trap: a plain equi join silently
     * DROPS every row whose key is NULL (NULL = NULL is NULL, not

@@ -205,6 +205,27 @@ object Scans {
       .select(col("NAME"), col("DP02_0001E"), col("state"), col("tract"))
       .orderBy(col("state"), col("tract"))
 
+  /** A26: DSv2 AGGREGATE pushdown — `COUNT(*) GROUP BY state` answered
+    * COMPLETELY inside the census source
+    * (`SupportsPushDownAggregates`): the chunk partitioning is BY
+    * state, so per-partition final counts are globally final and
+    * Spark plans NO aggregate node at all — the scan's output IS the
+    * result (pinned in `CensusSourceSpec`, alongside the fallback:
+    * an unsupported grouping declines the pushdown and plans
+    * normally). For the reference's real API this is the difference
+    * between downloading every tract row to count them and shipping
+    * back one tally per state — at 100 TB, aggregate pushdown into
+    * the source is the biggest single IO lever after column pruning
+    * and partition pruning (A5 covers those two). */
+  def scanCensusAggPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_tracts"))
+      .orderBy(col("state").asc_nulls_first)
+
   /** A4: the reference's audit-log sink (R16/R17,
     * `Test_census_tract.py:63-104`): keep only `x-ratelimit*` headers
     * via map_filter, serialize to JSON, append to the log, read back.

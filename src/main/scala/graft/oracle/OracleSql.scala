@@ -282,6 +282,14 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // A26 aggregate pushdown must be value-transparent: the oracle
+    // rebuilds the per-state tally from the closed-form fixture
+    // (every census state carries exactly 2 tracts)
+    "scan_census_agg_pushdown" ->
+      """SELECT printf('%02d', range) AS state, CAST(2 AS BIGINT) AS n_tracts
+        |FROM range(1, 57) WHERE range NOT IN (3, 7, 14, 43, 52)
+        |ORDER BY state""".stripMargin,
+
     // PERMISSIVE ingest: the 3 malformed lines are a fixed constant of
     // the query; the good-row stats come from the original table
     "scan_corrupt_tolerant" ->
@@ -373,6 +381,37 @@ object OracleSql {
         |FROM orders
         |GROUP BY 1
         |ORDER BY o_year""".stripMargin,
+
+    // C22 LATERAL top-k: literal SQL in both engines (spark.sql runs
+    // this exact text); inner and outer ORDER BYs fully tie-broken
+    "sql_lateral_topk" ->
+      """SELECT n_name, t.c_name, t.bal_cents
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |    AS bal_cents
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin,
+
+    // H16 timezone: DuckDB ICU double-hop localization; the offset is
+    // integer epoch subtraction (fractions cancel before division)
+    "fn_timezone" ->
+      """WITH b AS (
+        |  SELECT event_id, ts,
+        |    (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,
+        |    (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS tky
+        |  FROM events
+        |)
+        |SELECT event_id, CAST(ny AS DATE) AS ny_date,
+        |  CAST(EXTRACT(hour FROM ny) AS INT) AS ny_hour,
+        |  CAST(EXTRACT(hour FROM tky) AS INT) AS tokyo_hour,
+        |  CAST((CAST(floor(EXTRACT(epoch FROM ny)) AS BIGINT)
+        |      - CAST(floor(EXTRACT(epoch FROM ts)) AS BIGINT)) / 60 AS INT)
+        |    AS ny_offset_min
+        |FROM b
+        |ORDER BY event_id""".stripMargin,
 
     // C21 null-safe join: IS NOT DISTINCT FROM joins the planted
     // NULL keys onto the UNKNOWN dimension row instead of dropping
@@ -1062,6 +1101,29 @@ object OracleSql {
         |SELECT o_orderstatus, o_orderpriority AS mode_priority,
         |  CAST(c AS BIGINT) AS n_mode, CAST(n_rows AS BIGINT) AS n_rows
         |FROM r WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // I5 outer explode: empty match lists become a [NULL] singleton
+    // so the part survives with a NULL word — mirroring explode_outer
+    "gen_explode_outer" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    list_filter(string_split(p_name, ' '), w -> w LIKE 'w%') AS l
+        |  FROM part
+        |)
+        |SELECT p_partkey, CAST(len(l) AS INT) AS n_match,
+        |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |    ELSE l END) AS word
+        |FROM b
+        |ORDER BY p_partkey, word NULLS FIRST""".stripMargin,
+
+    // D26 bitmap distinct: the bitmap path must be EXACT — the oracle
+    // is plain count(distinct), equality is the checked contract
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact
+        |FROM orders
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     // D24 conditional/boolean aggregates: count_if mirrored by the

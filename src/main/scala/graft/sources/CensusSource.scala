@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -169,9 +170,11 @@ class CensusTable(tableSchema: StructType, path: String, policy: FetchPolicy)
 
 class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolicy)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggCount: Int = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -191,7 +194,36 @@ class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolic
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CensusScan(required, pushed, path, policy)
+  /** COUNT(*) GROUP BY state is answerable COMPLETELY inside the
+    * source: the chunk partitioning is BY STATE, so every state's
+    * rows live in exactly one `InputPartition` (the catch-all holds
+    * the disjoint NULL/out-of-domain remainder) — per-partition final
+    * counts are globally final, the condition complete pushdown
+    * requires. This is the engine-side form of asking the census API
+    * for row counts instead of rows: the grouped row count is a
+    * partition-local fold over the already-fetched chunk, and Spark
+    * plans NO aggregate at all (pinned in `CensusSourceSpec`). Any
+    * other aggregate/grouping is declined and planned normally. */
+  private def aggSupported(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.toSeq match {
+      case Seq(f: NamedReference) => f.fieldNames.toSeq == Seq("state")
+      case _ => false
+    }
+    groupOk && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggSupported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!aggSupported(agg)) false
+    else { pushedAggCount = agg.aggregateExpressions.length; true }
+
+  override def build(): Scan =
+    if (pushedAggCount > 0)
+      new CensusAggScan(pushed, path, policy, pushedAggCount)
+    else new CensusScan(required, pushed, path, policy)
 }
 
 /** One 3-state chunk of the fixture (the reference's per-chunk GET).
@@ -204,8 +236,9 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     policy: FetchPolicy = FetchPolicy.Default)
     extends Scan with Batch {
 
-  /** States allowed by the pushed geo predicates (None = all). */
-  private val wantedStates: Option[Set[String]] = {
+  /** States allowed by the pushed geo predicates (None = all).
+    * Protected: [[CensusAggScan]] reuses the derivation. */
+  protected val wantedStates: Option[Set[String]] = {
     val sets = pushed.collect {
       case EqualTo("state", v: String) => Set(v)
       case In("state", vs) => vs.collect { case s: String => s }.toSet
@@ -252,16 +285,93 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
       else Seq.empty)).toArray
     }
 
+  protected val stateNotNull: Boolean = pushed.exists {
+    case IsNotNull("state") => true
+    case _ => false
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new CensusReaderFactory(path, required.fieldNames.toSeq,
-      wantedStates, pushed.exists {
-        case IsNotNull("state") => true
-        case _ => false
-      }, policy)
+      wantedStates, stateNotNull, policy)
 
   override def description(): String =
     s"CensusScan path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.simpleString}"
+}
+
+/** The aggregate-pushdown scan: COUNT(*) GROUP BY state answered
+  * COMPLETELY inside the source. Partition planning (and so partition
+  * PRUNING under a pushed geo predicate) is inherited unchanged from
+  * [[CensusScan]]; only the reader changes — each partition folds its
+  * chunk to (state, count…) rows instead of emitting rows, so the
+  * bytes that cross the scan boundary are group-cardinality, not
+  * row-cardinality (for the real API: the difference between
+  * downloading a state's tracts and downloading its tally). */
+class CensusAggScan(pushed: Array[Filter], path: String,
+    policy: FetchPolicy, nAggs: Int)
+    extends CensusScan(
+      new StructType().add("state", StringType),
+      pushed, path, policy) {
+
+  override def readSchema(): StructType =
+    (1 to nAggs).foldLeft(new StructType().add("state", StringType)) {
+      (st, i) => st.add(s"count_$i", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CensusAggReaderFactory(path, wantedStates, stateNotNull, policy,
+      nAggs)
+
+  override def description(): String =
+    s"CensusScan path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"PushedAggregation: [COUNT(*) GROUP BY state x$nAggs]"
+}
+
+class CensusAggReaderFactory(path: String,
+    wantedStates: Option[Set[String]], stateNotNull: Boolean,
+    policy: FetchPolicy, nAggs: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CensusPartition]
+    new CensusAggPartitionReader(path, p.states.toSet, p.catchAll,
+      wantedStates, stateNotNull, policy, nAggs)
+  }
+}
+
+/** Folds one partition's (already filter-pushed) rows to final
+  * (state, count…) rows — delegating row selection to
+  * [[CensusPartitionReader]] so the aggregate path can never disagree
+  * with the row path about which rows exist. Group order is sorted by
+  * state (NULL group first) for a deterministic partition output. */
+class CensusAggPartitionReader(path: String, chunkStates: Set[String],
+    catchAll: Boolean, wantedStates: Option[Set[String]],
+    stateNotNull: Boolean, policy: FetchPolicy, nAggs: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val inner = new CensusPartitionReader(path, Seq("state"), chunkStates,
+      catchAll, wantedStates, stateNotNull, policy)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    while (inner.next()) {
+      val s = inner.get().getUTF8String(0)
+      val key = if (s == null) null else s.toString
+      counts(key) = counts.getOrElse(key, 0L) + 1L
+    }
+    inner.close()
+    counts.toSeq
+      .sortBy(kv => (kv._1 != null, Option(kv._1).getOrElse(""))).iterator.map {
+      case (st, n) =>
+        InternalRow.fromSeq(
+          (if (st == null) null else UTF8String.fromString(st)) +:
+            Seq.fill(nAggs)(n: Any))
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class CensusReaderFactory(path: String, requiredCols: Seq[String],

@@ -307,4 +307,41 @@ class CensusSourceSpec extends SparkTestBase {
     assert(out.head.getString(0) == "Census Tract 1, State 06")
     assert(out.head.getString(1) == "601")
   }
+
+  test("A26: COUNT(*) GROUP BY state pushes down COMPLETELY — no Spark aggregate") {
+    val df = ops.Scans.scanCensusAggPushdown(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 51)
+    assert(rows.forall(_.getLong(1) == 2L), "every state has exactly 2 tracts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      "complete pushdown must plan NO aggregate node:\n" + p)
+  }
+
+  test("A26: pushdown composes with the geo predicate and partition pruning") {
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .filter(org.apache.spark.sql.functions.col("state").isin("06", "36"))
+      .groupBy("state").count()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("06" -> 2L, "36" -> 2L))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
+  test("A26: an unsupported grouping declines the pushdown and plans normally") {
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .groupBy("tract").count()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("000100" -> 51L, "000200" -> 51L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Aggregate"), "fallback must aggregate in Spark:\n" + p)
+    assert(!p.contains("PushedAggregation"), p)
+  }
 }
