@@ -341,7 +341,14 @@ object Fns {
         expr("try_divide(CAST(o_orderkey AS DOUBLE), CAST(d AS DOUBLE))")
           .as("q"),
         expr("try_cast(s AS INT)").as("n"),
-        expr("try_add(CAST(9223372036854775807 AS BIGINT), o_orderkey % 2)")
+        // the overflow arm is exception-driven inside Spark
+        // (Math.addExact throws, try catches) — probing every row
+        // cost 3.9 s of pure throw/catch at sf0.1, so it samples
+        // every 101st key (odd modulus: the sample keeps both parities
+        // → both outcomes); the H12 bad_is_null lesson again
+        expr("""CASE WHEN o_orderkey % 101 = 0
+               |THEN try_add(CAST(9223372036854775807 AS BIGINT),
+               |             o_orderkey % 2) END""".stripMargin)
           .as("ov"),
         expr("try_element_at(split(s, 'x'), 2)").as("second_part"))
       .orderBy(col("o_orderkey"))

@@ -226,6 +226,60 @@ object Scans {
       .agg(count(lit(1)).as("n_tracts"))
       .orderBy(col("state").asc_nulls_first)
 
+  /** A27: DSv2 TopN pushdown (`SupportsPushDownTopN`) — `ORDER BY
+    * state, tract LIMIT 10` pushed into the census source: each
+    * chunk partition sorts locally and returns only its top-10, so
+    * at most partitions×10 rows cross the scan boundary instead of
+    * the whole relation; Spark's TakeOrdered merges the partial
+    * tops (the pushdown is declared PARTIAL — per-partition locals,
+    * globally merged). The paging movement every API-backed source
+    * needs: "first page of the catalog" must not download the
+    * catalog. Plan + bound pinned in `CensusSourceSpec` beside the
+    * plain-LIMIT variant. */
+  def scanCensusTopnPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .select(col("state"), col("tract"), col("NAME"))
+      .orderBy(col("state"), col("tract"))
+      .limit(10)
+
+  /** A28: DSv2 RUNTIME filtering (`SupportsRuntimeV2Filtering`) — the
+    * v2-source form of dynamic partition pruning, completing the
+    * pushdown matrix (columns A5, filters A5, aggregates A26,
+    * TopN/limit A27, runtime keys HERE): the census table joins a
+    * parquet-backed region dimension on `state`, the selective
+    * predicate lives on the DIM (`d_active`), and Spark evaluates the
+    * dim FIRST, calling the scan's `filter()` with the surviving
+    * state keys BEFORE partitions are planned — chunks containing no
+    * matching state are never planned, and for the real API those
+    * GETs are never issued. Pruning is PARTITION-granular (the same
+    * directory-level granularity file-source DPP gives): the matched
+    * states' chunk-mates still flow and the join absorbs them.
+    * `CensusSourceSpec` pins the proof via the scan's numOutputRows:
+    * exactly the 2 pruned chunks' rows, not the table's 102. */
+  def scanCensusRuntimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dimPath = freshSinkDir(spark, "census_dim_")
+    // the dim predicate must be EQUALITY-SHAPED: a bare boolean
+    // attribute is not "likely selective" to the pruning rule and
+    // silently disables DPP (the r12 AqeSpec finding, re-confirmed
+    // here for the v2 path)
+    Seq(("06", "west", "yes"), ("36", "east", "yes"), ("48", "south", "no"))
+      .toDF("d_state", "d_region", "d_active")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("d_active") === "yes")
+    val census = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+    census.join(dim, census("state") === dim("d_state"))
+      .groupBy(col("state"), col("d_region"))
+      .agg(count(lit(1)).as("n_tracts"))
+      .orderBy(col("state"))
+  }
+
   /** A4: the reference's audit-log sink (R16/R17,
     * `Test_census_tract.py:63-104`): keep only `x-ratelimit*` headers
     * via map_filter, serialize to JSON, append to the log, read back.

@@ -537,4 +537,51 @@ object StreamingOps {
       }
       .toDF("user_id", "n_events")
   }
+
+  /** J27: `transformWithState` — the Spark 4 arbitrary-stateful API
+    * that supersedes J7's `mapGroupsWithState`: state is DECLARED as
+    * named, individually-encoded variables on a handle
+    * (`getValueState`/`getListState`/`getMapState`, each with its own
+    * TTL) instead of one opaque case-class blob, which is what makes
+    * state schema EVOLUTION possible on a live 100-TB checkpoint
+    * (add a variable without rewriting the old ones) and lets the
+    * engine store each variable as its own RocksDB column family.
+    * The API REQUIRES the RocksDB state store provider — the
+    * disk-backed store whose state capacity is bounded by local SSD
+    * instead of executor heap (the only viable provider once keyed
+    * state outgrows memory) — so the `StreamingSpec` pin covers both
+    * rungs at once: the new API and the scalable store, asserted
+    * row-equal to J7's running counts across micro-batches. */
+  def statefulRunningCountTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+}
+
+/** The J27 stateful processor: one named, Long-encoded value state per
+  * user. Top-level (not nested) so the closure serializes without an
+  * outer `StreamingOps` reference. */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
+  }
 }

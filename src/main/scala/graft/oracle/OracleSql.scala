@@ -282,6 +282,28 @@ object OracleSql {
         |WHERE s.fips IN ('06', '36', '48')
         |ORDER BY state, tract""".stripMargin,
 
+    // A28 runtime filtering must be value-transparent: the dim is
+    // query-defined (active: 06 west, 36 east; 48 inactive) and every
+    // census state carries exactly 2 tracts
+    "scan_census_runtime_filter" ->
+      """SELECT * FROM (VALUES
+        |  ('06', 'west', CAST(2 AS BIGINT)),
+        |  ('36', 'east', CAST(2 AS BIGINT))
+        |) t(state, d_region, n_tracts)
+        |ORDER BY state""".stripMargin,
+
+    // A27 TopN pushdown must be value-transparent: the oracle is the
+    // closed-form fixture's first page
+    "scan_census_topn_pushdown" ->
+      """SELECT s.fips AS state, t.tr AS tract,
+        |  'Census Tract ' || CAST(t.idx AS VARCHAR) || ', State ' || s.fips
+        |    AS "NAME"
+        |FROM (SELECT range AS id, printf('%02d', range) AS fips
+        |      FROM range(1, 57) WHERE range NOT IN (3, 7, 14, 43, 52)) s
+        |CROSS JOIN (VALUES (1, '000100'), (2, '000200')) t(idx, tr)
+        |ORDER BY state, tract
+        |LIMIT 10""".stripMargin,
+
     // A26 aggregate pushdown must be value-transparent: the oracle
     // rebuilds the per-state tally from the closed-form fixture
     // (every census state carries exactly 2 tracts)
@@ -863,7 +885,8 @@ object OracleSql {
         |SELECT o_orderkey,
         |  CAST(o_orderkey AS DOUBLE) / CAST(d AS DOUBLE) AS q,
         |  TRY_CAST(s AS INTEGER) AS n,
-        |  CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END AS ov,
+        |  CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 2 = 0
+        |    THEN 9223372036854775807 END AS ov,
         |  string_split(s, 'x')[2] AS second_part
         |FROM b
         |ORDER BY o_orderkey""".stripMargin,

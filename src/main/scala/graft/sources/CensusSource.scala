@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
@@ -171,10 +171,13 @@ class CensusTable(tableSchema: StructType, path: String, policy: FetchPolicy)
 class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolicy)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggCount: Int = 0
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Seq[String], Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -220,10 +223,46 @@ class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolic
     if (!aggSupported(agg)) false
     else { pushedAggCount = agg.aggregateExpressions.length; true }
 
+  /** LIMIT pushdown — PARTIAL (`isPartiallyPushed`): each partition
+    * stops after `limit` rows (for the real API, a per-chunk row cap
+    * on the GET); Spark's own Limit still runs on top to cut the
+    * per-partition unions down to one global answer. Declined when an
+    * aggregate is pushed (the agg output is already tiny and the two
+    * rewrites don't compose). */
+  override def pushLimit(limit: Int): Boolean =
+    if (pushedAggCount > 0) false
+    else { pushedLimit = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY … LIMIT pushdown (TopN) — PARTIAL: each partition sorts
+    * its chunk by the requested (ascending, nulls-first — Spark's
+    * string default) columns and returns only its local top-N, so at
+    * most partitions×N rows cross the scan boundary instead of the
+    * whole relation; Spark's TakeOrdered merges the locals. Only
+    * all-ascending single-column references are absorbed — anything
+    * else declines and plans normally. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushedAggCount > 0) return false
+    val cols = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference
+            if o.direction() == SortDirection.ASCENDING &&
+              o.nullOrdering() == NullOrdering.NULLS_FIRST &&
+              nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    }
+    if (cols.exists(_.isEmpty) || cols.isEmpty) false
+    else { pushedTopN = Some((cols.flatten, limit)); true }
+  }
+
   override def build(): Scan =
     if (pushedAggCount > 0)
       new CensusAggScan(pushed, path, policy, pushedAggCount)
-    else new CensusScan(required, pushed, path, policy)
+    else new CensusScan(required, pushed, path, policy, pushedLimit,
+      pushedTopN)
 }
 
 /** One 3-state chunk of the fixture (the reference's per-chunk GET).
@@ -233,8 +272,86 @@ case class CensusPartition(states: Seq[String],
     catchAll: Boolean = false) extends InputPartition
 
 class CensusScan(required: StructType, pushed: Array[Filter], path: String,
-    policy: FetchPolicy = FetchPolicy.Default)
-    extends Scan with Batch {
+    policy: FetchPolicy = FetchPolicy.Default,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Seq[String], Int)] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
+
+  /** Reported statistics (`SupportsReportStatistics`) — without them a
+    * DSv2 relation costs `defaultSizeInBytes` (effectively infinite)
+    * and the planner will NEVER broadcast it: every join against the
+    * census table would shuffle both sides, however small the census
+    * side actually is. Row count comes from the same driver-side
+    * fetch the header already paid (the fixture is one JSON document;
+    * a real deployment answers this from a row-count/metadata
+    * endpoint), scaled by the pushed geo predicate's state fraction;
+    * bytes = rows × the read schema's string widths. Pinned in
+    * `CensusSourceSpec`: an unhinted census⋈fact join broadcasts the
+    * census side. */
+  /** Fetched AT MOST once per scan (the fileHeader discipline): the
+    * planner may ask for statistics repeatedly. */
+  private lazy val fileRowCount: Long =
+    math.max(0L, policy.fetchArrays(path, throttle = false).length - 1L)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total: Long = fileRowCount
+    private val frac: Double = effectiveStates match {
+      case Some(w) => math.min(1.0,
+        w.size.toDouble / math.max(1, CensusSource.stateFips.size))
+      case None => 1.0
+    }
+    private val rows: Long = math.max(1L, (total * frac).toLong)
+    // all-string cells: a conservative 24 bytes per cell
+    private val bytes: Long = rows * math.max(1, required.fields.length) * 24L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  /** RUNTIME filtering (`SupportsRuntimeV2Filtering`) — the DSv2 form
+    * of dynamic partition pruning (C19 covers the file-source form):
+    * when this table joins a dimension on `state` and the dim carries
+    * a selective predicate, Spark evaluates the dim FIRST and calls
+    * [[filter]] with the surviving key set BEFORE partitions are
+    * planned — so chunk partitions for states no dim row can match
+    * are never planned, and for the real API those GETs are never
+    * issued. Static pushdown (the `pushed` filters) composes by
+    * intersection. Unrecognized predicates are ignored (filtering is
+    * an optimization — correctness comes from the join itself). */
+  @volatile private var runtimeStates: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("state"))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.Literal
+    val sets: Seq[Set[String]] = predicates.toSeq.flatMap { p =>
+      val isStateRef = p.children().headOption.exists {
+        case nr: NamedReference => nr.fieldNames().toSeq == Seq("state")
+        case _ => false
+      }
+      if (!isStateRef) None
+      else p.name() match {
+        case "IN" | "=" =>
+          Some(p.children().drop(1).toSeq.collect {
+            case l: Literal[_] if l.value != null => l.value.toString
+          }.toSet)
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) runtimeStates = Some(sets.reduce(_ union _))
+  }
+
+  /** The effective state set after static AND runtime narrowing. */
+  protected def effectiveStates: Option[Set[String]] =
+    (wantedStates, runtimeStates) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
 
   /** States allowed by the pushed geo predicates (None = all).
     * Protected: [[CensusAggScan]] reuses the derivation. */
@@ -274,9 +391,9 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     else {
       val domain = CensusSource.stateFips.toSet
       val chunks = CensusSource.stateChunks
-        .filter(ch => wantedStates.forall(w => ch.exists(w.contains)))
+        .filter(ch => effectiveStates.forall(w => ch.exists(w.contains)))
         .map(CensusPartition(_): InputPartition)
-      val needCatchAll = wantedStates match {
+      val needCatchAll = effectiveStates match {
         case None => true
         case Some(w) => w.exists(s => !domain.contains(s))
       }
@@ -292,11 +409,15 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CensusReaderFactory(path, required.fieldNames.toSeq,
-      wantedStates, stateNotNull, policy)
+      effectiveStates, stateNotNull, policy, pushedLimit, pushedTopN)
 
   override def description(): String =
     s"CensusScan path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}" +
+      pushedLimit.map(n => s", PushedLimit: LIMIT $n").getOrElse("") +
+      pushedTopN.map { case (cs, n) =>
+        s", PushedTopN: ORDER BY ${cs.mkString(", ")} LIMIT $n"
+      }.getOrElse("")
 }
 
 /** The aggregate-pushdown scan: COUNT(*) GROUP BY state answered
@@ -320,8 +441,8 @@ class CensusAggScan(pushed: Array[Filter], path: String,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CensusAggReaderFactory(path, wantedStates, stateNotNull, policy,
-      nAggs)
+    new CensusAggReaderFactory(path, effectiveStates, stateNotNull,
+      policy, nAggs)
 
   override def description(): String =
     s"CensusScan path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
@@ -376,12 +497,14 @@ class CensusAggPartitionReader(path: String, chunkStates: Set[String],
 
 class CensusReaderFactory(path: String, requiredCols: Seq[String],
     wantedStates: Option[Set[String]], stateNotNull: Boolean,
-    policy: FetchPolicy)
+    policy: FetchPolicy,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Seq[String], Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CensusPartition]
     new CensusPartitionReader(path, requiredCols, p.states.toSet, p.catchAll,
-      wantedStates, stateNotNull, policy)
+      wantedStates, stateNotNull, policy, pushedLimit, pushedTopN)
   }
 }
 
@@ -396,7 +519,9 @@ class CensusReaderFactory(path: String, requiredCols: Seq[String],
 class CensusPartitionReader(path: String, requiredCols: Seq[String],
     chunkStates: Set[String], catchAll: Boolean,
     wantedStates: Option[Set[String]],
-    stateNotNull: Boolean, policy: FetchPolicy)
+    stateNotNull: Boolean, policy: FetchPolicy,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Seq[String], Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
@@ -406,7 +531,24 @@ class CensusPartitionReader(path: String, requiredCols: Seq[String],
     val stateIdx = colIdx.get("state")
     val reqIdx: Seq[Option[Int]] = requiredCols.map(colIdx.get)
     val domain = CensusSource.stateFips.toSet
-    all.iterator.drop(1)
+    /** The pushed per-partition row bound: local sort+take for TopN
+      * (ascending, nulls first — the only accepted shape), plain take
+      * for LIMIT, identity otherwise. Runs on the FILTERED raw rows,
+      * before projection, so sort columns need not survive pruning. */
+    val bound: Iterator[Vector[String]] => Iterator[Vector[String]] =
+      pushedTopN match {
+        case Some((cols, n)) =>
+          val idxs = cols.flatMap(colIdx.get)
+          it => it.toVector.sortBy[Iterable[Option[String]]](r => idxs.map(
+            i => Option(if (i < r.length) r(i) else null)))(
+            Ordering.Iterable(Ordering.Option(Ordering.String)))
+            .take(n).iterator
+        case None => pushedLimit match {
+          case Some(n) => it => it.take(n)
+          case None => identity
+        }
+      }
+    bound(all.iterator.drop(1)
       .filter { r =>
         stateIdx match {
           // no geo column: state is NULL-filled, so any pushed state
@@ -424,7 +566,7 @@ class CensusPartitionReader(path: String, requiredCols: Seq[String],
                 (chunkStates.isEmpty || chunkStates.contains(s)) &&
                 wantedStates.forall(_.contains(s))
         }
-      }
+      })
       .map { r =>
         InternalRow.fromSeq(reqIdx.map {
           case Some(i) if i < r.length && r(i) != null => UTF8String.fromString(r(i))

@@ -332,6 +332,91 @@ class CensusSourceSpec extends SparkTestBase {
     assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("A27: ORDER BY .. LIMIT pushes TopN into the scan; first page exact") {
+    val df = ops.Scans.scanCensusTopnPushdown(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("01", "02", "04", "05", "06")
+        .flatMap(s => Seq((s, "000100"), (s, "000200"))))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedTopN: ORDER BY state, tract LIMIT 10"), p)
+  }
+
+  test("A27: a bare LIMIT pushes a per-partition row cap") {
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .limit(5)
+    assert(df.count() == 5)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedLimit: LIMIT 5"), df.queryExecution.executedPlan)
+  }
+
+  test("A27: a descending or computed ordering declines the TopN pushdown") {
+    val df = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .orderBy(org.apache.spark.sql.functions.col("state").desc)
+      .limit(4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("PushedTopN"), p)
+    // the decline must not lose the limit: Spark's TakeOrdered answers
+    assert(df.collect().map(_.getString(3)).toSeq ==
+      Seq("56", "56", "55", "55"))
+  }
+
+  test("A28: a dim join's runtime filter reaches the source before reading") {
+    val df = ops.Scans.scanCensusRuntimeFilter(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("06", "west", 2L), ("36", "east", 2L)))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains("CensusScan") => b
+    }.getOrElse(fail("no census BatchScan in plan"))
+    // the runtime state-key filter must have reached the SOURCE and
+    // pruned at PARTITION granularity: only the two matched states'
+    // 3-state chunks are planned (2 chunks × 3 states × 2 tracts =
+    // 12 rows leave the scan, not the table's 102) — the same
+    // directory-level granularity file-source DPP gives; the join
+    // absorbs the chunk-mates. Without SupportsRuntimeV2Filtering the
+    // scan emits all 102.
+    assert(scan.metrics("numOutputRows").value == 12L,
+      s"scan emitted ${scan.metrics("numOutputRows").value} rows — " +
+        "expected exactly the 2 pruned chunks' rows")
+  }
+
+  test("reported statistics make the census side broadcastable in joins") {
+    import org.apache.spark.sql.functions.{col, lit, lpad}
+    // a "fact" frame far larger than the census table, keyed by state
+    val fact = spark.range(0, 50000)
+      .select(lpad((col("id") % 56 + 1).cast("string"), 2, "0").as("state"),
+        col("id"))
+    val census = spark.read.format("graft.sources.CensusSource")
+      .option("path", graft.sources.CensusFixture.path)
+      .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+      .load()
+      .select(col("state"), col("tract"))
+    val joined = fact.join(census, Seq("state"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the v2 relation costs
+    // defaultSizeInBytes and this plans as a sort-merge join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "census side must broadcast under reported statistics:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("A26: an unsupported grouping declines the pushdown and plans normally") {
     val df = spark.read.format("graft.sources.CensusSource")
       .option("path", graft.sources.CensusFixture.path)

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J27: transformWithState on RocksDB matches J7's running counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState REQUIRES the RocksDB provider (per-variable
+    // column families) — this pin covers the scalable disk-backed
+    // store and the new API in one test
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.statefulRunningCountTws(in.toDF())
+        .writeStream.format("memory").queryName("j27")
+        .outputMode("update").option("checkpointLocation", tmpCheckpoint())
+        .start()
+      withQuery(q) {
+        in.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+          Ev(2, ts("2024-01-01 10:01:00"), 1, "view"),
+          Ev(3, ts("2024-01-01 10:02:00"), 2, "view"))
+        q.processAllAvailable()
+        in.addData(
+          Ev(4, ts("2024-01-01 10:03:00"), 1, "view"),
+          Ev(5, ts("2024-01-01 10:04:00"), 2, "view"))
+        q.processAllAvailable()
+        val finalCounts = spark.table("j27")
+          .groupBy("user_id").max("n_events").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        // the EXACT accumulation J7's mapGroupsWithState produces
+        assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("J8: stream-stream interval join pairs views with in-window clicks only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
