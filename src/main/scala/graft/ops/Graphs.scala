@@ -390,6 +390,45 @@ object Graphs {
     labels
   }
 
+  /** Degree bar and round cap for [[graphKcore]] — declared semantics
+    * (the oracle unrolls exactly these). */
+  val KcoreK = 3
+  val KcoreRounds = 3
+
+  /** L8: bounded k-core PEELING — the degeneracy-ordering primitive
+    * behind dense-subgraph mining and community pre-filtering: nodes
+    * of induced degree < k are peeled, which lowers neighbors'
+    * degrees, which peels more. The registered semantics are exactly
+    * [[KcoreRounds]] synchronous peel rounds at k = [[KcoreK]] (the
+    * BFS/LPA fixed-round discipline: a run-to-fixpoint loop is
+    * data-dependent and un-oracle-able; at production scale the round
+    * count is a budget knob, each round one degree-agg + two semi
+    * joins). Output: surviving nodes with their induced degree. */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcorePeel(cachedCoOccurrenceEdges(spark, sfDir))
+      .orderBy(col("node"))
+
+  /** The peel core over an arbitrary distinct undirected (u, v) edge
+    * list — separated so the peel laws (clique survival, tree
+    * annihilation) are pinnable on known graphs (`GraphsSpec`). */
+  def kcorePeel(rawEdges: DataFrame): DataFrame = {
+    var edges = rawEdges.localCheckpoint(true)
+    for (_ <- 1 to KcoreRounds) {
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select(col("src").as("id"))
+      edges = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Companion observability row for L3 (the `dedup_health` pattern):
     * one row over the same support-35 graph reporting node/edge counts,
     * the max degree, and exactly how much the [[Buckets.MaxBucket]]

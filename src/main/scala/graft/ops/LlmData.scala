@@ -861,6 +861,43 @@ object LlmData {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** K65: train/test split LEAKAGE audit — the cross-split near-dup
+    * check every evaluation pipeline must run (public: the GPT-3 and
+    * C4/Pile papers both report post-hoc train/test overlap; the
+    * lesson is to AUDIT the split, not assume hashing made it clean):
+    * K44's hash split assigns documents independently of content, so
+    * a near-duplicate pair can straddle the boundary — the eval-set
+    * member is then effectively IN the training set and the benchmark
+    * number is contaminated. Per (split, split) category pair: the
+    * number of verified near-dup pairs (the shared K6 ≥ 0.5-Jaccard
+    * relation) whose members land in those splits, with the
+    * cross-split rows flagged as leaks.
+    *
+    * Scale shape: the pair relation is the build-once `pairs_v1`
+    * cache; split assignment is a pure hash of doc_id computed in the
+    * projection (no join against K44 needed); two id-keyed joins fold
+    * the split labels onto the pairs, then one ≤ 6-key partial agg. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = conv(substring(md5(concat(lit("split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val bucket = pmod(draw, lit(1000L))
+    val splits = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 10, "test").when(bucket < 30, "val")
+          .otherwise("train").as("split"))
+    ensurePairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
   /** Build-once token relation for the text-analysis family — the
     * production shape of a text pipeline: tokenize the corpus ONCE,
     * persist the (doc_id, pos, tok, nxt) relation, and run every

@@ -1999,6 +1999,34 @@ object OracleSql {
          |FROM comp c JOIN sz s USING (component_id)
          |ORDER BY component_id, node""".stripMargin,
 
+    // L8 bounded k-core peel: KcoreRounds unrolled (degree filter →
+    // induced-edge filter) rounds over the identical capped edge CTE
+    "graph_kcore" -> {
+      val k = graft.ops.Graphs.KcoreK
+      val last = s"e${graft.ops.Graphs.KcoreRounds}"
+      val rounds = (1 to graft.ops.Graphs.KcoreRounds).map { i =>
+        s"""und$i AS (
+           |  SELECT u AS src, v AS dst FROM e${i - 1}
+           |  UNION ALL
+           |  SELECT v AS src, u AS dst FROM e${i - 1}
+           |), keep$i AS (
+           |  SELECT src AS id FROM und$i GROUP BY src
+           |  HAVING count(*) >= $k
+           |), e$i AS (
+           |  SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT id FROM keep$i)
+           |    AND v IN (SELECT id FROM keep$i)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH ${coGraphCtes()}, e0 AS (SELECT u, v FROM e), $rounds,
+         |undf AS (
+         |  SELECT u AS node FROM $last UNION ALL SELECT v FROM $last
+         |)
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |FROM undf GROUP BY node
+         |ORDER BY node""".stripMargin
+    },
+
     // L7 label propagation: Graphs.LpaRounds unrolled count+argmax
     // rounds over the identical capped edge CTE; argmax = row_number
     // ordered (c DESC, lbl) — the deterministic tie-min rule
@@ -2836,6 +2864,31 @@ object OracleSql {
         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
         |FROM d GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+
+    // K65 split leakage: the K6 verified pair relation joined to the
+    // K44 hash-split assignment; cross-split category pairs are leaks
+    "split_leakage" ->
+      s"""WITH jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 10 THEN 'test' WHEN b < 30 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 1000 AS b
+         |    FROM documents)
+         |), px AS (
+         |  SELECT least(a.split, b.split) AS split_lo,
+         |    greatest(a.split, b.split) AS split_hi
+         |  FROM jacc
+         |  JOIN sp a ON a.doc_id = jacc.doc_a
+         |  JOIN sp b ON b.doc_id = jacc.doc_b
+         |)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  split_lo <> split_hi AS is_leak
+         |FROM px GROUP BY split_lo, split_hi
+         |ORDER BY split_lo, split_hi""".stripMargin,
 
     // deterministic fixed-size sample: md5-priority (salt 'res'), keep
     // the 100 globally-smallest priorities — the distributed reservoir

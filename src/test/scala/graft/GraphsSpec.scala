@@ -262,6 +262,48 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("L8: peel keeps a K4 clique intact and annihilates a path") {
+    import spark.implicits._
+    // K4 is its own 3-core: nobody ever drops below degree 3
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("u", "v")
+    val kept = Graphs.kcorePeel(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has max degree 2 — one round erases it entirely
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(Graphs.kcorePeel(path).count() == 0)
+    // peeling CASCADES: a K4 with a pendant chain loses the chain in
+    // successive rounds but the clique survives untouched
+    val pendant = k4.unionAll(Seq((3L, 10L), (10L, 11L)).toDF("u", "v"))
+    val kept2 = Graphs.kcorePeel(pendant).collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("L8: the bounded peel never removes a true 3-core member (graph_kcore)") {
+    val rows = Graphs.graphKcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty, "the support-25 graph has a 3-round 3-core")
+    // peeling is MONOTONE: each round removes only nodes the exact
+    // core also excludes, so after any number of rounds the survivors
+    // are a SUPERSET of the true k-core (they converge from above) —
+    // compute the exact core by peeling to fixpoint on the driver
+    var es = Graphs.cachedCoOccurrenceEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var changed = true
+    while (changed) {
+      val deg = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.length }
+      val keep = deg.filter(_._2 >= Graphs.KcoreK).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.length != es.length
+      es = next
+    }
+    val exactCore = (es.map(_._1) ++ es.map(_._2)).toSet
+    assert(exactCore.subsetOf(rows.keySet),
+      "a true core member was peeled — the bound must converge from above")
+  }
+
   test("L6: BFS distances are exact on a path and capped at BfsMaxHops") {
     import spark.implicits._
     // path 0-1-2-...-9 from seed MIN=0: dist(i)=i, capped at 6 hops —

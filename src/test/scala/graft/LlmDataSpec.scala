@@ -533,6 +533,21 @@ class LlmDataSpec extends SparkTestBase {
     assert(r(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("K65: split-leakage categories partition the verified pair set") {
+    val rows = LlmData.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    for ((lo, hi, n, leak) <- rows) {
+      assert(lo <= hi, "category pair must be canonical")
+      assert(leak == (lo != hi), "leak flag must match the category pair")
+      assert(n >= 1)
+    }
+    // the categories partition the K6 pair relation exactly
+    val total = LlmData.ensurePairs(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total,
+      "every verified pair lands in exactly one category")
+  }
+
   test("K63: fixture boilerplate accounting is internally consistent") {
     val rows = LlmData.textBoilerplate(spark, sfDir).collect()
     val nDocs = graft.ops.Util.t(spark, sfDir, "documents").count()
