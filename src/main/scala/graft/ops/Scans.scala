@@ -280,6 +280,57 @@ object Scans {
       .orderBy(col("state"))
   }
 
+  /** A29: WRITE-AUDIT-PUBLISH — the production load discipline tying
+    * the store (A18) to the expectations battery (A24): a batch lands
+    * on a STAGING manifest (readers oblivious), quality gates run
+    * against the staged VIEW, and only a passing batch publishes —
+    * one atomic manifest rename, zero data movement; a failing batch
+    * is discarded without ever having been visible. The movement
+    * Iceberg's WAP / Delta's staging tables run on every serious
+    * pipeline: at 100 TB you cannot un-publish a bad batch that
+    * readers already joined against — the audit must happen BEFORE
+    * visibility. Sequence: v1 baseline; a CORRUPT batch (balances
+    * forced below the −1000 floor) stages, the audit counts its
+    * violations, REJECTED + discarded; the clean batch stages, audit
+    * passes, publishes as v2. Output: the audited numbers of both
+    * stagings plus the published table — which must equal the clean
+    * staged view exactly (the oracle proves the bad batch never
+    * leaked). `SnapshotStoreSpec` pins the invisibility/atomicity
+    * laws. */
+  def warehouseWap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "wap_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    val batch = cust.filter(col("c_custkey") % 10 === 5)
+    def audited(phase: String, staged: DataFrame): DataFrame =
+      staged.agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("c_acctbal"))).as("cents_sum"),
+        sum(when(col("c_acctbal") < -1000.0d, 1L).otherwise(0L))
+          .as("n_violations"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("cents_sum"),
+          col("n_violations"))
+    // corrupt batch: every balance forced below the domain floor
+    val id1 = SnapshotStore.stageAppend(spark, root, batch
+      .withColumn("c_acctbal", -abs(col("c_acctbal")) - 2000.0d))
+    // the audit MUST complete (eager checkpoint of its 1-row result)
+    // before the discard deletes the staged data — the same ordering
+    // a production gate observes; a lazy audit over discarded files
+    // is a FILE_NOT_EXIST at execution time
+    val audit1 = audited("audit_1_rejected",
+      SnapshotStore.readStaged(spark, root, id1)).localCheckpoint(true)
+    SnapshotStore.discardStaged(spark, root, id1)
+    val id2 = SnapshotStore.stageAppend(spark, root, batch)
+    val audit2 = audited("audit_2_passed",
+      SnapshotStore.readStaged(spark, root, id2))
+    SnapshotStore.publishStaged(spark, root, id2)
+    audit1.unionAll(audit2)
+      .unionAll(audited("published", SnapshotStore.read(spark, root)))
+      .orderBy(col("phase"))
+  }
+
   /** A4: the reference's audit-log sink (R16/R17,
     * `Test_census_tract.py:63-104`): keep only `x-ratelimit*` headers
     * via map_filter, serialize to JSON, append to the log, read back.

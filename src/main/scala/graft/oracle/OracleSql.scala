@@ -368,6 +368,41 @@ object OracleSql {
         |  count(*) FILTER (WHERE st IS NULL) * 50 < count(*) AS status_ok
         |FROM d2""".stripMargin,
 
+    // A29 WAP: both staged views and the published table recomputed
+    // from the base table — 'published' MUST equal the clean staged
+    // view (the bad batch never leaked past its audit)
+    "warehouse_wap" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), bad AS (
+        |  SELECT -abs(c_acctbal) - 2000 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 5
+        |), good AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), s1 AS (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM bad
+        |), s2 AS (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM good
+        |)
+        |SELECT 'audit_1_rejected' AS phase,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(count(*) FILTER (WHERE c_acctbal < -1000) AS BIGINT)
+        |    AS n_violations
+        |FROM s1
+        |UNION ALL
+        |SELECT 'audit_2_passed', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE c_acctbal < -1000) AS BIGINT)
+        |FROM s2
+        |UNION ALL
+        |SELECT 'published', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE c_acctbal < -1000) AS BIGINT)
+        |FROM s2
+        |ORDER BY phase""".stripMargin,
+
     // A25 snapshot OPTIMIZE: version contents recomputed from the base
     // table (v5 must be bit-identical to v4 — OPTIMIZE changes layout,
     // never content); file counts are deterministic by construction

@@ -101,6 +101,73 @@ object SnapshotStore {
   def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, carryFrom = versions(spark, root).lastOption)
 
+  // ---- WAP (write-audit-publish) staging ----
+  //
+  // The production load discipline the numbered versions alone can't
+  // express: a batch lands on a STAGING manifest first (readers of the
+  // table are oblivious — versions() never lists it), quality gates
+  // run against the staged view, and only a passing batch is PUBLISHED
+  // by renaming the staged manifest to the next version — one atomic
+  // metadata operation, zero data movement. A failing batch is
+  // discarded without ever having been visible; an abandoned staging
+  // is reclaimed by [[vacuum]] like any crashed-writer orphan. Single
+  // current writer modeled (the publish renames onto max+1; concurrent
+  // publishers race on the rename and exactly one wins, the commit()
+  // discipline).
+
+  /** Stage an APPEND batch: data + a `staged-<id>.list` manifest
+    * carrying the current latest's directory list. Returns the
+    * staging id. */
+  def stageAppend(spark: SparkSession, root: String, df: DataFrame): String = {
+    val f = fs(spark, root)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/data/staged-$id"
+    df.write.mode("error").parquet(dataDir)
+    val carried = versions(spark, root).lastOption
+      .map(readManifest(spark, root, _)).getOrElse(Nil)
+    val mDir = new Path(s"$root/$ManifestDir")
+    if (!f.exists(mDir)) { f.mkdirs(mDir); () }
+    val p = new Path(mDir, s"staged-$id.list")
+    val out = f.create(p, false)
+    try out.write((carried :+ dataDir).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    id
+  }
+
+  /** The staged VIEW (current content + the staged batch) — what the
+    * audit queries read. Invisible to [[read]]/[[versions]]. */
+  def readStaged(spark: SparkSession, root: String, id: String): DataFrame = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$ManifestDir/staged-$id.list")
+    require(f.exists(p), s"no staged manifest $id under $root")
+    val in = f.open(p)
+    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** PUBLISH a staged batch: rename the staged manifest to version
+    * max+1 — the atomic commit point, no data moves. */
+  def publishStaged(spark: SparkSession, root: String, id: String): Int = {
+    val f = fs(spark, root)
+    val src = new Path(s"$root/$ManifestDir/staged-$id.list")
+    require(f.exists(src), s"no staged manifest $id under $root")
+    val v = versions(spark, root).lastOption.getOrElse(0) + 1
+    if (!f.rename(src, manifestPath(root, v)))
+      throw new IllegalStateException(
+        s"publish race lost for staged $id at $root v$v")
+    v
+  }
+
+  /** Discard a failed staging: manifest first (it vanishes from any
+    * future publish), then the staged data directory. */
+  def discardStaged(spark: SparkSession, root: String, id: String): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(s"$root/$ManifestDir/staged-$id.list"), false)
+    f.delete(new Path(s"$root/data/staged-$id"), true)
+    ()
+  }
+
   /** Retention sweep — the VACUUM movement that makes the
     * overwrite-keeps-history design sustainable: keep the newest
     * `keepLast` published versions, delete the older manifests, then

@@ -159,6 +159,37 @@ class SnapshotStoreSpec extends SparkTestBase {
       byV(3)._2 < byV(4)._2)
   }
 
+  test("WAP: staged batches are invisible until published; discard erases (A29)") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val id = SnapshotStore.stageAppend(spark, root,
+      Seq((2L, "b")).toDF("id", "v"))
+    // invisible: the table read and the version list are unchanged
+    assert(SnapshotStore.versions(spark, root) == Seq(1))
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // ...but the staged VIEW sees baseline + batch
+    assert(SnapshotStore.readStaged(spark, root, id).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // publish: one atomic rename — now v2 IS the staged view
+    val v = SnapshotStore.publishStaged(spark, root, id)
+    assert(v == 2 && SnapshotStore.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a second staging, discarded: no trace for readers or publishers
+    val id2 = SnapshotStore.stageAppend(spark, root,
+      Seq((3L, "c")).toDF("id", "v"))
+    SnapshotStore.discardStaged(spark, root, id2)
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readStaged(spark, root, id2)
+    }
+    // and v1 history survived the whole dance
+    assert(SnapshotStore.read(spark, root, asOf = Some(1)).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("warehouse_snapshot_diff: feed ops partition correctly (A22)") {
     val rows = ops.Scans.warehouseSnapshotDiff(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
