@@ -158,11 +158,21 @@ object StreamingOps {
     * are NOT consumed (bounded by the start-time listing); a RESTART
     * on the same checkpoint consumes exactly the delta. Both halves
     * pinned in `StreamingSpec`. */
+  /** J28 rider: `maxFilesPerTrigger` paces the backfill — without it
+    * AvailableNow sizes batches by its own defaults; with it each
+    * micro-batch ingests at most N files, which is how a replay of
+    * months of history avoids one giant batch OOMing state or
+    * overwhelming the sink (the batch-size knob of the bootstrap
+    * path). Returns per-micro-batch input row counts so the pacing is
+    * pinnable. */
   def backfillAvailableNow(spark: SparkSession, srcDir: String,
-      checkpoint: String, queryName: String): Unit = {
-    val q = spark.readStream
+      checkpoint: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): Seq[Long] = {
+    var r = spark.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING")
-      .parquet(srcDir)
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n.toString))
+    val q = r.parquet(srcDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(queryName)
@@ -171,6 +181,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+    q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
   }
 
   /** J12: streaming CDC upsert — the change-data pattern a warehouse

@@ -122,6 +122,26 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("J28: maxFilesPerTrigger paces the backfill into per-file batches") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_bf2_src_").toString
+    def drop(rows: (Long, Long, String)*): Unit =
+      rows.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    drop((1L, 1L, "view"), (2L, 1L, "view"))
+    drop((3L, 2L, "click"))
+    drop((4L, 3L, "view"))
+    // paced: one file per micro-batch → 3 batches, 4 rows total
+    val paced = StreamingOps.backfillAvailableNow(spark, src,
+      tmpCheckpoint(), "j28a", maxFilesPerTrigger = Some(1))
+    assert(paced.length == 3 && paced.sum == 4L,
+      s"expected 3 single-file batches, got $paced")
+    // unpaced: the same files drain in ONE batch
+    val unpaced = StreamingOps.backfillAvailableNow(spark, src,
+      tmpCheckpoint(), "j28b")
+    assert(unpaced == Seq(4L), s"expected one 4-row batch, got $unpaced")
+  }
+
   test("J6: stream-static broadcast join enriches events with the dim") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
