@@ -214,6 +214,32 @@ class PlanAuditSpec extends SparkTestBase {
       gs.contains("__rn"), "graph_similar must keep the neighbor-cap window")
   }
 
+  test("round-14 late-wave additions keep their scale shapes") {
+    // C21: EqualNullSafe is a hashable join key — never a nested loop
+    val ns = plan("join_null_safe")
+    assert(!ns.contains("BroadcastNestedLoopJoin") &&
+      !ns.contains("CartesianProduct"), ns)
+    // C22: the LATERAL subquery decorrelates into a ranked join — ONE
+    // distributed plan, not a per-outer-row execution
+    val lat = plan("sql_lateral_topk")
+    assert(!lat.contains("CartesianProduct"), lat)
+    assert(lat.contains("Window") || lat.contains("TakeOrdered"), lat)
+    // C20: the aggregate-HAVING IN subquery plans as a semi join
+    // against the aggregated fact, not a correlated per-row probe
+    assert(plan("sql_tpch_q18").contains("Semi"), plan("sql_tpch_q18"))
+    // K65: two id-keyed joins + a ≤6-key partial agg, no cartesian
+    val lk = plan("split_leakage")
+    assert(!lk.contains("CartesianProduct"), lk)
+    assert(lk.contains("partial"), lk)
+    // K63: only (doc_id, hash) pairs move — the plan never carries the
+    // text column past the segment projection into the frequency join
+    val bp = plan("text_boilerplate")
+    assert(!bp.contains("CartesianProduct"), bp)
+    // D24/D26: single-pass map-side partial aggregation
+    assert(plan("agg_conditional").contains("partial"))
+    assert(plan("agg_bitmap_distinct").contains("partial"))
+  }
+
   test("no query plans a cartesian product") {
     for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
         "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard",
