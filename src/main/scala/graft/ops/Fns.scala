@@ -207,6 +207,29 @@ object Fns {
       .orderBy(col("p_partkey"), col("pos"))
   }
 
+  /** I4: SQL TABLE function (`CREATE TEMPORARY FUNCTION … RETURNS
+    * TABLE … RETURN SELECT`, Spark 4) applied LATERALLY — the
+    * declarative counterpart of I3's compiled Catalyst Generator:
+    * the relation-producing body is SQL text Catalyst inlines and
+    * plans as an ordinary generate (I1's posexplode shape), so a
+    * shared "explode this column like X" library ships as SQL, gets
+    * every optimizer rewrite, and needs no jar — the table-function
+    * face of H14's argument. The lateral correlation (the function's
+    * arguments come from each outer row) is the part I1's direct
+    * select can't express declaratively. */
+  def fnSqlUdtf(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents_i4")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_head_tokens(
+        |  s STRING, n INT) RETURNS TABLE (pos INT, tok STRING)
+        |RETURN SELECT posexplode(slice(split(s, ' '), 1, n))
+        |""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, t.pos, t.tok
+        |FROM documents_i4, LATERAL graft_head_tokens(text, 3) t
+        |ORDER BY doc_id, t.pos""".stripMargin)
+  }
+
   /** H11: URL parsing battery — the host / path / query / parameter
     * extraction a web-corpus pipeline runs before domain-level
     * filtering, source attribution, and per-site mixing. The fixture

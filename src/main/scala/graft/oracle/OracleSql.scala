@@ -1625,6 +1625,17 @@ object OracleSql {
         |WHERE range NOT IN (3, 7, 14, 43, 52)
         |ORDER BY id""".stripMargin,
 
+    // I4 SQL table function: the engine declares graft_head_tokens and
+    // applies it LATERALLY; the oracle inlines the body (the I1 mirror
+    // at width 3) — inlining must be semantically exact
+    "fn_sql_udtf" ->
+      """SELECT doc_id, CAST(r.range - 1 AS INTEGER) AS pos,
+        |  toks[CAST(r.range AS INTEGER)] AS tok
+        |FROM (SELECT doc_id, list_slice(str_split(text, ' '), 1, 3) AS toks
+        |      FROM documents) d, range(1, 4) r
+        |WHERE r.range <= len(toks)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "udtf_generator" ->
       """SELECT p_partkey, CAST(r.range AS INTEGER) - 1 AS pos,
         |  substr(p_name, CAST(r.range AS INTEGER), 3) AS gram
