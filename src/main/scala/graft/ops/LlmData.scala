@@ -898,6 +898,49 @@ object LlmData {
       .orderBy(col("split_lo"), col("split_hi"))
   }
 
+  /** K66: per-source DATASET CARD — the datasheet row every corpus
+    * release ships (Gebru et al. 2021 "Datasheets for Datasets";
+    * the Pile / Dolma papers each publish exactly this table): one
+    * row per source with its document count, token mass, corpus
+    * share, exact-duplicate membership rate, language breadth, and
+    * dominant language. It is the at-a-glance answer to "what am I
+    * actually training on" — and the first place a mix regression
+    * shows up between releases (K56 drift-checks tokens; this
+    * card-checks provenance).
+    *
+    * One scan computes everything: doc-level facts (token count, text
+    * hash) in the projection, duplicate membership by a window over
+    * the 256-bit hash (text never shuffles — the K60 discipline),
+    * then a single per-source aggregate; the dominant language rides
+    * the same pass as a `max_by` over per-(source, lang) counts.
+    * Exact-decimal shares. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHash = Window.partitionBy(col("text_sha"))
+    val docs = t(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        sha2(col("text"), 256).as("text_sha"))
+      .withColumn("is_dup_member", count(lit(1)).over(byHash) > 1)
+    val perLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val domLang = perLang.groupBy(col("source"))
+      .agg(min_by(col("lang"),
+        struct((-col("c")).as("nc"), col("lang"))).as("top_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+    val card = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_dup_member"), 1L).otherwise(0L)).as("n_dup_docs"))
+    val total = card.agg(sum(col("n_tokens")).as("tok_total"))
+    card.join(domLang, Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        dbl(dec(col("n_tokens")) / col("tok_total")).as("token_share"),
+        dbl(dec(col("n_dup_docs")) / col("n_docs")).as("dup_rate"),
+        col("n_langs"), col("top_lang"))
+      .orderBy(col("source"))
+  }
+
   /** Build-once token relation for the text-analysis family — the
     * production shape of a text pipeline: tokenize the corpus ONCE,
     * persist the (doc_id, pos, tok, nxt) relation, and run every

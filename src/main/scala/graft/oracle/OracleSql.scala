@@ -2911,6 +2911,41 @@ object OracleSql {
         |FROM d GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
 
+    // K66 dataset card: one row per source — doc/token mass, corpus
+    // share, exact-dup membership rate (group by the TEXT itself —
+    // the hash-collision-free mirror), language breadth, dominant
+    // language with the D22 tie rule (count DESC, lang ASC)
+    "dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, len(str_split(text, ' ')) AS n_toks,
+        |    count(*) OVER (PARTITION BY text) > 1 AS is_dup
+        |  FROM documents
+        |), pl AS (
+        |  SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+        |), dom AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, lang) AS rn
+        |    FROM pl) WHERE rn = 1
+        |), card AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    count(*) FILTER (WHERE is_dup) AS n_dup_docs,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM d GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM card
+        |)
+        |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs, c.n_tokens,
+        |  CAST(CAST(CAST(c.n_tokens AS DECIMAL(18,4)) / tot.tok_total
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS token_share,
+        |  CAST(CAST(CAST(c.n_dup_docs AS DECIMAL(18,4)) / c.n_docs
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS dup_rate,
+        |  CAST(c.n_langs AS BIGINT) AS n_langs, dom.top_lang
+        |FROM card c JOIN dom USING (source) CROSS JOIN tot
+        |ORDER BY c.source""".stripMargin,
+
     // K65 split leakage: the K6 verified pair relation joined to the
     // K44 hash-split assignment; cross-split category pairs are leaks
     "split_leakage" ->
