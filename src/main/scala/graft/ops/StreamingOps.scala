@@ -184,6 +184,26 @@ object StreamingOps {
     q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
   }
 
+  /** J29: streaming OBSERVED metrics — A21's free-QC discipline on an
+    * unbounded stream: `Dataset.observe` attaches named aggregates
+    * that every micro-batch computes AS PART OF its own execution and
+    * reports through `StreamingQueryProgress.observedMetrics` — the
+    * per-batch row count, value mass, and null count arrive with the
+    * batch, no second query, no extra source read. This is how a
+    * production stream alerts on "this batch looks wrong" (volume
+    * collapse, null spike) at zero marginal cost; the batch-side
+    * CollectMetrics caveats (A21's double-execution gotcha) don't
+    * apply — a micro-batch sink pass executes the subtree once.
+    * Pinned in `StreamingSpec`: per-batch metric values sum to
+    * exactly the injected totals. */
+  def observedStreamCounts(events: DataFrame): DataFrame =
+    events.observe("stream_qc",
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("value"))).cast("double").as("value_mass"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** J12: streaming CDC upsert — the change-data pattern a warehouse
     * actually ingests with: each micro-batch of keyed change rows
     * MERGEs into a parquet-backed state table via

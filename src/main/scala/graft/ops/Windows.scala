@@ -65,6 +65,21 @@ object Windows {
       .orderBy(col("s_suppkey"))
   }
 
+  /** E9: time-INTERVAL range frame — the rolling-24-hour sum per user
+    * (`RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW`):
+    * E4's range frame bounds by a NUMERIC distance; the interval form
+    * bounds by EVENT TIME, which is what every "value in the trailing
+    * window" metric actually wants — and unlike a tumbling/sliding
+    * pre-aggregation it is exact per event, not per bucket. Ties on
+    * (user, ts) are frame PEERS — both engines include all peers, so
+    * the result is deterministic without a unique tiebreak in the
+    * frame order. Literal SQL via the C15 mechanism: the identical
+    * text (including the interval literal) runs in both engines. */
+  def winRangeTime(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "events").createOrReplaceTempView("events")
+    spark.sql(graft.oracle.OracleSql.all("win_range_time"))
+  }
+
   /** E5: lead/lag per user over the event stream + gap to previous. */
   def winLeadLag(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -1365,6 +1365,17 @@ object OracleSql {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey, o_custkey, first_order, last_order, second_order""".stripMargin,
 
+    // E9 time-interval range frame: literal SQL in both engines; ties
+    // are frame peers so no unique tiebreak is needed in the frame
+    "win_range_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        |  AS DECIMAL(38,6)) AS DOUBLE) AS rolling_24h
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     // E8 IGNORE NULLS navigation: identical deterministic NULL
     // synthesis (every 3rd order carries a reading) and identical
     // frames; IGNORE NULLS sits inside the call in DuckDB

@@ -142,6 +142,35 @@ class StreamingSpec extends SparkTestBase {
     assert(unpaced == Seq(4L), s"expected one 4-row batch, got $unpaced")
   }
 
+  test("J29: observed metrics ride each micro-batch and sum to the input") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EvV]
+    val q = StreamingOps.observedStreamCounts(
+        in.toDF().withColumn("event_type",
+          org.apache.spark.sql.functions.lit("view")))
+      .writeStream.format("memory").queryName("j29")
+      .outputMode("complete").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    withQuery(q) {
+      in.addData(
+        EvV(1, ts("2024-01-01 10:00:00"), 1, 10.25),
+        EvV(2, ts("2024-01-01 10:01:00"), 1, 4.75))
+      q.processAllAvailable()
+      in.addData(EvV(3, ts("2024-01-01 10:02:00"), 2, 5.00))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("stream_qc")))
+      // every data-carrying batch reported its own QC row
+      val rows = metrics.map(_.getLong(0)).filter(_ > 0)
+      assert(rows.sum == 3L, s"per-batch n_rows must sum to input: $metrics")
+      val mass = metrics.map(m =>
+        Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)).sum
+      assert(math.abs(mass - 20.0) < 1e-9, s"value mass $mass")
+      assert(metrics.forall(_.getLong(2) == 0L), "no null values injected")
+    }
+  }
+
   test("J6: stream-static broadcast join enriches events with the dim") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
