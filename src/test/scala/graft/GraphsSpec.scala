@@ -304,6 +304,61 @@ class GraphsSpec extends SparkTestBase {
       "a true core member was peeled — the bound must converge from above")
   }
 
+  test("L6/L7/L8: randomized differential vs plain-Scala references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 6
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n if rnd.nextDouble() < 0.18
+      } yield (u, v)).toVector
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v")
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keySet
+
+        // BFS reference from MIN(node), capped at BfsMaxHops
+        val src = nodes.min
+        var dist = Map(src -> 0)
+        var frontier = Set(src)
+        for (d <- 1 to Graphs.BfsMaxHops) {
+          frontier = frontier.flatMap(adj).diff(dist.keySet)
+          dist ++= frontier.map(_ -> d)
+        }
+        val gotB = Graphs.bfsDistances(df).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(gotB == dist, s"BFS diverges on trial $trial")
+
+        // LPA reference: synchronous, mode-of-neighbors, tie -> min
+        var lbl: Map[Long, Long] = nodes.map(x => x -> x).toMap
+        for (_ <- 1 to Graphs.LpaRounds)
+          lbl = nodes.map { v =>
+            val counts = adj(v).toSeq.map(lbl).groupBy(identity)
+              .map { case (l, xs) => l -> xs.length }
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }.toMap
+        val gotL = Graphs.labelPropagation(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotL == lbl, s"LPA diverges on trial $trial")
+
+        // k-core reference: KcoreRounds synchronous peel rounds
+        var es = edges
+        for (_ <- 1 to Graphs.KcoreRounds) {
+          val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+            .map { case (k, xs) => k -> xs.length }
+          val keep = deg.filter(_._2 >= Graphs.KcoreK).keySet
+          es = es.filter(e => keep(e._1) && keep(e._2))
+        }
+        val refDeg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+          .map { case (k, xs) => k -> xs.length.toLong }
+        val gotK = Graphs.kcorePeel(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotK == refDeg, s"k-core diverges on trial $trial")
+      }
+    }
+  }
+
   test("L6: BFS distances are exact on a path and capped at BfsMaxHops") {
     import spark.implicits._
     // path 0-1-2-...-9 from seed MIN=0: dist(i)=i, capped at 6 hops —

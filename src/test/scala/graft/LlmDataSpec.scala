@@ -548,6 +548,38 @@ class LlmDataSpec extends SparkTestBase {
       "every verified pair lands in exactly one category")
   }
 
+  test("K63: randomized differential vs a plain-Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(63)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "nav", "menu")
+    val shared = Seq.fill(LlmData.BoilerSegTokens)(vocab(rnd.nextInt(4)))
+      .mkString(" ")
+    val docs = (0L until 20L).map { i =>
+      val body = Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+      // every 3rd doc carries the shared "nav bar" segment up front
+      i -> (if (i % 3 == 0) shared + " " + body.mkString(" ")
+            else body.mkString(" "))
+    }
+    val ref = {
+      val segs = docs.map { case (id, text) =>
+        id -> text.split(" ").grouped(LlmData.BoilerSegTokens)
+          .map(_.mkString(" ")).toSeq
+      }
+      val freq = segs.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      segs.map { case (id, ss) =>
+        id -> ((ss.length.toLong,
+          ss.count(s => freq(s) >= LlmData.BoilerMinDocs).toLong))
+      }.toMap
+    }
+    val got = LlmData.boilerplateCounts(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == ref, s"boilerplate accounting diverges:\n got=$got\n ref=$ref")
+    // and the plant is detected: shared segments span ≥ 7 docs
+    assert(got.filter(_._1 % 3 == 0).forall(_._2._2 >= 1))
+  }
+
   test("K63: fixture boilerplate accounting is internally consistent") {
     val rows = LlmData.textBoilerplate(spark, sfDir).collect()
     val nDocs = graft.ops.Util.t(spark, sfDir, "documents").count()
