@@ -273,6 +273,13 @@ object Fns {
           .as("bad_is_null"))
       .orderBy(col("event_id"))
 
+  /** H11: URL dissection. ONE `parse_url` call per row (the QUERY-key
+    * extraction, the piece worth a real URL parser); host/path/query/
+    * protocol come from codegen'd substring arithmetic over the
+    * scheme://host/path?query shape — the previous six-parse_url form
+    * re-ran the full java.net URI parse per output column, 5 of 6
+    * redundantly (~3× the row cost; cosmetic at sf0.1, a linear CPU
+    * line item at 100 TB — round-14 advice). */
   def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .withColumn("url", concat(
@@ -280,12 +287,19 @@ object Fns {
         lit(".example.com/cat/"), (col("o_custkey") % 7).cast("string"),
         lit("/item?id="), col("o_orderkey").cast("string"),
         lit("&pri="), regexp_replace(col("o_orderpriority"), " ", "+")))
+      // pre_q = everything before '?'; proto = before '://';
+      // host = first '/'-segment after '://'; path = the remainder of
+      // pre_q past proto + "://" + host (substr is 1-indexed)
+      .withColumn("pre_q", substring_index(col("url"), "?", 1))
+      .withColumn("proto", substring_index(col("url"), "://", 1))
+      .withColumn("host",
+        substring_index(expr("substr(url, length(proto) + 4)"), "/", 1))
       .select(col("o_orderkey"),
-        expr("parse_url(url, 'HOST')").as("host"),
-        expr("parse_url(url, 'PATH')").as("path"),
-        expr("parse_url(url, 'QUERY')").as("query"),
+        col("host"),
+        expr("substr(pre_q, length(proto) + 3 + length(host) + 1)").as("path"),
+        expr("substr(url, length(pre_q) + 2)").as("query"),
         expr("parse_url(url, 'QUERY', 'id')").as("q_id"),
-        expr("parse_url(url, 'PROTOCOL')").as("proto"))
+        col("proto"))
       .orderBy(col("o_orderkey"))
 
   /** H13: the Spark 4 COLLATION surface — case-insensitive grouping

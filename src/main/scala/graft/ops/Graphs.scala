@@ -313,7 +313,15 @@ object Graphs {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src")).localCheckpoint(true)
-    val src = sym.agg(min(col("src"))).head.getLong(0)
+    // guarded seed lookup: an empty edge relation yields a NULL min
+    // (would NPE on getLong), and a non-Long integer key type would
+    // ClassCastException — both fail informatively instead, and any
+    // integral key type is normalized through one checked cast
+    // (round-14 advice)
+    val seedRow = sym.agg(min(col("src")).cast("long")).head()
+    require(!seedRow.isNullAt(0),
+      "bfsDistances: empty edge relation — no seed node to start from")
+    val src = seedRow.getLong(0)
     val session = edges.sparkSession
     import session.implicits._
     var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)

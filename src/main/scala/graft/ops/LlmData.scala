@@ -846,14 +846,24 @@ object LlmData {
       .orderBy(col("keep_pm"))
   }
 
-  def splitHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE K44/K65 split assignment — one definition, used by both the
+    * split itself ([[splitHoldout]]) and its leakage audit
+    * ([[splitLeakage]]): md5-draw on the salted doc id, permille
+    * bucket, 10/20/970 test/val/train thresholds. Shared so the audit
+    * can never silently audit a DIFFERENT split than the one K44
+    * produces (round-14 advice — two inlined copies of the hash drift
+    * independently with no test failing). */
+  private def splitAssign: Column = {
     val draw = conv(substring(md5(concat(lit("split"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
     val bucket = pmod(draw, lit(1000L))
+    when(bucket < 10, "test").when(bucket < 30, "val").otherwise("train")
+  }
+
+  def splitHoldout(spark: SparkSession, sfDir: String): DataFrame = {
     t(spark, sfDir, "documents")
       .select(
-        when(bucket < 10, "test").when(bucket < 30, "val")
-          .otherwise("train").as("split"),
+        splitAssign.as("split"),
         col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
       .groupBy(col("split"), col("lang"))
@@ -878,13 +888,8 @@ object LlmData {
     * projection (no join against K44 needed); two id-keyed joins fold
     * the split labels onto the pairs, then one ≤ 6-key partial agg. */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    val draw = conv(substring(md5(concat(lit("split"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-    val bucket = pmod(draw, lit(1000L))
     val splits = t(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        when(bucket < 10, "test").when(bucket < 30, "val")
-          .otherwise("train").as("split"))
+      .select(col("doc_id"), splitAssign.as("split"))
     ensurePairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
         Seq("doc_a"))

@@ -172,16 +172,55 @@ object StreamingOps {
       .schema("event_id LONG, user_id LONG, event_type STRING")
     maxFilesPerTrigger.foreach(n =>
       r = r.option("maxFilesPerTrigger", n.toString))
-    val q = r.parquet(srcDir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .start()
-    q.awaitTermination()
-    q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    // Per-batch counts come through a StreamingQueryListener, NOT
+    // q.recentProgress: the progress ring buffer is capped by
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // paced backfill with more micro-batches than that (e.g.
+    // maxFilesPerTrigger=1 over a long file backlog) would silently
+    // return truncated counts (round-14 advice). The listener sees
+    // every progress event; counts are keyed by batchId so a late or
+    // duplicate event can't double-count.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val counts =
+      new java.util.concurrent.ConcurrentHashMap[(java.util.UUID, Long), Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        counts.put((e.progress.id, e.progress.batchId),
+          e.progress.numInputRows); ()
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = r.parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+      // listener events are delivered asynchronously on the listener
+      // bus — wait (bounded) until the FINAL batch's event has landed
+      // before reading the counts. `q.lastProgress` is synchronous
+      // truth for which batch ran last (events for OTHER queries are
+      // recorded too, filtered out by the q.id key below, so nothing
+      // races the start()-to-id window).
+      val lastBatch = Option(q.lastProgress).map(_.batchId)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (lastBatch.exists(b => !counts.containsKey((q.id, b))) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq
+        .collect { case ((id, batchId), n) if id == q.id => (batchId, n) }
+        .sortBy(_._1).map(_._2).filter(_ > 0)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** J29: streaming OBSERVED metrics — A21's free-QC discipline on an

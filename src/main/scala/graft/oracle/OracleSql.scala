@@ -907,9 +907,15 @@ object OracleSql {
         |FROM v GROUP BY lower(b)
         |ORDER BY canon""".stripMargin,
 
-    // H15 try_* arithmetic: DuckDB divides-to-NULL natively; TRY_CAST
-    // and out-of-bounds list indexing mirror try_cast/try_element_at;
-    // the BIGINT overflow is analytically known (odd keys overflow)
+    // H15 try_* arithmetic: TRY_CAST and out-of-bounds list indexing
+    // mirror try_cast/try_element_at; the BIGINT overflow is
+    // analytically known (odd keys overflow). The zero-divisor arm is
+    // an EXPLICIT CASE-to-NULL, not DuckDB's native divide-to-NULL:
+    // DuckDB's ieee_floating_point_ops setting (default true from
+    // 1.3+) makes x/0.0 return inf/nan instead of NULL, so relying on
+    // the native behavior would silently flip this column under a
+    // DuckDB upgrade in the oracle harness (round-14 advice) — the
+    // NULL-on-zero contract is spelled in the SQL.
     "fn_try_arith" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderkey % 5 AS d,
@@ -918,7 +924,8 @@ object OracleSql {
         |  FROM orders
         |)
         |SELECT o_orderkey,
-        |  CAST(o_orderkey AS DOUBLE) / CAST(d AS DOUBLE) AS q,
+        |  CASE WHEN d = 0 THEN NULL
+        |    ELSE CAST(o_orderkey AS DOUBLE) / CAST(d AS DOUBLE) END AS q,
         |  TRY_CAST(s AS INTEGER) AS n,
         |  CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 2 = 0
         |    THEN 9223372036854775807 END AS ov,

@@ -534,15 +534,42 @@ class CensusPartitionReader(path: String, requiredCols: Seq[String],
     /** The pushed per-partition row bound: local sort+take for TopN
       * (ascending, nulls first — the only accepted shape), plain take
       * for LIMIT, identity otherwise. Runs on the FILTERED raw rows,
-      * before projection, so sort columns need not survive pruning. */
+      * before projection, so sort columns need not survive pruning.
+      *
+      * The local sort MUST agree with the global TakeOrdered merge
+      * Spark runs on top, or a partition discards rows the merge can
+      * never recover: Spark orders strings by UTF8String binary
+      * comparison (unsigned UTF-8 bytes = code-point order), while
+      * Java's `Ordering.String` compares UTF-16 code units — the two
+      * DISAGREE on supplementary-plane characters (surrogates sort
+      * below U+E000..U+FFFF in UTF-16, above them by code point). So
+      * the local comparator is unsigned UTF-8 bytes. And if any
+      * requested sort column is absent from the raw header, the bound
+      * is DECLINED (unbounded emit — the NULL-fill projection happens
+      * after this, so a local sort over a column the file lacks would
+      * keep the wrong top-N); correctness then comes from Spark's own
+      * TakeOrdered, the pushdown was only ever an optimization. */
     val bound: Iterator[Vector[String]] => Iterator[Vector[String]] =
       pushedTopN match {
-        case Some((cols, n)) =>
-          val idxs = cols.flatMap(colIdx.get)
+        case Some((cols, n)) if cols.forall(colIdx.contains) =>
+          val idxs = cols.map(colIdx)
+          val utf8Binary: Ordering[String] = (a: String, b: String) => {
+            val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val m = math.min(x.length, y.length)
+            var i = 0
+            var c = 0
+            while (c == 0 && i < m) {
+              c = (x(i) & 0xff) - (y(i) & 0xff)
+              i += 1
+            }
+            if (c != 0) c else x.length - y.length
+          }
           it => it.toVector.sortBy[Iterable[Option[String]]](r => idxs.map(
             i => Option(if (i < r.length) r(i) else null)))(
-            Ordering.Iterable(Ordering.Option(Ordering.String)))
+            Ordering.Iterable(Ordering.Option(utf8Binary)))
             .take(n).iterator
+        case Some(_) => identity // sort column absent from the header
         case None => pushedLimit match {
           case Some(n) => it => it.take(n)
           case None => identity

@@ -353,6 +353,43 @@ class CensusSourceSpec extends SparkTestBase {
       .contains("PushedLimit: LIMIT 5"), df.queryExecution.executedPlan)
   }
 
+  test("A27: the local TopN sort is UTF-8 binary — supplementary chars " +
+      "sort where Spark's merge expects them") {
+    // "😀" (U+1F600) vs "�" (U+FFFD): Java's UTF-16 code-unit
+    // compare puts the surrogate pair FIRST (0xD83D < 0xFFFD); Spark's
+    // UTF8String binary compare puts it LAST (0xF0 > 0xEF). A local
+    // top-N sorted with String ordering would keep 😀_a and discard
+    // �_z — a row the global TakeOrdered merge can never recover.
+    val path = writeFixture(Seq(
+      Seq("NAME", "state"),
+      Seq("😀_a", "06"),
+      Seq("�_z", "06"),
+      Seq("A", "06")))
+    val df = read(expect = Seq("NAME", "state"), path = path)
+      .orderBy(col("NAME"), col("state")).limit(2)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("A", "�_z"),
+      "local TopN must keep the UTF-8-binary top rows, not UTF-16's")
+  }
+
+  test("A27: a sort column absent from the raw header declines the " +
+      "local bound (unbounded emit, Spark's TakeOrdered answers)") {
+    // the file has no `tract` column — it is NULL-filled by the R5
+    // projection AFTER the bound runs, so a local sort over it would
+    // silently sort by nothing and keep the wrong (file-order) rows
+    val path = writeFixture(Seq(
+      Seq("NAME", "state"),
+      Seq("c", "06"),
+      Seq("b", "06"),
+      Seq("a", "06")))
+    val df = read(expect = Seq("NAME", "state", "tract"), path = path)
+      .orderBy(col("tract"), col("NAME")).limit(2)
+      .select(col("NAME"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a", "b"),
+      "missing sort column must fall back to unbounded emit")
+  }
+
   test("A27: a descending or computed ordering declines the TopN pushdown") {
     val df = spark.read.format("graft.sources.CensusSource")
       .option("path", graft.sources.CensusFixture.path)
