@@ -273,4 +273,73 @@ class AggregatesSpec extends SparkTestBase {
       s"bucket ${r.getLong(0)} holds ${r.getLong(1)} of ~$ideal"))
   }
 
+  test("D13/D23 scale seam: the threshold switch is exact at the cap, " +
+      "sketch above it") {
+    import graft.ops.Aggregates._
+    assert(useExactPercentile(0L))
+    assert(useExactPercentile(ExactPercentileRowCap))
+    assert(!useExactPercentile(ExactPercentileRowCap + 1))
+    assert(useExactPercentile(10L, cap = 10L))
+    assert(!useExactPercentile(11L, cap = 10L))
+    // every fixture scale sits far under the default cap → the
+    // registered queries always take the exact (oracle) path
+    assert(useExactPercentile(
+      graft.ops.Util.t(spark, sfDir.replace("0.001", "0.1"),
+        "lineitem").count()))
+  }
+
+  test("D23 scale seam: the sketch path's buckets agree with the exact " +
+      "path within the GK rank-error bound") {
+    val total = graft.ops.Util.t(spark, sfDir, "lineitem").count()
+    val exact = graft.ops.Aggregates
+      .eqdepthHistogram(spark, sfDir, exact = Some(true)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Aggregates
+      .eqdepthHistogram(spark, sfDir, exact = Some(false)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both paths partition the table
+    assert(exact.values.sum == total)
+    assert(approx.values.sum == total)
+    // each approx boundary sits within rank error 1/accuracy = 0.1% of
+    // its exact rank, so each bucket's population can shift by at most
+    // 2 boundaries' error (plus interpolation-vs-observed-value slack
+    // of one tied value run — bounded here by a small absolute floor)
+    val tol = math.max(4.0, 2 * total / 1000.0)
+    for (b <- 0L until 8L) {
+      val e = exact.getOrElse(b, 0L)
+      val a = approx.getOrElse(b, 0L)
+      assert(math.abs(a - e) <= tol,
+        s"bucket $b: approx $a vs exact $e exceeds rank-error tolerance $tol")
+    }
+  }
+
+  test("D13 scale seam: the sketch path's group percentiles stay within " +
+      "the rank-error bound of the exact path") {
+    val exact = graft.ops.Aggregates
+      .aggPercentileSeam(spark, sfDir, exact = Some(true)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.ops.Aggregates
+      .aggPercentileSeam(spark, sfDir, exact = Some(false)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    val byGroup = graft.ops.Util.t(spark, sfDir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderstatus"),
+        graft.ops.Util.cents(
+          org.apache.spark.sql.functions.col("o_totalprice")).as("tpc"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    for ((k, (m, q1)) <- approx; (frac, v) <- Seq(0.5 -> m, 0.25 -> q1)) {
+      val sorted = byGroup(k)
+      val n = sorted.length
+      // the sketch returns an OBSERVED value whose rank is within
+      // n/accuracy of the target rank
+      val target = frac * (n - 1)
+      val slack = math.max(2.0, n / 1000.0 + 1)
+      val lo = sorted(math.max(0, (target - slack).floor.toInt))
+      val hi = sorted(math.min(n - 1, (target + slack).ceil.toInt))
+      assert(v >= lo && v <= hi,
+        s"group $k p$frac: sketch $v outside rank window [$lo, $hi]")
+    }
+  }
+
 }
