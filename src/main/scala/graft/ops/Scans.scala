@@ -844,6 +844,79 @@ object Scans {
     }.reduce(_.union(_)).orderBy(col("version"))
   }
 
+  /** A30: MERGE-ON-READ DELETE ([[graft.sources.SnapshotStore.commitDelete]])
+    * — the deletion-vector movement F12's copy-on-write bill argues
+    * for: a GDPR-style erasure on the A18 snapshot store that rewrites
+    * ZERO data files. v1 publishes a customer slice; v2 deletes every
+    * 30th key by committing only a deletion-vector sidecar (the
+    * deleted keys as one small parquet + one manifest line — O(deleted
+    * keys), where copy-on-write is O(every touched file), the
+    * amplification F12 prices); v3 RE-INSERTS the deleted keys via an
+    * ordinary append, proving the DV is scoped to the data that
+    * existed when the delete committed (the per-file semantics of
+    * lakehouse deletion vectors — an append after the delete is not
+    * retro-deleted). Each version reads back AS OF its number: v1
+    * still serves the pre-delete content (time travel through a
+    * delete), v2 subtracts the keys at read (merge-on-read), v3 shows
+    * them re-inserted with shifted balances. The no-rewrite law (v1's
+    * data files byte-untouched by the delete) and the
+    * overwrite-materializes law are pinned in `SnapshotStoreSpec`. */
+  def warehouseDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_mor_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitDelete(spark, root, "c_custkey",
+      col("c_custkey") % 30 === 0)
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 30 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    (1 to 3).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("acctbal_cents_sum"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  /** A31: ZONE-MAP file skipping at the SNAPSHOT-STORE layer
+    * ([[graft.sources.SnapshotStore.readPruned]]) — F10 proved the
+    * skip arithmetic as a query; here the store's manifests CARRY the
+    * per-directory min/max (recorded at commit time from the written
+    * batch, one narrow scan) and the reader skips non-overlapping
+    * directories BEFORE opening a file — the A8/C19 pruning discipline
+    * one level up, and after partition pruning the first IO lever at
+    * 100 TB. Four appended batches land key-range-disjoint zone maps
+    * on a derived `k_bucket` column; a range read then opens exactly
+    * the 2 overlapping directories of 4 (the counts ride the result
+    * row), and the returned rows are IDENTICAL to an unpruned
+    * read+filter — value transparency, which the oracle re-proves by
+    * computing the answer from the base table with no store at all.
+    * Random-range transparency and the stat-less-dir soundness rule
+    * are pinned in `SnapshotStoreSpec`. */
+  def warehouseStatsPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_zm_")
+    val base = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"),
+        (col("c_custkey") % 100).as("k_bucket"))
+    for (i <- 0 to 3)
+      SnapshotStore.commitAppend(spark, root,
+        base.filter(col("k_bucket").between(25 * i, 25 * i + 24)),
+        statsCol = Some("k_bucket"))
+    val pruned = SnapshotStore.readPruned(spark, root, "k_bucket", 30L, 60L)
+    pruned.df.filter(col("k_bucket").between(30, 60))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_cents")).as("acctbal_cents_sum"))
+      .select(col("n_rows"), col("acctbal_cents_sum"),
+        lit(pruned.dirsOpened.toLong).as("n_dirs_opened"),
+        lit(pruned.dirsTotal.toLong).as("n_dirs_total"))
+  }
+
   /** A22: snapshot CHANGE FEED — the row-level diff between committed
     * versions of the A18 snapshot store, i.e. the read side of CDC
     * (Delta's table_changes / Iceberg's changelog scan): downstream

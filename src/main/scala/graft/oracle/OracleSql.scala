@@ -627,6 +627,48 @@ object OracleSql {
         |  CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A30 merge-on-read delete: each version's content recomputed from
+    // the base table — v1 pre-delete (time travel THROUGH a delete),
+    // v2 minus the DV keys (merge-on-read subtraction), v3 with the
+    // deleted keys RE-INSERTED at +1000 (the DV is scoped to data that
+    // existed when the delete committed, so a later append revives the
+    // key — the per-file lakehouse DV semantics)
+    "warehouse_delete_mor" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer
+        |  WHERE c_custkey % 10 = 0 AND c_custkey % 30 <> 0
+        |), v3 AS (
+        |  SELECT c_acctbal FROM v2
+        |  UNION ALL
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 30 = 0
+        |)
+        |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
+
+    // A31 zone-map pruned read: the oracle computes the answer from
+    // the base table with no store at all — pruning must be value-
+    // transparent; the dir counts are closed-form (4 disjoint
+    // 25-wide k_bucket batches, [30,60] overlaps exactly 2)
+    "warehouse_stats_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum,
+        |  CAST(2 AS BIGINT) AS n_dirs_opened,
+        |  CAST(4 AS BIGINT) AS n_dirs_total
+        |FROM customer
+        |WHERE c_custkey % 100 BETWEEN 30 AND 60""".stripMargin,
+
     // MERGE with deletes: matched 'D' removes the row, unmatched 'D'
     // is a no-op, 'U' behaves as the A6 upsert
     "warehouse_merge_delete" ->

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Manifest-swap snapshot store — the lakehouse time-travel core
   * (the public Delta/Iceberg design in miniature): a table is a
@@ -13,18 +14,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * leaves only invisible orphan data, and "time travel" is nothing
   * more than resolving an older manifest.
   *
-  * Two commit kinds cover the real warehouse movements:
+  * Commit kinds covering the real warehouse movements:
   *  - [[commitOverwrite]]: the new snapshot is exactly the new data
   *    (the rebuild/compaction shape — old directories stay on disk
   *    for older versions until a retention sweep).
   *  - [[commitAppend]]: the new snapshot is the previous manifest's
-  *    directory list PLUS the new data — an append never rewrites or
+  *    entry list PLUS the new data — an append never rewrites or
   *    even reads existing data files, which is what makes incremental
-  *    loads O(batch) instead of O(table).
+  *    loads O(batch) instead of O(table)).
+  *  - [[commitDelete]]: MERGE-ON-READ delete via a deletion-vector
+  *    sidecar — the new snapshot carries every previous entry forward
+  *    untouched plus one `dv` entry whose parquet lists the deleted
+  *    keys; NO data file is rewritten (copy-on-write would rewrite
+  *    every file containing a match — the F12 amplification bill).
+  *    Readers subtract the keys with an anti-join. A DV applies only
+  *    to data directories that PRECEDE it in the manifest (data that
+  *    existed when the delete committed) — a later re-insert of a
+  *    deleted key is visible again, exactly the per-file semantics of
+  *    lakehouse deletion vectors. An overwrite (or A25's OPTIMIZE,
+  *    which is an overwrite of the read-back content) naturally
+  *    MATERIALIZES outstanding deletes and drops the DV entries.
   *
-  * Scale shape: manifests are METADATA (a few hundred bytes per
-  * commit, one line per data directory); data moves only through
-  * ordinary parquet writes of the batch being committed. Version
+  * Data entries may carry a FILE-LEVEL ZONE MAP — min/max of one
+  * declared long-typed column, computed at commit time from the just-
+  * written directory (`statsCol`). [[readPruned]] skips directories
+  * whose [min,max] cannot overlap a range predicate BEFORE any data
+  * file is opened — the Delta/Iceberg data-skipping core, and after
+  * partition pruning the first IO lever at 100 TB. Entries without
+  * stats are never skipped (soundness over optimism).
+  *
+  * Scale shape: manifests are METADATA (a line per data dir / DV);
+  * data moves only through ordinary parquet writes of the batch being
+  * committed, and a delete moves only the deleted keys. Version
   * resolution lists one directory. All FS access goes through the
   * session's Hadoop `FileSystem`, so the root may be any
   * executor-visible FS. Concurrency: the manifest rename is the
@@ -34,6 +55,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
   private val ManifestDir = "_manifests"
+
+  /** One manifest line. Grammar (tab-separated; legacy manifests are
+    * bare directory paths and parse as stat-less data entries):
+    *  - `<dir>`                          data dir, no stats
+    *  - `<dir>\t<col>\t<min>\t<max>`     data dir with a long zone map
+    *  - `dv\t<keyCol>\t<dir>`            deletion-vector sidecar
+    */
+  private sealed trait Entry { def dir: String }
+  private case class DataDir(dir: String,
+      stats: Option[(String, Long, Long)]) extends Entry
+  private case class DeleteVector(keyCol: String, dir: String) extends Entry
+
+  private def render(e: Entry): String = e match {
+    case DataDir(d, None) => d
+    case DataDir(d, Some((c, lo, hi))) => s"$d\t$c\t$lo\t$hi"
+    case DeleteVector(k, d) => s"dv\t$k\t$d"
+  }
+
+  private def parse(line: String): Entry = line.split('\t') match {
+    case Array("dv", k, d) => DeleteVector(k, d)
+    case Array(d, c, lo, hi) => DataDir(d, Some((c, lo.toLong, hi.toLong)))
+    case Array(d) => DataDir(d, None)
+    case _ => throw new IllegalStateException(s"bad manifest line: $line")
+  }
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -53,34 +98,44 @@ object SnapshotStore {
       .sorted
   }
 
-  /** The directory list of a published version. */
-  private def readManifest(spark: SparkSession, root: String,
-      v: Int): Seq[String] = {
+  private def readManifestLines(spark: SparkSession, root: String,
+      v: Int): Seq[String] = readLinesAt(spark, root, manifestPath(root, v))
+
+  private def readLinesAt(spark: SparkSession, root: String,
+      p: Path): Seq[String] = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+    val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  /** Stage `df` as a new data directory, then publish manifest
-    * version `prev.max + 1` whose content is `carry ++ the new dir`.
-    * The manifest itself is written to a temp name and RENAMED into
-    * place — the atomic commit point. Returns the published version. */
-  private def commit(spark: SparkSession, root: String, df: DataFrame,
-      carryFrom: Option[Int]): Int = {
+  /** Zone-map computation for a just-written data dir: one narrow
+    * min/max scan of the single declared column over the files the
+    * commit itself produced (at scale this folds per-file from parquet
+    * footers; the committed batch is the only data touched either
+    * way). An empty batch records no stats — a stat-less entry is
+    * never pruned. */
+  private def zoneMapOf(spark: SparkSession, dataDir: String,
+      statsCol: String): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val r = spark.read.parquet(dataDir)
+      .agg(min(col(statsCol).cast("long")), max(col(statsCol).cast("long")))
+      .head()
+    if (r.isNullAt(0)) None else Some((statsCol, r.getLong(0), r.getLong(1)))
+  }
+
+  /** Write `lines` as manifest version `v` via the atomic temp-write +
+    * rename commit point. */
+  private def publishManifest(spark: SparkSession, root: String, v: Int,
+      lines: Seq[String]): Unit = {
     val f = fs(spark, root)
-    val existing = versions(spark, root)
-    val v = existing.lastOption.getOrElse(0) + 1
-    val dataDir = s"$root/data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("error").parquet(dataDir)
-    val carried = carryFrom.map(readManifest(spark, root, _)).getOrElse(Nil)
-    val lines = (carried :+ dataDir).mkString("\n")
     val mDir = new Path(s"$root/$ManifestDir")
     if (!f.exists(mDir)) { f.mkdirs(mDir); () }
-    val tmp = new Path(mDir, s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val tmp = new Path(mDir,
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, false)
-    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     // rename is the commit point: the loser of a same-version race
     // fails here and its staged data stays an invisible orphan
     if (!f.rename(tmp, manifestPath(root, v))) {
@@ -88,18 +143,64 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"snapshot commit race lost for $root v$v")
     }
+  }
+
+  /** Stage `df` as a new data directory, then publish manifest
+    * version `prev.max + 1` whose content is `carry ++ the new dir`.
+    * Returns the published version. */
+  private def commit(spark: SparkSession, root: String, df: DataFrame,
+      carryFrom: Option[Int], statsCol: Option[String]): Int = {
+    val existing = versions(spark, root)
+    val v = existing.lastOption.getOrElse(0) + 1
+    val dataDir =
+      s"$root/data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("error").parquet(dataDir)
+    val carried =
+      carryFrom.map(readManifestLines(spark, root, _)).getOrElse(Nil)
+    val entry = DataDir(dataDir, statsCol.flatMap(zoneMapOf(spark, dataDir, _)))
+    publishManifest(spark, root, v, carried :+ render(entry))
     v
   }
 
-  /** Publish a snapshot that REPLACES the table content. */
-  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, df, carryFrom = None)
+  /** Publish a snapshot that REPLACES the table content (dropping any
+    * outstanding deletion vectors — the content is the new data). */
+  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None): Int =
+    commit(spark, root, df, carryFrom = None, statsCol)
 
   /** Publish a snapshot that APPENDS to the latest version: the new
-    * manifest carries the previous directory list forward — no
-    * existing data file is read or rewritten. */
-  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, df, carryFrom = versions(spark, root).lastOption)
+    * manifest carries the previous entry list forward — no existing
+    * data file is read or rewritten. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None): Int =
+    commit(spark, root, df, carryFrom = versions(spark, root).lastOption,
+      statsCol)
+
+  /** MERGE-ON-READ DELETE: publish a snapshot in which every row of
+    * the current content whose `keyCol` satisfies `predicate` is
+    * deleted — WITHOUT rewriting a single data file. The matching keys
+    * are written once as a deletion-vector parquet (O(deleted keys),
+    * not O(touched files) — the copy-on-write bill F12 prices), and
+    * the new manifest is the previous one plus a `dv` entry. Readers
+    * apply the DV as an anti-join; data committed AFTER this delete is
+    * not affected by it (a re-inserted key is visible again). Deleting
+    * keys that match nothing is a no-op on content — never an error
+    * (CDC replays produce them). Returns the published version. */
+  def commitDelete(spark: SparkSession, root: String, keyCol: String,
+      predicate: Column): Int = {
+    val existing = versions(spark, root)
+    require(existing.nonEmpty, s"no published snapshots under $root")
+    val v = existing.last + 1
+    val keys = read(spark, root).filter(predicate)
+      .select(col(keyCol)).distinct()
+    val dvDir =
+      s"$root/data/dv-v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    keys.write.mode("error").parquet(dvDir)
+    val carried = readManifestLines(spark, root, existing.last)
+    publishManifest(spark, root, v,
+      carried :+ render(DeleteVector(keyCol, dvDir)))
+    v
+  }
 
   // ---- WAP (write-audit-publish) staging ----
   //
@@ -116,7 +217,7 @@ object SnapshotStore {
   // discipline).
 
   /** Stage an APPEND batch: data + a `staged-<id>.list` manifest
-    * carrying the current latest's directory list. Returns the
+    * carrying the current latest's entry list. Returns the
     * staging id. */
   def stageAppend(spark: SparkSession, root: String, df: DataFrame): String = {
     val f = fs(spark, root)
@@ -124,7 +225,7 @@ object SnapshotStore {
     val dataDir = s"$root/data/staged-$id"
     df.write.mode("error").parquet(dataDir)
     val carried = versions(spark, root).lastOption
-      .map(readManifest(spark, root, _)).getOrElse(Nil)
+      .map(readManifestLines(spark, root, _)).getOrElse(Nil)
     val mDir = new Path(s"$root/$ManifestDir")
     if (!f.exists(mDir)) { f.mkdirs(mDir); () }
     val p = new Path(mDir, s"staged-$id.list")
@@ -140,10 +241,7 @@ object SnapshotStore {
     val f = fs(spark, root)
     val p = new Path(s"$root/$ManifestDir/staged-$id.list")
     require(f.exists(p), s"no staged manifest $id under $root")
-    val in = f.open(p)
-    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList finally in.close()
-    spark.read.parquet(dirs: _*)
+    assemble(spark, readLinesAt(spark, root, p).map(parse))
   }
 
   /** PUBLISH a staged batch: rename the staged manifest to version
@@ -176,10 +274,11 @@ object SnapshotStore {
     * data whose manifest never published; invisible to readers, but
     * real bytes). Deletion order is manifests FIRST: a reader racing
     * the sweep can at worst fail to resolve a dropped version — it can
-    * never resolve a manifest whose data is already gone (data
-    * referenced by any surviving manifest is never touched; an
-    * appended-forward directory survives as long as ANY keeper lists
-    * it). Idempotent: a second sweep finds nothing to drop.
+    * never resolve a manifest whose data is already gone (data — and
+    * deletion vectors — referenced by any surviving manifest are never
+    * touched; an appended-forward directory survives as long as ANY
+    * keeper lists it). Idempotent: a second sweep finds nothing to
+    * drop.
     *
     * Driver-side METADATA work only (list + delete, same division of
     * labor as every lakehouse VACUUM); returns
@@ -190,9 +289,11 @@ object SnapshotStore {
     val vs = versions(spark, root)
     val keep = vs.takeRight(keepLast)
     val drop = vs.dropRight(keepLast)
-    // resolve referenced dirs BEFORE dropping manifests
-    val referenced = keep.flatMap(readManifest(spark, root, _))
-      .map(new Path(_).getName).toSet
+    // resolve referenced dirs (data AND deletion vectors) BEFORE
+    // dropping manifests
+    val referenced = keep
+      .flatMap(readManifestLines(spark, root, _)).map(parse)
+      .map(e => new Path(e.dir).getName).toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val dataRoot = new Path(s"$root/data")
     val removed =
@@ -207,17 +308,83 @@ object SnapshotStore {
     (drop.length, removed)
   }
 
-  /** Read a snapshot: the latest by default, or AS OF `asOf` (the
-    * greatest published version ≤ asOf — the time-travel read). */
-  def read(spark: SparkSession, root: String,
-      asOf: Option[Int] = None): DataFrame = {
+  /** Assemble the DataFrame a manifest describes: data dirs unioned in
+    * manifest order, with each deletion vector anti-joined onto every
+    * data dir that PRECEDES it (the data the delete saw when it
+    * committed — later appends are unaffected, so a re-inserted key is
+    * visible again). Consecutive data dirs sharing the same pending-DV
+    * set read as ONE multi-path parquet scan, so the plan stays
+    * "scan ∪ (scan ▷ dv)" segments, not a per-directory union chain;
+    * each DV side is a single-column parquet joined once per segment
+    * (broadcast-sized in the GDPR-erasure shape). */
+  private def assemble(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    val dataIdx = entries.zipWithIndex.collect {
+      case (d: DataDir, i) => (d, i) }
+    require(dataIdx.nonEmpty, "manifest lists no data directories")
+    val dvIdx = entries.zipWithIndex.collect {
+      case (dv: DeleteVector, i) => (dv, i) }
+    // group data dirs by the set of DVs committed after them
+    val segments = dataIdx
+      .groupBy { case (_, i) => dvIdx.filter(_._2 > i).map(_._1) }
+      .toSeq
+      // deterministic assembly order: by first member's manifest position
+      .sortBy { case (_, members) => members.map(_._2).min }
+    segments.map { case (dvs, members) =>
+      val base = spark.read.parquet(members.map(_._1.dir): _*)
+      dvs.groupBy(_.keyCol).foldLeft(base) { case (acc, (keyCol, vs)) =>
+        val keys = spark.read.parquet(vs.map(_.dir): _*)
+          .select(col(keyCol)).distinct()
+        acc.join(keys, Seq(keyCol), "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  private def resolve(spark: SparkSession, root: String,
+      asOf: Option[Int]): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no published snapshots under $root")
-    val v = asOf.fold(vs.last) { bound =>
+    asOf.fold(vs.last) { bound =>
       vs.filter(_ <= bound).lastOption.getOrElse(
         throw new IllegalArgumentException(
           s"no snapshot at or before v$bound under $root (have $vs)"))
     }
-    spark.read.parquet(readManifest(spark, root, v): _*)
+  }
+
+  /** Read a snapshot: the latest by default, or AS OF `asOf` (the
+    * greatest published version ≤ asOf — the time-travel read).
+    * Outstanding deletion vectors are applied (merge-on-read). */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame =
+    assemble(spark, readManifestLines(spark, root,
+      resolve(spark, root, asOf)).map(parse))
+
+  /** A zone-map-pruned read: `df` is the snapshot restricted to data
+    * dirs whose recorded [min,max] on `statsCol` can overlap
+    * [lo, hi] — dirs with no recorded stats always open (soundness);
+    * the counts report how much IO the zone maps saved. Pruning is
+    * VALUE-TRANSPARENT for any predicate implying
+    * `statsCol BETWEEN lo AND hi` (the caller still applies its exact
+    * predicate; pruning only removes dirs that cannot hold a match).
+    * Deletion vectors still apply to whatever survives. */
+  final case class PrunedRead(df: DataFrame, dirsOpened: Int, dirsTotal: Int)
+
+  def readPruned(spark: SparkSession, root: String, statsCol: String,
+      lo: Long, hi: Long, asOf: Option[Int] = None): PrunedRead = {
+    val entries = readManifestLines(spark, root,
+      resolve(spark, root, asOf)).map(parse)
+    val total = entries.count(_.isInstanceOf[DataDir])
+    val kept = entries.filter {
+      case DataDir(_, Some((c, mn, mx))) if c == statsCol =>
+        mx >= lo && mn <= hi
+      case _ => true // stat-less data dirs and DVs always survive
+    }
+    val opened = kept.count(_.isInstanceOf[DataDir])
+    val df =
+      if (opened > 0) assemble(spark, kept)
+      else { // every dir pruned: an empty frame with the right schema
+        val first = entries.collectFirst { case d: DataDir => d.dir }.get
+        spark.read.parquet(first).filter(lit(false))
+      }
+    PrunedRead(df, opened, total)
   }
 }

@@ -209,4 +209,160 @@ class SnapshotStoreSpec extends SparkTestBase {
     for (r <- full if r.getString(2) == "U")
       assert(r.getLong(4) != r.getLong(5))
   }
+
+  // ---- merge-on-read DELETE (deletion vectors) ----
+
+  test("A30: commitDelete rewrites NOTHING — v1's data files keep their " +
+      "bytes and mtimes; the only new data dir is the DV sidecar") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.isFile)
+        .map(f => f.getPath.toString ->
+          (f.getModificationTime, f.getLen)).toMap
+    def dataDirs(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val filesBefore = dataFiles()
+    val dirsBefore = dataDirs()
+    SnapshotStore.commitDelete(spark, root, "id", col("id") % 2 === 0)
+    filesBefore.foreach { case (p, mtLen) =>
+      assert(dataFiles().get(p).contains(mtLen),
+        s"merge-on-read delete rewrote existing file $p")
+    }
+    val newDirs = dataDirs() -- dirsBefore
+    assert(newDirs.size == 1 && newDirs.head.startsWith("dv-"),
+      s"expected exactly one DV sidecar dir, got $newDirs")
+    // read applies the DV
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("A30: time travel reads THROUGH a delete; absent-key deletes are " +
+      "no-ops; a post-delete append revives re-inserted keys") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    SnapshotStore.commitDelete(spark, root, "id", col("id") === 2L)
+    def ids(asOf: Int): Seq[Long] =
+      SnapshotStore.read(spark, root, Some(asOf))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(1) == Seq(1L, 2L, 3L), "v1 must still serve deleted rows")
+    assert(ids(2) == Seq(1L, 3L))
+    // deleting keys that match nothing publishes a version, changes nothing
+    SnapshotStore.commitDelete(spark, root, "id", col("id") === 99L)
+    assert(ids(3) == Seq(1L, 3L))
+    // a re-inserted key is NOT retro-deleted: the DV is scoped to the
+    // data dirs that preceded it in the manifest
+    SnapshotStore.commitAppend(spark, root, Seq((2L, "b2")).toDF("id", "v"))
+    assert(ids(4) == Seq(1L, 2L, 3L))
+    assert(SnapshotStore.read(spark, root).filter(col("id") === 2L)
+      .collect().map(_.getString(1)).toSeq == Seq("b2"))
+  }
+
+  test("A30: an overwrite MATERIALIZES outstanding deletes — the new " +
+      "manifest carries no DV entries and reads identically") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 6L).map(i => (i, s"r$i")).toDF("id", "v"))
+    SnapshotStore.commitDelete(spark, root, "id", col("id") <= 2L)
+    val beforeOpt = SnapshotStore.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val v3 = SnapshotStore.commitOverwrite(spark, root,
+      SnapshotStore.read(spark, root))
+    assert(beforeOpt == SnapshotStore.read(spark, root, Some(v3))
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // the materialized manifest must not reference any DV sidecar
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_manifests/v$v3.list"))
+    assert(!lines.contains("dv"), s"overwrite carried a DV forward:\n$lines")
+  }
+
+  test("A30: vacuum never reclaims a DV a kept manifest references") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 4L).map(i => (i, s"r$i")).toDF("id", "v"))
+    SnapshotStore.commitDelete(spark, root, "id", col("id") === 1L)
+    SnapshotStore.commitAppend(spark, root, Seq((9L, "z")).toDF("id", "v"))
+    val (dropped, removed) = SnapshotStore.vacuum(spark, root, keepLast = 2)
+    assert(dropped == 1 && removed == 0,
+      "v2/v3 still reference every data dir AND the DV — nothing to reclaim")
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 9L),
+      "the DV must still apply after the sweep")
+  }
+
+  // ---- manifest zone maps + pruned reads ----
+
+  test("A31: readPruned opens only overlapping dirs and is value-" +
+      "transparent against read+filter on random ranges") {
+    import spark.implicits._
+    val root = freshRoot()
+    for (i <- 0 to 3)
+      SnapshotStore.commitAppend(spark, root,
+        (i * 100L until i * 100L + 100L).map(k => (k, s"r$k")).toDF("k", "v"),
+        statsCol = Some("k"))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val lo = rnd.nextInt(400).toLong
+      val hi = lo + rnd.nextInt(200).toLong
+      val pr = SnapshotStore.readPruned(spark, root, "k", lo, hi)
+      assert(pr.dirsTotal == 4)
+      val expectedOpen = (0 to 3).count(i =>
+        i * 100L + 99L >= lo && i * 100L <= hi)
+      assert(pr.dirsOpened == expectedOpen,
+        s"[$lo,$hi]: opened ${pr.dirsOpened}, expected $expectedOpen")
+      val got = pr.df.filter(col("k").between(lo, hi))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = SnapshotStore.read(spark, root)
+        .filter(col("k").between(lo, hi))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"pruned read diverged on [$lo,$hi]")
+    }
+    // a fully-disjoint range opens nothing and returns an empty,
+    // correctly-schemed frame
+    val none = SnapshotStore.readPruned(spark, root, "k", 5000L, 6000L)
+    assert(none.dirsOpened == 0 && none.df.isEmpty)
+    assert(none.df.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("A31: stat-less dirs are never pruned (soundness), and DVs still " +
+      "apply to pruned reads") {
+    import spark.implicits._
+    val root = freshRoot()
+    // batch 1 with stats, batch 2 WITHOUT (a legacy writer)
+    SnapshotStore.commitAppend(spark, root,
+      (0L until 50L).map(k => (k, "a")).toDF("k", "v"), statsCol = Some("k"))
+    SnapshotStore.commitAppend(spark, root,
+      (100L until 150L).map(k => (k, "b")).toDF("k", "v"))
+    SnapshotStore.commitDelete(spark, root, "k", col("k") === 120L)
+    val pr = SnapshotStore.readPruned(spark, root, "k", 110L, 130L)
+    // the stats'd dir [0,49] prunes; the stat-less dir must open
+    assert(pr.dirsOpened == 1 && pr.dirsTotal == 2)
+    assert(pr.df.filter(col("k").between(110L, 130L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == ((110L to 130L).filter(_ != 120L)),
+      "the deletion vector must apply to the pruned read")
+  }
+
+  test("A30/A31 registered queries: version trio and prune counts are " +
+      "exactly the declared closed forms") {
+    val mor = ops.Scans.warehouseDeleteMor(spark, sfDir).collect()
+    assert(mor.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val Seq(n1, n2, n3) = mor.map(_.getLong(1)).toSeq
+    assert(n2 < n1, "the delete must remove rows from v2")
+    assert(n3 == n1, "the re-insert must restore every deleted key")
+    val zm = ops.Scans.warehouseStatsPrune(spark, sfDir).collect()
+    assert(zm.length == 1)
+    assert(zm(0).getLong(2) == 2L && zm(0).getLong(3) == 4L,
+      "the [30,60] range must open exactly 2 of the 4 zone-mapped dirs")
+  }
 }
