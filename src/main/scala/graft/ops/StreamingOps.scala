@@ -632,6 +632,27 @@ object StreamingOps {
         OutputMode.Update())
       .toDF("user_id", "n_events")
   }
+
+  /** The J27 processor EVOLVED — same pipeline restarted on the SAME
+    * checkpoint with [[RunningCountProcessorV2]], which declares one
+    * ADDED state variable beside the original `count`. This is the
+    * whole point of `transformWithState`'s named-variable state model:
+    * on a live 100-TB checkpoint a new variable simply initializes
+    * empty per key while existing variables resume — no state rewrite,
+    * no checkpoint migration job (a `mapGroupsWithState` case-class
+    * blob would fail its encoder check instead). Pinned in
+    * `StreamingSpec`: counts RESUME from pre-restart state AND the new
+    * variable starts empty and functions. */
+  def statefulRunningCountTwsV2(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessorV2, TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
 }
 
 /** The J27 stateful processor: one named, Long-encoded value state per
@@ -653,5 +674,41 @@ class RunningCountProcessor
     val n = (if (count.exists()) count.get() else 0L) + rows.size
     count.update(n)
     Iterator.single((key, n))
+  }
+}
+
+/** [[RunningCountProcessor]] after a STATE-SCHEMA EVOLUTION: the same
+  * `count` variable (must resume from a pre-evolution checkpoint) plus
+  * an ADDED `last_event` variable tracking the key's max event id —
+  * which on the first post-restart batch necessarily initializes
+  * EMPTY (its history was never recorded). Emits two rows per key so
+  * both facts are externally observable through the unchanged output
+  * schema: `(key, count)` and `(-key, last_event)` — keys are
+  * positive user ids in this engine's event model, so the negated row
+  * can never collide. */
+class RunningCountProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var lastEvent: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    lastEvent = getHandle.getValueState[Long]("last_event",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val batch = rows.toSeq
+    val n = (if (count.exists()) count.get() else 0L) + batch.size
+    count.update(n)
+    val prev = if (lastEvent.exists()) lastEvent.get() else Long.MinValue
+    val last = (prev +: batch.map(_._2)).max
+    lastEvent.update(last)
+    Iterator((key, n), (-key, last))
   }
 }

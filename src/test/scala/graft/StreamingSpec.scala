@@ -250,6 +250,62 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("J27: state-schema EVOLUTION — a restart on the same checkpoint " +
+      "with an added state variable resumes old state and initializes " +
+      "the new variable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val checkpoint = tmpCheckpoint()
+      // foreachBatch sink: the memory sink refuses checkpoint RECOVERY,
+      // and recovery is the whole point here (the J11 restart harness)
+      val collected =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => collected.synchronized {
+          collected ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          ()
+        }
+      // phase 1: the ORIGINAL single-variable processor builds state
+      val q1 = StreamingOps.statefulRunningCountTws(in.toDF())
+        .writeStream.foreachBatch(writer)
+        .outputMode("update").option("checkpointLocation", checkpoint)
+        .start()
+      withQuery(q1) {
+        in.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+          Ev(2, ts("2024-01-01 10:01:00"), 1, "view"),
+          Ev(3, ts("2024-01-01 10:02:00"), 2, "view"))
+        q1.processAllAvailable()
+      }
+      collected.synchronized(collected.clear())
+      // phase 2: restart on the SAME checkpoint with the EVOLVED
+      // processor (added `last_event` ValueState)
+      val q2 = StreamingOps.statefulRunningCountTwsV2(in.toDF())
+        .writeStream.foreachBatch(writer)
+        .outputMode("update").option("checkpointLocation", checkpoint)
+        .start()
+      withQuery(q2) {
+        in.addData(
+          Ev(4, ts("2024-01-01 10:03:00"), 1, "view"),
+          Ev(5, ts("2024-01-01 10:04:00"), 2, "view"))
+        q2.processAllAvailable()
+        val rows = collected.synchronized(collected.toMap)
+        // old variable RESUMED: user 1 had 2 pre-restart events + 1 new
+        assert(rows.get(1L).contains(3L) && rows.get(2L).contains(2L),
+          s"counts must resume from the pre-evolution checkpoint: $rows")
+        // new variable INITIALIZED empty, then functioned: the emitted
+        // last_event is the post-restart batch's max event id per key
+        assert(rows.get(-1L).contains(4L) && rows.get(-2L).contains(5L),
+          s"added state variable must initialize and track: $rows")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("J8: stream-stream interval join pairs views with in-window clicks only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
