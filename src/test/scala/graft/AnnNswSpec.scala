@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.AnnNsw
+import org.apache.spark.sql.functions._
+
+/** NSW graph-probe ANN: the proximity graph obeys its out-degree
+  * bound, the beam search finds a planted duplicate, repeated searches
+  * are deterministic, and the fixture query behaves. */
+class AnnNswSpec extends SparkTestBase {
+
+  private def vecsDf(vs: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  private def randomVecs(n: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  private def tmpSource(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_").toString
+    df.write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    s"$dir/corpus"
+  }
+
+  test("the committed adjacency respects the out-degree bound M and " +
+      "never self-loops") {
+    val vs = randomVecs(120, 11)
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val dir = AnnNsw.ensureGraph(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    val adj = spark.read.parquet(s"$dir/adjacency")
+    assert(adj.filter(col("src") === col("dst")).isEmpty)
+    val maxDeg = adj.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= AnnNsw.M, s"out-degree $maxDeg exceeds M=${AnnNsw.M}")
+    // entries: at most one per cell, all real node ids
+    val entries = spark.read.parquet(s"$dir/entries")
+      .collect().map(_.getLong(0)).toSeq
+    assert(entries.nonEmpty && entries.size <= graft.ops.AnnIvf.K)
+    assert(entries.forall(e => e >= 0 && e < 120))
+  }
+
+  test("a planted scaled copy of the query is hit #1 with cosine 1") {
+    val q = randomVecs(1, 21).head
+    val copy = q.map(_ * 1.0005f)
+    val noise = randomVecs(100, 22)
+    val df = vecsDf(Seq(0L -> q, 1L -> copy) ++
+      noise.zipWithIndex.map { case (v, i) => (10L + i) -> v })
+    val dir = AnnNsw.ensureGraph(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    val top = AnnNsw.searchTopK(spark, dir, df, "vec_id", "embedding",
+      q, 5, excludeId = Some(0L)).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 1L,
+      s"planted duplicate must lead, got ${top.toSeq}")
+    assert(top.head.getDouble(1) == 1.0)
+    assert(top.forall(_.getLong(0) != 0L), "the query must exclude itself")
+  }
+
+  test("repeated searches over the same committed graph are " +
+      "row-identical (deterministic beam)") {
+    val vs = randomVecs(150, 31)
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val dir = AnnNsw.ensureGraph(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    val q = vs.head
+    val a = AnnNsw.searchTopK(spark, dir, df, "vec_id", "embedding",
+      q, 5, excludeId = Some(0L)).collect().toSeq
+    val b = AnnNsw.searchTopK(spark, dir, df, "vec_id", "embedding",
+      q, 5, excludeId = Some(0L)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sim_nsw_topk query executes on the fixture corpus") {
+    val out = ops.LlmData.simNswTopk(spark, sfDir).collect()
+    assert(out.length <= 5 && out.nonEmpty)
+    assert(out.forall(_.getLong(0) != 0L))
+    assert(out.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+    // scores arrive sorted descending, fully tie-broken
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}

@@ -205,6 +205,22 @@ class GroundTruthSpec extends SparkTestBase {
     assert(recall >= 0.4, s"K18 sf0.01 recall@5 $recall below the pinned floor")
   }
 
+  test("K67 sim_nsw_topk: recall@5 vs the oracle-checked exact sim_topk") {
+    // deterministic (seeded k-means cells, fixed fixture, exact-cosine
+    // beam): the beam search scores <= entries + Hops*Beam*M nodes; at
+    // sf0.001 that approaches the 500-vector corpus (near-exhaustive —
+    // measured 1.0), at sf0.01 it is a ~15% probe of 5000 (measured
+    // 0.6) — pinned as the regression floor per scale
+    val floors = Seq(sfDir -> 0.8, "/root/testdata/sf0.01" -> 0.4)
+    for ((dir, floor) <- floors) {
+      val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val nsw = LlmData.simNswTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val recall = nsw.count(exact.contains).toDouble / exact.size
+      info(s"K67 $dir recall@5 = $recall (nsw=$nsw exact=$exact)")
+      assert(recall >= floor, s"K67 $dir recall@5 $recall below floor $floor")
+    }
+  }
+
   test("K54 sim_pq_topk: recall@5 vs the oracle-checked exact sim_topk") {
     // deterministic (seeded per-subspace k-means, fixed fixture):
     // ADC from 8x16 codes is a coarse but unbiased distance estimate;

@@ -23,7 +23,8 @@ class QueriesSmokeSpec extends SparkTestBase {
       "agg_sketch_persist",
       "dedup_minhash",
       "dedup_simhash", "dedup_embedding", "dedup_semantic",
-      "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk"))
+      "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
+      "sim_nsw_topk"))
   }
 
   test("entry() returns rows") {
