@@ -40,6 +40,32 @@ object Profile {
       col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
       col("o_orderpriority")))
 
+  /** Feed statistics INTO the optimizer — the consumer side of the F11
+    * profile (the verdict's "nothing injects it" gap): persist `df` as
+    * a catalog table and run the ANALYZE pair, so the cost-based
+    * optimizer costs the table from REAL row counts and per-column
+    * NDV/min/max instead of file sizes alone. The payoff is filter
+    * CARDINALITY estimation: without column stats a Filter's estimated
+    * size is its child's (Spark cannot price a predicate it knows
+    * nothing about), so a highly selective filtered join still plans
+    * as a shuffle; with stats the equality-on-high-NDV estimate
+    * collapses to rows/NDV and the join side drops under the broadcast
+    * threshold — the decision flip `PlanAuditSpec` pins. At 100 TB
+    * this is the difference between a dimension-shaped subquery
+    * broadcasting and a full fact-fact shuffle.
+    *
+    * ANALYZE itself is one scan (row count + per-column sketch-backed
+    * NDV), the same pass every warehouse schedules after a load. */
+  def analyzeIntoCatalog(spark: SparkSession, df: DataFrame,
+      table: String, statCols: Seq[String]): Unit = {
+    df.write.mode("overwrite").saveAsTable(table)
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (statCols.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        statCols.mkString(", "))
+    ()
+  }
+
   /** The profiling pipeline over an already-CANONICAL (all-string)
     * frame — melt, two-level exact-NDV aggregation, exact-integer
     * width accounting. An all-NULL column reports `avg_len` NULL

@@ -534,4 +534,67 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("dedup_clusters").contains("graft_components_pairs_v1"),
       "K19 must read the cached labels")
   }
+
+  test("F11 consumer: injected CBO column stats flip a selective " +
+      "filtered join from shuffle to broadcast") {
+    import org.apache.spark.sql.functions.col
+    // two fact-sized catalog tables whose FILE sizes both exceed the
+    // (lowered) broadcast threshold — without statistics neither side
+    // can broadcast (sf0.01: the sf0.001 files fit under any threshold
+    // small enough to be meaningful)
+    val dir = "/root/testdata/sf0.01"
+    val orders = graft.ops.Util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.ops.Util.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    spark.sql("DROP TABLE IF EXISTS t_cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS t_cbo_li")
+    orders.write.mode("overwrite").saveAsTable("t_cbo_orders")
+    li.write.mode("overwrite").saveAsTable("t_cbo_li")
+    val q =
+      """SELECT l.l_orderkey, l.l_quantity
+        |FROM t_cbo_li l
+        |JOIN (SELECT o_orderkey FROM t_cbo_orders WHERE o_custkey = 7) o
+        |  ON l.l_orderkey = o.o_orderkey""".stripMargin
+    def shape(): String = spark.sql(q).queryExecution.executedPlan.toString
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "8kb",
+      "spark.sql.adaptive.enabled" -> "false") {
+      try {
+        // WITHOUT column statistics: Spark cannot price the equality
+        // predicate, the Filter's estimate stays at its child's size,
+        // and the join shuffles both sides
+        val before = shape()
+        assert(before.contains("SortMergeJoin") &&
+          !before.contains("BroadcastHashJoin"),
+          s"without stats the filtered join must shuffle:\n$before")
+        // the F11-consumer injection: row count + per-column NDV
+        graft.ops.Profile.analyzeIntoCatalog(spark,
+          orders, "t_cbo_orders", Seq("o_orderkey", "o_custkey"))
+        graft.ops.Profile.analyzeIntoCatalog(spark,
+          li, "t_cbo_li", Seq("l_orderkey"))
+        // WITH statistics: equality on the high-NDV o_custkey estimates
+        // rows/NDV — the filtered side collapses under the threshold
+        // and the planner broadcasts it
+        val after = shape()
+        assert(after.contains("BroadcastHashJoin"),
+          s"with column stats the filtered side must broadcast:\n$after")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS t_cbo_orders")
+        spark.sql("DROP TABLE IF EXISTS t_cbo_li")
+      }
+    }
+  }
+
+  /** Run `body` under temporary SQL confs, restoring previous values. */
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
