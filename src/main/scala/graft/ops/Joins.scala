@@ -280,6 +280,23 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q5"))
   }
 
+  /** C23: TPC-H Q7 (volume shipping) as literal SQL (the C15
+    * mechanism) — the bidirectional-pair join predicate the Q5 chain
+    * lacks: nation is joined TWICE (supplier's n1, customer's n2)
+    * under a DISJUNCTIVE pair filter `(n1=A AND n2=B) OR (n1=B AND
+    * n2=A)`, which Catalyst cannot push to either scan alone — it
+    * must plan both nation broadcasts and evaluate the pair residual
+    * on the joined stream, the classic "trade between two countries"
+    * shape; plus a derived-table projection (the `shipping` subquery)
+    * and a year extraction in the group key. Exact-decimal volume,
+    * DOUBLE final; years cast to BIGINT in the shared text so both
+    * engines agree on the column type. */
+  def sqlTpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("nation", "supplier", "customer", "orders", "lineitem")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q7"))
+  }
+
   /** C22: LATERAL correlated subquery join as literal SQL (the C15
     * mechanism) — top-2 customers per nation via `LATERAL (… ORDER BY
     * … LIMIT 2)`: the SQL-standard formulation of per-group top-k.

@@ -1336,6 +1336,55 @@ object LlmData {
       excludeId = Some(0L))
   }
 
+  /** K64: canonical-URL deduplication — the provenance-level dedup
+    * every crawl pipeline runs BEFORE any content hashing (public: the
+    * C4/CCNet/RefinedWeb pipelines all dedup by normalized URL first;
+    * it is orders of magnitude cheaper than text comparison and
+    * catches the same page re-crawled under tracking-param/case/slash
+    * variants). URLs are synthesized as a pure function of doc_id
+    * (case-variant scheme+host, optional trailing slash, utm_*
+    * tracking params, a real `ref` param that must SURVIVE, an
+    * optional fragment); the canonicalizer lowercases scheme+host
+    * (path case is significant per RFC 3986 — only the authority is
+    * case-insensitive), strips the fragment and every `utm_*` param
+    * (repairing separators), and drops the trailing slash. Per
+    * canonical URL: doc count, distinct raw variants, and the kept
+    * (min) doc id.
+    *
+    * Scale shape: canonicalization is a chain of codegen'd
+    * regexp_replace over each row (no lambda, no explode — the
+    * engine-wide interpreted-lambda rule), then ONE partial-agg pass;
+    * the distinct-variant count expands only the group frame. */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.Site"))
+        .otherwise(lit("https://www.site")),
+      (col("doc_id") % 5).cast("string"), lit(".example.org/p/"),
+      (col("doc_id") % 200).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .when(col("doc_id") % 11 === 0, lit("?ref=home&utm_medium=cpc"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("#section-2")).otherwise(lit("")))
+    t(spark, sfDir, "documents").select(col("doc_id"), raw.as("raw"))
+      // fragment → utm params → separator repair (?& / && runs) →
+      // dangling ?/& → slash-before-query → trailing slash
+      .withColumn("u5", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(col("raw"),
+          "#.*", ""), "utm_[^&#]*", ""), "\\?&+", "?"), "&&+", "&"),
+        "[?&]+$", ""))
+      .withColumn("u7",
+        regexp_replace(regexp_replace(col("u5"), "/+\\?", "?"), "/$", ""))
+      .withColumn("sh", substring_index(col("u7"), "/", 3))
+      .withColumn("canonical_url",
+        concat(lower(col("sh")), expr("substr(u7, length(sh) + 1)")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** K67: NSW graph-probe approximate nearest neighbors of vec_id=0 —
     * the navigable-small-world rung completing the ANN family's index
     * taxonomy (LSH K13 / IVF K18 / PQ K54 / IVFPQ K57 / graph HERE):

@@ -987,6 +987,76 @@ object OracleSql {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // K64 canonical-URL dedup: identical synthesis + canonicalization
+    // semantics, DuckDB dialect (regexp_replace needs the 'g' flag —
+    // it replaces FIRST match only by default, unlike Spark; the
+    // scheme+host slice is a list[1:3] join where Spark uses
+    // substring_index — equal results, different functions)
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
+        |          ELSE 'https://www.site' END)
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.example.org/p/'
+        |    || CAST(doc_id % 200 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x'
+        |             WHEN doc_id % 11 = 0 THEN '?ref=home&utm_medium=cpc'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN '#section-2' ELSE '' END) AS raw
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(raw, '#.*', '', 'g'), 'utm_[^&#]*', '', 'g'),
+        |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u5
+        |  FROM u
+        |), t2 AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(u5, '/+\?', '?', 'g'),
+        |      '/$', '', 'g') AS u7
+        |  FROM s
+        |), c AS (
+        |  SELECT doc_id, raw,
+        |    lower(array_to_string(string_split(u7, '/')[1:3], '/'))
+        |      || substr(u7,
+        |           length(array_to_string(string_split(u7, '/')[1:3], '/')) + 1)
+        |      AS canonical_url
+        |  FROM t2
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    // C23 TPC-H Q7 volume shipping: literal SQL in both engines; the
+    // disjunctive nation-pair predicate can't push to either scan, the
+    // two nation legs broadcast, the pair residual runs on the joined
+    // stream; years cast to BIGINT for cross-engine type agreement
+    "sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
     // C18 TPC-H Q5: 6-way snowflake join, literal SQL in both engines
     "sql_tpch_q5" ->
       """SELECT n_name,
