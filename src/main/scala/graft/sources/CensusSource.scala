@@ -79,7 +79,11 @@ class CensusSource extends TableProvider {
   * deployment injects its HTTP client here). */
 case class FetchPolicy(maxAttempts: Int, baseWaitMs: Long,
     maxWaitMs: Long, throttleMs: Long,
-    fetcherClass: String = CensusFetcher.DefaultClass) {
+    fetcherClass: String = CensusFetcher.DefaultClass,
+    /** Streaming admission pacing (`maxChunksPerTrigger`): at most this
+      * many state chunks per micro-batch — the J28 `maxFilesPerTrigger`
+      * movement for the census stream; <= 0 = all available at once. */
+    maxChunksPerTrigger: Int = 0) {
   def fetcher: CensusFetcher = CensusFetcher.forName(fetcherClass)
 
   /** One policy-governed fetch+parse of a chunk target: throttle, then
@@ -113,7 +117,9 @@ object FetchPolicy {
       p.get("retrybasewaitms").map(_.toLong).getOrElse(Default.baseWaitMs),
       p.get("retrymaxwaitms").map(_.toLong).getOrElse(Default.maxWaitMs),
       p.get("throttlems").map(_.toLong).getOrElse(Default.throttleMs),
-      p.getOrElse("fetcherclass", Default.fetcherClass))
+      p.getOrElse("fetcherclass", Default.fetcherClass),
+      p.get("maxchunkspertrigger").map(_.toInt)
+        .getOrElse(Default.maxChunksPerTrigger))
   }
 }
 
@@ -163,7 +169,8 @@ class CensusTable(tableSchema: StructType, path: String, policy: FetchPolicy)
   override def name(): String = s"census($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CensusScanBuilder(tableSchema, path, policy)
 }
@@ -418,6 +425,68 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
       pushedTopN.map { case (cs, n) =>
         s", PushedTopN: ORDER BY ${cs.mkString(", ")} LIMIT $n"
       }.getOrElse("")
+
+  /** Streaming read (`MICRO_BATCH_READ`) — the DSv2 read matrix's last
+    * cell beside batch/agg/TopN/runtime pushdown: the census table
+    * consumed as a STREAM of state chunks, the shape an incremental
+    * crawl actually runs (each micro-batch fetches the next few chunk
+    * GETs, checkpointed, restartable). Offsets count consumed chunk
+    * partitions of the SAME planning (and pruning — pushed geo
+    * predicates still drop chunks) the batch scan uses, so the stream
+    * can never disagree with the batch about what exists. Pacing via
+    * `maxChunksPerTrigger` ([[FetchPolicy.maxChunksPerTrigger]]) is the
+    * J28 `maxFilesPerTrigger` movement: a months-long backfill arrives
+    * in bounded batches instead of one giant one. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CensusMicroBatchStream(this, policy.maxChunksPerTrigger)
+}
+
+/** Chunk-count offset of the census stream: `n` = chunk partitions
+  * fully consumed. */
+case class CensusChunkOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class CensusMicroBatchStream(scan: CensusScan, maxChunksPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** The batch scan's planning, reused verbatim (chunk pruning under
+    * pushed predicates included); the fixture is static, so the
+    * partition list is fixed for the stream's lifetime. */
+  private lazy val parts: Array[InputPartition] = scan.planInputPartitions()
+
+  private def at(o: Offset): Int = o.asInstanceOf[CensusChunkOffset].n
+
+  override def initialOffset(): Offset = CensusChunkOffset(0)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = at(start)
+    val step = if (maxChunksPerTrigger > 0) maxChunksPerTrigger
+      else parts.length
+    CensusChunkOffset(math.min(parts.length, s + step))
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = parts.slice(at(start), at(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset =
+    CensusChunkOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** The aggregate-pushdown scan: COUNT(*) GROUP BY state answered

@@ -433,6 +433,44 @@ class CensusSourceSpec extends SparkTestBase {
         "expected exactly the 2 pruned chunks' rows")
   }
 
+  test("streaming read: paced micro-batches of state chunks sum to the " +
+      "batch scan; a restart on the checkpoint consumes nothing new") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_census_stream_").toString
+    def start(queryName: String) = spark.readStream
+      .format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("expect", CensusFixture.Expect.mkString(","))
+      .option("maxChunksPerTrigger", "5")
+      .load()
+      .groupBy(col("state")).count()
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start("census_stream")
+    try {
+      q.processAllAvailable()
+      // totals equal the batch scan: 2 rows per census state
+      val rows = spark.table("census_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size == CensusSource.stateFips.size)
+      assert(rows.values.forall(_ == 2L))
+      // pacing: 17 chunks + 1 catch-all at 5/trigger = 4 data batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 paced micro-batches, saw $dataBatches")
+    } finally q.stop()
+    // restart on the same checkpoint: the static fixture has no new
+    // chunks — the resumed stream admits zero rows
+    val q2 = start("census_stream_r")
+    try {
+      q2.processAllAvailable()
+      assert(q2.recentProgress.forall(_.numInputRows == 0),
+        "a restarted stream over consumed chunks must admit nothing")
+    } finally q2.stop()
+  }
+
   test("reported statistics make the census side broadcastable in joins") {
     import org.apache.spark.sql.functions.{col, lit, lpad}
     // a "fact" frame far larger than the census table, keyed by state
