@@ -883,6 +883,46 @@ object Scans {
     }.reduce(_.union(_)).orderBy(col("version"))
   }
 
+  /** A33: ZERO-COPY CLONE ([[graft.sources.SnapshotStore.clone]]) —
+    * the Delta shallow-clone movement: a clone of the source's latest
+    * snapshot costs ONE manifest write (the clone references the
+    * source's data directories verbatim), after which the two roots
+    * diverge freely. The query publishes a 2-version source, clones
+    * it, then appends a DIFFERENT batch to each root — the clone's
+    * post-clone append must be invisible to the source and vice
+    * versa; both finals and the shared pre-clone content come back
+    * out. The shallow-clone hazard (a source vacuum can reclaim dirs
+    * a live clone references) is pinned in `SnapshotStoreSpec`. */
+  def warehouseClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val src = freshSinkDir(spark, "snapshot_clone_src_")
+    val dst = freshSinkDir(spark, "snapshot_clone_dst_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, src,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, src,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.shallowClone(spark, src, dst)
+    // divergent post-clone appends: source gets the %10=3 slice, the
+    // clone gets the %100=0 slice at +1000 — each invisible to the other
+    SnapshotStore.commitAppend(spark, src,
+      cust.filter(col("c_custkey") % 10 === 3))
+    SnapshotStore.commitAppend(spark, dst,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    def scoped(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(name).as("scope"), col("n_rows"),
+          col("acctbal_cents_sum"))
+    scoped("clone_at_fork", SnapshotStore.read(spark, dst, asOf = Some(1)))
+      .union(scoped("clone_final", SnapshotStore.read(spark, dst)))
+      .union(scoped("source_final", SnapshotStore.read(spark, src)))
+      .orderBy(col("scope"))
+  }
+
   /** A31: ZONE-MAP file skipping at the SNAPSHOT-STORE layer
     * ([[graft.sources.SnapshotStore.readPruned]]) — F10 proved the
     * skip arithmetic as a query; here the store's manifests CARRY the

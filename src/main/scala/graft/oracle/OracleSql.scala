@@ -656,6 +656,34 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A33 zero-copy clone: each scope's content recomputed from the
+    // base table — the clone-at-fork equals the source's pre-fork
+    // content, and the two post-fork appends are mutually invisible
+    "warehouse_clone" ->
+      """WITH fork AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 IN (0, 5)
+        |), clone_final AS (
+        |  SELECT c_acctbal FROM fork
+        |  UNION ALL
+        |  SELECT c_acctbal + 1000 FROM customer WHERE c_custkey % 100 = 0
+        |), source_final AS (
+        |  SELECT c_acctbal FROM fork
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 3
+        |)
+        |SELECT 'clone_at_fork' AS scope, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM fork
+        |UNION ALL
+        |SELECT 'clone_final', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |FROM clone_final
+        |UNION ALL
+        |SELECT 'source_final', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |FROM source_final
+        |ORDER BY scope""".stripMargin,
+
     // A31 zone-map pruned read: the oracle computes the answer from
     // the base table with no store at all — pruning must be value-
     // transparent; the dir counts are closed-form (4 disjoint

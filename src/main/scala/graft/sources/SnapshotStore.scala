@@ -266,6 +266,33 @@ object SnapshotStore {
     ()
   }
 
+  /** ZERO-COPY CLONE — the Delta SHALLOW CLONE movement: the clone's
+    * v1 manifest is a copy of the source's resolved manifest LINES, so
+    * it references the source's data directories (and deletion
+    * vectors) verbatim — no byte of data moves, however large the
+    * table. From then on the two roots diverge freely: writes to the
+    * clone land under the clone's own `data/`, writes to the source
+    * are invisible to the clone — the dev/test-against-prod and
+    * experiment-branch shape at 100 TB, paid in one manifest write.
+    *
+    * The shallow-clone HAZARD is inherited deliberately and pinned in
+    * `SnapshotStoreSpec`: the source's [[vacuum]] counts only the
+    * source's own kept manifests as references, so it can reclaim
+    * directories the clone still lists (exactly the documented Delta
+    * caveat — never vacuum a source whose shallow clones are live;
+    * promoting a clone to independence is an OPTIMIZE/overwrite, which
+    * rewrites its content into its own root). Returns the clone's
+    * published version (always 1 on a fresh root). */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Int] = None): Int = {
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has published snapshots")
+    val lines = readManifestLines(spark, srcRoot,
+      resolve(spark, srcRoot, asOf))
+    publishManifest(spark, dstRoot, 1, lines)
+    1
+  }
+
   /** Retention sweep — the VACUUM movement that makes the
     * overwrite-keeps-history design sustainable: keep the newest
     * `keepLast` published versions, delete the older manifests, then

@@ -353,6 +353,50 @@ class SnapshotStoreSpec extends SparkTestBase {
       "the deletion vector must apply to the pruned read")
   }
 
+  // ---- zero-copy clone ----
+
+  test("A33: clone moves no data (one manifest write), diverges freely, " +
+      "and inherits the documented source-vacuum hazard") {
+    import spark.implicits._
+    val srcBase = java.nio.file.Files
+      .createTempDirectory("graft_snap_clone_").toString
+    val src = s"$srcBase/src"
+    val dst = s"$srcBase/dst"
+    SnapshotStore.commitOverwrite(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, src,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    assert(SnapshotStore.shallowClone(spark, src, dst) == 1)
+    // zero copy: the clone root holds NO data directories of its own
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "a shallow clone must not copy any data bytes")
+    def ids(root: String): Set[Long] =
+      SnapshotStore.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids(dst) == Set(3L, 4L))
+    // divergence: each root's append is invisible to the other
+    SnapshotStore.commitAppend(spark, dst, Seq((9L, "z")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, src, Seq((7L, "s")).toDF("id", "v"))
+    assert(ids(dst) == Set(3L, 4L, 9L))
+    assert(ids(src) == Set(3L, 4L, 7L))
+    // a second clone into a used root refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.shallowClone(spark, src, dst)
+    }
+    // the DOCUMENTED shallow-clone hazard: the source's vacuum counts
+    // only its own kept manifests, so overwriting the source and
+    // vacuuming to keepLast=1 reclaims the v2 data dir the clone still
+    // references — the clone's read breaks (the Delta caveat: never
+    // vacuum a source whose shallow clones are live)
+    SnapshotStore.commitOverwrite(spark, src, Seq((8L, "w")).toDF("id", "v"))
+    val (_, removed) = SnapshotStore.vacuum(spark, src, keepLast = 1)
+    assert(removed > 0, "the sweep must reclaim the clone-referenced dirs")
+    intercept[Exception] {
+      SnapshotStore.read(spark, dst).collect()
+    }
+  }
+
   test("A30/A31 registered queries: version trio and prune counts are " +
       "exactly the declared closed forms") {
     val mor = ops.Scans.warehouseDeleteMor(spark, sfDir).collect()
