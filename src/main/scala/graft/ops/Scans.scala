@@ -883,7 +883,42 @@ object Scans {
     }.reduce(_.union(_)).orderBy(col("version"))
   }
 
-  /** A33: ZERO-COPY CLONE ([[graft.sources.SnapshotStore.clone]]) —
+  /** A34: MERGE-ON-READ UPSERT
+    * ([[graft.sources.SnapshotStore.commitUpsert]]) — the Iceberg-v2
+    * equality-delete write path beside A30's pure delete: v1 publishes
+    * the customer slice, v2 upserts ONE batch (every 20th key updated
+    * at +1000, every 100th key inserted under a fresh id) as a single
+    * commit of (equality-delete DV, batch dir) — matched rows are
+    * superseded without rewriting a file, fresh keys insert, untouched
+    * rows survive; v3 REPLAYS the identical batch and must change
+    * nothing (the CDC at-least-once posture). Each version reads back
+    * AS OF its number; the oracle recomputes all three from the base
+    * table with the A6 SCD1 composition. */
+  def warehouseUpsertMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_umor_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    val batch = cust.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"))
+      .union(cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal")))
+    SnapshotStore.commitUpsert(spark, root, "c_custkey", batch)
+    SnapshotStore.commitUpsert(spark, root, "c_custkey", batch) // replay
+    (1 to 3).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("acctbal_cents_sum"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  /** A33: ZERO-COPY CLONE ([[graft.sources.SnapshotStore.shallowClone]]) —
     * the Delta shallow-clone movement: a clone of the source's latest
     * snapshot costs ONE manifest write (the clone references the
     * source's data directories verbatim), after which the two roots

@@ -656,6 +656,32 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A34 merge-on-read upsert: v1 pre-upsert, v2 the SCD1 result
+    // (updates supersede via the equality-delete DV, inserts land,
+    // untouched rows survive), v3 an exact REPLAY of the same batch —
+    // content must be unchanged (the CDC at-least-once posture)
+    "warehouse_upsert_mor" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer
+        |  WHERE c_custkey % 10 = 0 AND c_custkey % 20 <> 0
+        |  UNION ALL
+        |  SELECT c_acctbal + 1000 FROM customer WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 100 = 0
+        |)
+        |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
+
     // A33 zero-copy clone: each scope's content recomputed from the
     // base table — the clone-at-fork equals the source's pre-fork
     // content, and the two post-fork appends are mutually invisible

@@ -202,6 +202,39 @@ object SnapshotStore {
     v
   }
 
+  /** MERGE-ON-READ UPSERT — the Iceberg-v2 equality-delete WRITE path,
+    * composing the DV machinery with an append in ONE atomic commit:
+    * the new manifest carries every previous entry forward, then an
+    * equality-delete DV of the batch's keys, then the batch's data
+    * dir. Because a DV masks only the data dirs that PRECEDE it,
+    * matched rows in pre-existing dirs are superseded while the
+    * batch's own rows (after the DV line) are visible — SCD1 upsert
+    * semantics with NO existing file read or rewritten; the write
+    * costs O(batch), the read pays the same anti-join as
+    * [[commitDelete]]. Replay-safe: re-applying the same batch masks
+    * the previous batch dir and lands an identical one — content is
+    * unchanged (the CDC at-least-once posture, pinned in
+    * `SnapshotStoreSpec`). A fresh root degenerates to a plain first
+    * commit. Returns the published version. */
+  def commitUpsert(spark: SparkSession, root: String, keyCol: String,
+      batch: DataFrame): Int = {
+    val existing = versions(spark, root)
+    if (existing.isEmpty) commitOverwrite(spark, root, batch)
+    else {
+      val v = existing.last + 1
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val dvDir = s"$root/data/dv-v$v-$tag"
+      batch.select(col(keyCol)).distinct().write.mode("error").parquet(dvDir)
+      val dataDir = s"$root/data/v$v-$tag"
+      batch.write.mode("error").parquet(dataDir)
+      val carried = readManifestLines(spark, root, existing.last)
+      publishManifest(spark, root, v, carried ++
+        Seq(render(DeleteVector(keyCol, dvDir)),
+          render(DataDir(dataDir, None))))
+      v
+    }
+  }
+
   // ---- WAP (write-audit-publish) staging ----
   //
   // The production load discipline the numbered versions alone can't

@@ -353,6 +353,41 @@ class SnapshotStoreSpec extends SparkTestBase {
       "the deletion vector must apply to the pruned read")
   }
 
+  test("A34: commitUpsert is one atomic commit, rewrites nothing, and " +
+      "an exact replay changes no content") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.isFile)
+        .map(f => f.getPath.toString ->
+          (f.getModificationTime, f.getLen)).toMap
+    val before = dataFiles()
+    // update ids 2,4; insert id 9
+    val batch = Seq((2L, "v2b"), (4L, "v4b"), (9L, "v9")).toDF("id", "v")
+    val v2 = SnapshotStore.commitUpsert(spark, root, "id", batch)
+    assert(v2 == 2, "one upsert = ONE published version")
+    before.foreach { case (p, mtLen) =>
+      assert(dataFiles().get(p).contains(mtLen),
+        s"merge-on-read upsert rewrote existing file $p")
+    }
+    def content(asOf: Int): Map[Long, String] =
+      SnapshotStore.read(spark, root, Some(asOf)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(content(2) == Map(1L -> "v1", 2L -> "v2b", 3L -> "v3",
+      4L -> "v4b", 5L -> "v5", 6L -> "v6", 9L -> "v9"))
+    // time travel through the upsert
+    assert(content(1) == (1L to 6L).map(i => i -> s"v$i").toMap)
+    // replay: identical batch, identical content (CDC at-least-once)
+    SnapshotStore.commitUpsert(spark, root, "id", batch)
+    assert(content(3) == content(2))
+  }
+
   // ---- zero-copy clone ----
 
   test("A33: clone moves no data (one manifest write), diverges freely, " +
