@@ -355,6 +355,36 @@ object StreamingOps {
     ()
   }
 
+  /** J30: streaming CDC via MERGE-ON-READ upserts — the production-
+    * cheap evolution of J24: where [[cdcSnapshotBatch]] re-merges the
+    * WHOLE table every micro-batch (one full-outer shuffle + full
+    * rewrite per trigger — O(table), unsustainable on a 100-TB target),
+    * this writer commits each batch through
+    * [[graft.sources.SnapshotStore.commitUpsert]] — one equality-delete
+    * DV + the collapsed batch, O(batch) written per trigger, zero
+    * existing files rewritten; the merge cost moves to READ time (the
+    * DV anti-join), which is exactly the MoR trade and why real CDC
+    * sinks (Iceberg v2, Delta DVs) write this shape and run A25's
+    * OPTIMIZE periodically to re-materialize. Exactly-once by the same
+    * version ledger as J24: batch b owns version b+1; a replayed batch
+    * whose version is already published is a structural no-op (and by
+    * the commitUpsert replay law, even a double-publish would be a
+    * CONTENT no-op). Single-key CDC (the commitUpsert contract). */
+  def cdcSnapshotMorBatch(root: String, keyCol: String,
+      seqCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.SnapshotStore
+    val spark = batch.sparkSession
+    val version = batchId.toInt + 1
+    if (SnapshotStore.versions(spark, root).contains(version)) return
+    val cols = batch.columns.toSeq
+    val collapsed = batch
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
+    SnapshotStore.commitUpsert(spark, root, keyCol, collapsed)
+    ()
+  }
+
   /** J10: timeout-driven sessionization via `flatMapGroupsWithState` —
     * the arbitrary-state form of `session_window` (J3): per-user
     * session state (start, last, count) accumulates while events

@@ -597,6 +597,54 @@ class StreamingSpec extends SparkTestBase {
     assert(content(2) == Set((1L, "a"), (2L, "y"), (3L, "c")))
   }
 
+  test("J30: streaming CDC via merge-on-read upserts — O(batch) commits, " +
+      "no rewrites, replay-safe, time-travelable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcmor_")
+      .toString + "/t"
+    val in = MemoryStream[(Long, String, Long)] // (id, value, change_seq)
+    val writer: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.cdcSnapshotMorBatch(root, "id", "seq")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.isFile)
+        .map(f => f.getPath.toString ->
+          (f.getModificationTime, f.getLen)).toMap
+    val q = in.toDF().toDF("id", "v", "seq").writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", tmpCheckpoint())
+      .start()
+    var afterBatch0: Map[String, (Long, Long)] = Map.empty
+    withQuery(q) {
+      in.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable() // batch 0 -> version 1
+      afterBatch0 = dataFiles()
+      in.addData((2L, "x", 3L), (2L, "y", 4L), (3L, "c", 5L))
+      q.processAllAvailable() // batch 1 -> version 2 (MoR upsert)
+    }
+    // the MoR law under streaming: batch 1 rewrote NOTHING batch 0 wrote
+    afterBatch0.foreach { case (p, mtLen) =>
+      assert(dataFiles().get(p).contains(mtLen),
+        s"MoR CDC batch rewrote existing file $p")
+    }
+    def content(asOf: Int): Set[(Long, String)] =
+      SnapshotStore.read(spark, root, Some(asOf)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2))
+    assert(content(2) == Set((1L, "a"), (2L, "y"), (3L, "c")))
+    assert(content(1) == Set((1L, "a"), (2L, "b")))
+    // replayed batch finds its version published and no-ops
+    writer(Seq((2L, "x", 3L), (2L, "y", 4L), (3L, "c", 5L))
+      .toDF("id", "v", "seq"), 1L)
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2))
+    assert(content(2) == Set((1L, "a"), (2L, "y"), (3L, "c")))
+  }
+
   test("J12: a crash between the swap renames is recovered on replay (state survives)") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
