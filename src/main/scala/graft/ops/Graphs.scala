@@ -371,6 +371,53 @@ object Graphs {
       .orderBy(col("community"), col("node"))
   }
 
+  /** L9: MODULARITY of the L7 partition — the community-QUALITY metric
+    * (Newman & Girvan 2004, public) that turns "LPA produced labels"
+    * into a judged number: Q = Σ_c [ L_c/m − (d_c/2m)² ], the internal-
+    * edge mass of each community against its degree-expected mass under
+    * the configuration null model; Q > 0 means the partition beats
+    * random, and a release pipeline tracks it per snapshot exactly like
+    * K56 tracks token drift. Computed EXACTLY: one integer numerator
+    * `4m·Σe_in − Σd_c²` over one decimal division (the proven share
+    * discipline), so both engines agree bit-for-bit — a float Σ of
+    * per-community terms would hash-flap on association order.
+    *
+    * Scale shape: two label joins onto the edge list (hash, co-keyed),
+    * one degree fold, two tiny per-community partial aggs, 1-row
+    * combines via AQE-broadcast cross joins. Oracle: the L7 unrolled-
+    * LPA CTE extended with the identical aggregation. */
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty)
+      .localCheckpoint(true)
+    modularity(edges, labelPropagation(edges))
+  }
+
+  /** The modularity core over an arbitrary distinct undirected (u, v)
+    * edge list and an (id, lbl) partition — separated so the metric's
+    * laws (two disjoint triangles labeled apart → Q = 1/2; everything
+    * in one community → Q = 0) are pinnable on known graphs
+    * (`GraphsSpec`). */
+  def modularity(rawEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = rawEdges.localCheckpoint(true)
+    val tagged = edges
+      .join(labels.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(labels.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
+    val eIn = tagged.filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("e_in"))
+    val degC = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .join(labels.select(col("id").as("n"), col("lbl")), Seq("n"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("d"))
+    val sums = degC.agg(sum(col("d") * col("d")).as("sum_d2"),
+      count(lit(1)).as("n_communities"))
+    edges.agg(count(lit(1)).as("m_edges"))
+      .crossJoin(eIn).crossJoin(sums)
+      .select(col("n_communities"), col("m_edges"),
+        col("e_in").as("n_internal_edges"),
+        dbl(dec(lit(4L) * col("m_edges") * col("e_in") - col("sum_d2")) /
+          (lit(4L) * col("m_edges") * col("m_edges"))).as("modularity"))
+  }
+
   /** The LPA core over an arbitrary distinct undirected (u, v) edge
     * list: the (id, lbl) frame after [[LpaRounds]] deterministic
     * rounds — separated so the propagation laws (clique collapse,

@@ -2291,6 +2291,52 @@ object OracleSql {
          |ORDER BY community, node""".stripMargin
     },
 
+    // L9 modularity of the L7 partition: the identical unrolled-LPA
+    // labels extended with the Newman-Girvan aggregation — one exact
+    // integer numerator over one decimal division (the share
+    // discipline), bit-agreed between engines
+    "graph_modularity" -> {
+      val rounds = (1 to graft.ops.Graphs.LpaRounds).map { i =>
+        s"""r$i AS (
+           |  SELECT u.src, l.lbl, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON l.id = u.dst
+           |  GROUP BY u.src, l.lbl
+           |), l$i AS (
+           |  SELECT src AS id, lbl FROM (
+           |    SELECT src, lbl,
+           |      row_number() OVER (PARTITION BY src
+           |        ORDER BY c DESC, lbl) AS rn
+           |    FROM r$i) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val last = s"l${graft.ops.Graphs.LpaRounds}"
+      s"""WITH ${coGraphCtes(graft.ops.Graphs.ComponentsMinQty)},
+         |und AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM und
+         |), $rounds, tagged AS (
+         |  SELECT a.lbl AS lu, b.lbl AS lv
+         |  FROM e JOIN $last a ON a.id = e.u JOIN $last b ON b.id = e.v
+         |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+         |ein AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM tagged WHERE lu = lv),
+         |degc AS (
+         |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) s
+         |  JOIN $last l ON l.id = s.n
+         |  GROUP BY l.lbl
+         |), sums AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_communities FROM degc)
+         |SELECT sums.n_communities, mm.m_edges,
+         |  ein.e_in AS n_internal_edges,
+         |  ${dbl(s"${dec("(4 * mm.m_edges * ein.e_in - sums.sum_d2)")} / " +
+             "(4 * mm.m_edges * mm.m_edges)")} AS modularity
+         |FROM mm, ein, sums""".stripMargin
+    },
+
     // L6 bounded-depth BFS: recursive min-distance closure over the
     // same support-48 edge CTE, depth-guarded at Graphs.BfsMaxHops —
     // UNION (set) semantics bound the (id, d) space so the recursion

@@ -396,4 +396,28 @@ class GraphsSpec extends SparkTestBase {
       assert(nbrs(n).exists(m => byNode.get(m).contains(d - 1)),
         s"node $n at dist $d has no parent at ${d - 1}")
   }
+
+  test("L9 modularity laws: two disjoint triangles labeled apart give " +
+      "Q = 1/2; one community gives Q = 0") {
+    import spark.implicits._
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("u", "v")
+    // the natural partition: each triangle its own community
+    val apart = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "lbl")
+    val q1 = graft.ops.Graphs.modularity(tri2, apart).collect()(0)
+    assert(q1.getLong(0) == 2L && q1.getLong(1) == 6L &&
+      q1.getLong(2) == 6L)
+    assert(q1.getDouble(3) == 0.5,
+      s"two separated triangles must score Q = 1/2, got $q1")
+    // the degenerate partition: everything in one community → Q = 0
+    val together = (1L to 6L).map(i => (i, 1L)).toDF("id", "lbl")
+    val q0 = graft.ops.Graphs.modularity(tri2, together).collect()(0)
+    assert(q0.getDouble(3) == 0.0, s"one community must score 0, got $q0")
+    // LPA's own labels on this graph collapse each triangle — the
+    // registered composition reproduces the law end-to-end
+    val lpa = graft.ops.Graphs.modularity(tri2,
+      graft.ops.Graphs.labelPropagation(tri2)).collect()(0)
+    assert(lpa.getDouble(3) == 0.5)
+  }
 }
