@@ -1336,6 +1336,53 @@ object LlmData {
       excludeId = Some(0L))
   }
 
+  /** K68: EMBEDDING-SPACE contamination screen — the semantic member
+    * of the decontamination family (token n-grams K23/K29, Bloom K58
+    * catch verbatim/near-verbatim overlap; paraphrased benchmark
+    * leakage needs embedding similarity — the screen the GPT-4 and
+    * Llama reports describe running beside n-gram checks): benchmark
+    * vectors (every 97th vec_id — the held-out set) are compared
+    * against corpus vectors WITHIN their shared IVF cell (the K48
+    * SemDeDup candidate discipline — cell-bounded, never all-pairs;
+    * the benchmark side is ~1% of the corpus, so per-cell volume is
+    * |bench_c|·|corpus_c|, linear in the corpus), flagged at
+    * cosine ≥ 0.9. Output: one summary row (set sizes, pairs checked,
+    * contaminated count, max score). Registered rows-only (seeded
+    * k-means cells); planted-contamination hit + the cell-scoped
+    * recall caveat pinned in `LlmDataSpec`. */
+  def contaminationEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val cacheDir = AnnIvf.indexCacheDir(spark, s"$sfDir/embeddings")
+    AnnIvf.ensureIndex(spark, df, "vec_id", "embedding", cacheDir)
+    val assigned = spark.read.parquet(AnnIvf.assignedPath(cacheDir))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    embeddingContaminationScreen(
+      assigned.filter(col("vec_id") % 97 === 0),
+      assigned.filter(col("vec_id") % 97 =!= 0), tau = 0.9)
+  }
+
+  /** The screen core over pre-assigned (vec_id, embedding, cell)
+    * frames — separated so the hit/miss laws are pinnable with
+    * hand-built cells. Cell-scoped by design: a contaminated pair
+    * split across cells is NOT checked (recall follows the IVF
+    * assignment — the K48 trade), which the spec pins explicitly. */
+  def embeddingContaminationScreen(bench: DataFrame, corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val b = bench.select(col("cell"), col("vec_id").as("bench_id"),
+      col("embedding").as("bv"))
+    val c = corpus.select(col("cell"), col("vec_id").as("corpus_id"),
+      col("embedding").as("cv"))
+    val scored = b.join(c, Seq("cell"))
+      .select(AnnLsh.cosine(col("bv").cast("array<double>"),
+        col("cv").cast("array<double>")).as("score"))
+    b.agg(count(lit(1)).as("n_benchmark"))
+      .crossJoin(c.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(scored.agg(count(lit(1)).as("n_pairs_checked"),
+        sum(when(col("score") >= tau, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        round(max(col("score")), 6).as("max_score")))
+  }
+
   /** K64: canonical-URL deduplication — the provenance-level dedup
     * every crawl pipeline runs BEFORE any content hashing (public: the
     * C4/CCNet/RefinedWeb pipelines all dedup by normalized URL first;

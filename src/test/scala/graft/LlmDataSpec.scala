@@ -593,4 +593,39 @@ class LlmDataSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("K68 embedding contamination screen: a planted same-cell " +
+      "paraphrase is flagged; a cross-cell one is honestly missed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val b0 = vec()
+    val bench = Seq((0, 1L, b0), (1, 2L, vec()))
+      .toDF("cell", "vec_id", "embedding")
+    // corpus: noise in both cells, a scaled copy of bench #1 in ITS
+    // cell (must flag), and another scaled copy placed in the WRONG
+    // cell (must be missed — the screen is cell-scoped by design)
+    val corpus = (Seq((0, 10L, vec()), (1, 11L, vec()),
+      (0, 12L, b0.map(_ * 1.0005f)), (1, 13L, b0.map(_ * 1.001f))))
+      .toDF("cell", "vec_id", "embedding")
+    val r = graft.ops.LlmData
+      .embeddingContaminationScreen(bench, corpus, tau = 0.9).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 4L, "2 bench x 2 corpus per cell = 4 pairs")
+    assert(r.getLong(3) == 1L,
+      s"exactly the same-cell planted copy is flagged, got $r")
+    assert(r.getDouble(4) == 1.0)
+    // clean isotropic corpus: nothing flags
+    val clean = graft.ops.LlmData.embeddingContaminationScreen(bench,
+      corpus.filter($"vec_id" < 12L), tau = 0.9).collect()(0)
+    assert(clean.getLong(3) == 0L)
+  }
+
+  test("K68 registered query executes and reports a consistent summary") {
+    val r = graft.ops.LlmData.contaminationEmbedding(spark, sfDir)
+      .collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) > 0, "cell-mates must be screened")
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+  }
+
 }
