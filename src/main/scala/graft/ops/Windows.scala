@@ -197,4 +197,28 @@ object Windows {
           .as("second_nn"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** E10: dedupe-to-LATEST-row-per-key — the single most common window
+    * op in a warehouse (collapse a CDC/event stream to each key's
+    * current row: `row_number() = 1` over (key, recency DESC with a
+    * unique tie-break)): per customer, the FULL latest order row
+    * survives. Distinct from F3's per-group top-k page: the semantics
+    * here are key-cardinality output and whole-row retention — the
+    * "current snapshot" view every `dropDuplicates`-by-recency need
+    * actually wants (`dropDuplicates` itself keeps an ARBITRARY row —
+    * input-order-dependent, the determinism contract forbids it). One
+    * shuffle on the key; at 100 TB this is the read-side MoR collapse
+    * the A34 write path avoids paying per batch. */
+  def winDedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_odate").desc, col("o_orderkey").desc)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_odate"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("tp_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -1552,6 +1552,20 @@ object OracleSql {
     // E8 IGNORE NULLS navigation: identical deterministic NULL
     // synthesis (every 3rd order carries a reading) and identical
     // frames; IGNORE NULLS sits inside the call in DuckDB
+    // E10 dedupe-to-latest: row_number over (key, recency DESC, unique
+    // tie-break) = 1 — key-cardinality output, whole-row retention
+    "win_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey, o_odate, o_orderstatus, tp_cents
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS o_odate, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp_cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
     "win_ignore_nulls" ->
       """WITH b AS (
         |  SELECT o_custkey, o_orderkey,
