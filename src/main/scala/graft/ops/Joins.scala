@@ -385,6 +385,67 @@ object Joins {
       .orderBy(col("n_name"))
   }
 
+  /** C24: TPC-H Q4-shaped EXISTS decorrelation as literal SQL (the C15
+    * mechanism) — order counts per priority over a date window where
+    * EXISTS a late-shipped line (shipdate > orderdate + 60 days; the
+    * fixture carries no commitdate/receiptdate, so lateness is
+    * derived from the columns it has). The point is the PLAN: Catalyst
+    * must decorrelate the correlated EXISTS into a LEFT SEMI join on
+    * l_orderkey = o_orderkey (one distributed pass over lineitem),
+    * never a per-order point lookup — the difference between one
+    * shuffle and millions of subquery executions at 100 TB. */
+  def sqlTpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q4"))
+  }
+
+  /** C25: TPC-H Q13-shaped outer-join count distribution as literal
+    * SQL — the "how many customers placed k orders" histogram. Two
+    * traps it pins: (1) the priority filter sits in the JOIN ON
+    * clause, NOT the WHERE — moving it to WHERE silently turns the
+    * outer join inner and drops zero-order customers from the k=0
+    * bucket; (2) `count(o_orderkey)` counts MATCHED rows only (NULL
+    * never counts), which is what makes the left join a correct
+    * zero-count. One shuffle on custkey, then a tiny re-agg on k. */
+  def sqlTpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q13"))
+  }
+
+  /** C26: TPC-H Q21-shaped double-correlated EXISTS + NOT EXISTS as
+    * literal SQL — "the supplier who was the SOLE late shipper on a
+    * multi-supplier finished order", the hardest decorrelation shape
+    * in the TPC-H suite: the same fact table is referenced three
+    * times (l1 driving, l2 in EXISTS, l3 in NOT EXISTS), and the NOT
+    * EXISTS arm correlates on BOTH l1.l_orderkey and the outer
+    * o_orderdate. Catalyst must plan l2 as a left-semi and l3 as a
+    * left-anti on the shared orderkey — three co-keyed shuffles that
+    * AQE can co-locate, not nested loops. */
+  def sqlTpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q21"))
+  }
+
+  /** C27: recursive CTE as literal SQL — the calendar-spine zero-fill
+    * every reporting pipeline needs ("show EVERY month, 0 where
+    * nothing happened"): WITH RECURSIVE generates the contiguous
+    * month spine between the corpus min/max (integer month index
+    * ym = year*12 + month, so the recursion is pure integer
+    * arithmetic — no engine-specific date math), then LEFT JOINs the
+    * sparse monthly aggregate (a deliberately thin orderkey slice so
+    * the zero-fill arm actually exercises at fixture scale). Spark
+    * 4's UnionLoopExec executes the recursion; depth here is the
+    * month count (~80), far under the 100-level default. At 100 TB
+    * the recursion is over the SPINE (tiny), never the fact table —
+    * the fact side stays one aggregate + one broadcast-able join. */
+  def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(graft.oracle.OracleSql.all("sql_recursive_cte"))
+  }
+
   /** C10: as-of join — for each purchase, the latest prior event of the
     * same user. Single window pass (lag over user_id), no join: the
     * 100 TB-safe as-of shape (one shuffle, no candidate blowup). */

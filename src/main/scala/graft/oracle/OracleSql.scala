@@ -1084,6 +1084,93 @@ object OracleSql {
         |FROM c GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
 
+    // C24 TPC-H Q4-shaped EXISTS: literal SQL in both engines;
+    // lateness derived from shipdate (fixture has no commit/receipt
+    // dates); the EXISTS must decorrelate to a left-semi on orderkey
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // C25 TPC-H Q13-shaped outer-count distribution: the priority
+    // filter lives in the JOIN ON clause (WHERE would turn the outer
+    // join inner and lose the zero-order bucket); count(o_orderkey)
+    // ignores NULLs so unmatched customers count 0
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // C26 TPC-H Q21-shaped sole-late-supplier: EXISTS + NOT EXISTS
+    // over the same fact (l2 semi, l3 anti, both keyed l_orderkey);
+    // the NOT EXISTS arm also correlates on the outer o_orderdate
+    "sql_tpch_q21" ->
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // C27 recursive CTE calendar spine: integer month-index recursion
+    // (ym = year*12 + month — no engine-specific date arithmetic),
+    // LEFT JOIN a deliberately thin slice so zero-fill months exist;
+    // yr recovered via floor() — NEVER bare CAST of a fractional
+    // double: DuckDB CAST(1995.5 AS BIGINT) ROUNDS half-even where
+    // Spark TRUNCATES, so the two engines disagree on every odd month
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS lo,
+        |         CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS hi
+        |  FROM orders
+        |),
+        |spine(ym) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT ym + 1 FROM spine, bounds WHERE ym < hi
+        |),
+        |m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS ym,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS rev_cents
+        |  FROM orders
+        |  WHERE o_orderkey % 97 = 0
+        |  GROUP BY CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)
+        |)
+        |SELECT CAST(floor((spine.ym - 1) / 12) AS BIGINT) AS yr,
+        |       CAST((spine.ym - 1) % 12 + 1 AS BIGINT) AS mon,
+        |       COALESCE(m.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |       COALESCE(m.rev_cents, CAST(0 AS BIGINT)) AS rev_cents
+        |FROM spine LEFT JOIN m ON spine.ym = m.ym
+        |ORDER BY spine.ym""".stripMargin,
+
     // C23 TPC-H Q7 volume shipping: literal SQL in both engines; the
     // disjunctive nation-pair predicate can't push to either scan, the
     // two nation legs broadcast, the pair residual runs on the joined
