@@ -209,6 +209,34 @@ object Windows {
     * input-order-dependent, the determinism contract forbids it). One
     * shuffle on the key; at 100 TB this is the read-side MoR collapse
     * the A34 write path avoids paying per batch. */
+  /** E11: gaps-and-islands — per-user consecutive-active-DAY streaks
+    * from the raw event stream, the classic island construction:
+    * collapse to distinct (user, day), then `day_number − row_number`
+    * is CONSTANT within a consecutive run (both advance by 1 per row)
+    * and strictly drops across a gap, so grouping on that difference
+    * labels every island without any self-join or iteration — two
+    * shuffles total (distinct, then the window+agg reuse the same
+    * user_id hash partitioning) where the naive "join each day to the
+    * next" formulation is O(days²) per user. Output: per-user island
+    * count, longest/total streak days, first/last active day. */
+  def winGapIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+      .withColumn("g", unix_date(col("d")) - row_number().over(w))
+      .groupBy(col("user_id"), col("g"))
+      .agg(min(col("d")).as("sd"), max(col("d")).as("ed"),
+        count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest"),
+        sum(col("len")).as("active_days"),
+        min(col("sd")).as("first_day"),
+        max(col("ed")).as("last_day"))
+      .orderBy(col("user_id"))
+  }
+
   def winDedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_odate").desc, col("o_orderkey").desc)

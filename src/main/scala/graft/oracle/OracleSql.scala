@@ -1639,6 +1639,28 @@ object OracleSql {
     // E8 IGNORE NULLS navigation: identical deterministic NULL
     // synthesis (every 3rd order carries a reading) and identical
     // frames; IGNORE NULLS sits inside the call in DuckDB
+    // E11 gaps-and-islands: day_number − row_number is constant within
+    // a consecutive run; DuckDB DATE − DATE is integer days (Spark
+    // side uses unix_date); sum(len) CAST from HUGEINT
+    "win_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), lab AS (
+        |  SELECT user_id, d,
+        |    CAST(d - DATE '1970-01-01' AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+        |  FROM days
+        |), isl AS (
+        |  SELECT user_id, g, min(d) AS sd, max(d) AS ed, count(*) AS len
+        |  FROM lab GROUP BY user_id, g
+        |)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  min(sd) AS first_day, max(ed) AS last_day
+        |FROM isl GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // E10 dedupe-to-latest: row_number over (key, recency DESC, unique
     // tie-break) = 1 — key-cardinality output, whole-row retention
     "win_dedup_latest" ->
