@@ -431,6 +431,37 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A35: DYNAMIC partition overwrite — the warehouse reload mode that
+    * replaces ONLY the partitions the incoming batch touches and
+    * leaves every other partition untouched (Hive/Spark
+    * `partitionOverwriteMode=dynamic`; the default STATIC mode would
+    * truncate the whole table first — the classic accidental-data-loss
+    * reload). Here the 1997 partition is re-landed with revised
+    * amounts (doubled — exact in IEEE, a power-of-two scale) while
+    * 1995/1996/1998… survive from the first write; the oracle pins
+    * exactly that merge semantics (non-touched years original, 1997
+    * revised). At 100 TB this is THE idempotent daily-reload shape:
+    * the rewrite cost is proportional to the touched partitions, not
+    * the table, and the job can re-run safely. */
+  def sinkDynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "dyn_ovr_")
+    val base = t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val revised = base.filter(col("o_year") === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try revised.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    spark.read.parquet(out)
+      .groupBy(col("o_year").cast("bigint").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumDbl(col("o_totalprice")).as("total_price"))
+      .orderBy(col("yr"))
+  }
+
   /** A24: declarative data-quality EXPECTATIONS in one pass — the
     * Delta-Live-Tables/Great-Expectations movement: every load
     * declares its invariants (not-null, value range, domain pattern,

@@ -340,6 +340,24 @@ object OracleSql {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 
+    // A35 dynamic partition overwrite: the oracle IS the merge
+    // semantics — untouched years from the original landing, 1997
+    // from the revised batch (doubling is exact in IEEE)
+    "sink_dynamic_overwrite" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+         |  FROM orders
+         |), final AS (
+         |  SELECT yr, o_totalprice FROM base WHERE yr <> 1997
+         |  UNION ALL
+         |  SELECT yr, o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE yr = 1997
+         |)
+         |SELECT yr, count(*) AS n_orders,
+         |  ${dbl(s"sum(${dec("o_totalprice")})")} AS total_price
+         |FROM final GROUP BY yr
+         |ORDER BY yr""".stripMargin,
+
     // A24 expectations: identical deterministic dirt synthesis, one
     // aggregation with FILTER-clause rule counts
     "scan_expectations" ->
