@@ -2060,7 +2060,18 @@ object LlmData {
     * over pair keys with a TakeOrdered top-20 (no global sort).
     * Tie-break: count DESC then pair ASC (binary UTF-8 in both
     * engines), so the cut is fully deterministic. */
-  def bpeLearnMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeLearnMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpePairCounts(spark, sfDir)
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** The K59/K69 merge-candidate relation: frequency-weighted adjacent
+    * character-pair counts over the BPE-regex word vocabulary —
+    * `(pair, n)` where n = Σ word-frequency over words containing the
+    * pair at each position. Shared by [[bpeLearnMerges]] (top-20 rule
+    * learner) and [[bpeMergeCoverage]] (coverage curve) so the two
+    * can never drift apart on the pair definition. */
+  private def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = t(spark, sfDir, "documents")
       .select(explode(
         regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))).as("w"))
@@ -2071,8 +2082,36 @@ object LlmData {
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
-      .orderBy(col("n").desc, col("pair"))
-      .limit(20)
+  }
+
+  /** K69: BPE merge-rule COVERAGE curve — for merge-table sizes
+    * k ∈ {10, 25, 50, 100}, the share of all adjacent-pair
+    * occurrences the top-k merge rules (by weighted frequency, pair
+    * text tie-break — K59's exact ranking) would cover: the
+    * tokenizer-sizing question ("how big must the merge table be")
+    * answered from the same relation K59 learns from. The global
+    * row_number window runs over the PAIR-TYPE table — bounded by
+    * charset², thousands of rows at any corpus scale — never the
+    * occurrence stream; the heavy work (corpus → weighted pair
+    * counts) is the same one map-side-combined aggregation as K59,
+    * so the curve costs one tiny single-partition window more than
+    * the learner itself. One exact integer division at the end. */
+  def bpeMergeCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pc = bpePairCounts(spark, sfDir)
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    val tot = pc.agg(sum(col("n")).as("total"))
+    pc.withColumn("rk", row_number().over(w))
+      .withColumn("vocab_size",
+        explode(array(Seq(10, 25, 50, 100).map(lit): _*)))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_merges"), sum(col("n")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size").cast("bigint").as("vocab_size"),
+        col("n_merges"), col("covered"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("vocab_size"))
   }
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -3592,6 +3592,37 @@ object OracleSql {
     // K59 BPE merge learning: vocabulary-weighted adjacent char-pair
     // counts over the same pre-token regex, top 20 with the declared
     // (n DESC, pair ASC) tie-break
+    // K69 merge-rule coverage: same pair relation as bpe_learn_merges
+    // (single shared derivation on the engine side), ranked by K59's
+    // exact (n DESC, pair) order; one exact integer division at the end
+    "bpe_merge_coverage" ->
+      """WITH vocab AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(text,
+        |      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) AS pair, wc
+        |  FROM vocab
+        |), pc AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p GROUP BY pair
+        |), ranked AS (
+        |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+        |  FROM pc
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pc),
+        |sizes(vocab_size) AS (VALUES (10), (25), (50), (100)),
+        |cov AS (
+        |  SELECT vocab_size, count(*) AS n_merges,
+        |    CAST(sum(n) AS BIGINT) AS covered
+        |  FROM ranked, sizes WHERE rk <= vocab_size GROUP BY vocab_size
+        |)
+        |SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_merges, covered,
+        |  CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM cov, tot
+        |ORDER BY vocab_size""".stripMargin,
+
     "bpe_learn_merges" ->
       """WITH vocab AS (
         |  SELECT w, COUNT(*) AS wc FROM (
