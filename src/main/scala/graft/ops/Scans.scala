@@ -724,6 +724,45 @@ object Scans {
     }.reduce(_.union(_)).orderBy(col("version"))
   }
 
+  /** A36: named TAGS + tag-protected vacuum — the release-management
+    * rung over the A18 snapshot store: the same three-commit history,
+    * then `audited` pins v1 and `prod` pins v2, and a `keepLast = 1`
+    * VACUUM runs BETWEEN tagging and reading — retention alone would
+    * keep only v3, so the audited/prod reads below succeed purely
+    * because tags protect their snapshots (manifest AND data) from
+    * the sweep; if protection broke, the tagged reads would lose rows
+    * or fail and the oracle hash would catch it. Refs are one-file
+    * pointers committed by temp-write + atomic rename (retag = move,
+    * last writer wins); at 100 TB this is how "prod" stays a stable
+    * name while versions churn underneath, and how a compliance hold
+    * survives aggressive retention. */
+  def warehouseTags(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_tags_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    SnapshotStore.setTag(spark, root, "audited", 1)
+    SnapshotStore.setTag(spark, root, "prod", 2)
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    Seq("audited" -> SnapshotStore.readTag(spark, root, "audited"),
+      "latest" -> SnapshotStore.read(spark, root),
+      "prod" -> SnapshotStore.readTag(spark, root, "prod"))
+      .map { case (ref, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+          .select(lit(ref).as("ref"), col("n_rows"),
+            col("acctbal_cents_sum"))
+      }.reduce(_.union(_)).orderBy(col("ref"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

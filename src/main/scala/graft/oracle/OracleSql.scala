@@ -576,6 +576,31 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
 
+    // A36 tags: ref contents recomputed from the base table (audited
+    // = v1, prod = v2, latest = v3); the engine side vacuums between
+    // tagging and reading, so a hash match proves tag protection
+    "warehouse_tags" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), v3 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |)
+        |SELECT 'audited' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM v1
+        |UNION ALL
+        |SELECT 'prod', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
+        |ORDER BY ref""".stripMargin,
+
     // A22 snapshot change feed: both version contents recomputed from
     // the base table, diffed with the same FULL OUTER + op-case
     // composition the engine runs; unchanged rows filtered on the

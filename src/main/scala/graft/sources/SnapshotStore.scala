@@ -326,6 +326,68 @@ object SnapshotStore {
     1
   }
 
+  private val TagsDir = "_tags"
+
+  private def tagPath(root: String, name: String) =
+    new Path(s"$root/$TagsDir/$name.ref")
+
+  /** Set (create-or-move) a named TAG on a published version — the
+    * Iceberg-style human-readable ref ("prod", "audited-2026Q3") that
+    * turns raw version numbers into an addressable release history.
+    * The ref is one file holding the version number, committed by the
+    * same temp-write + atomic-rename discipline as manifests; retag
+    * is replace-then-rename (last writer wins — a ref is a pointer,
+    * not history). A tagged version is PROTECTED from [[vacuum]]:
+    * its manifest and data survive any retention window until the
+    * tag is dropped. */
+  def setTag(spark: SparkSession, root: String, name: String,
+      v: Int): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"illegal tag name '$name' (letters/digits/-/_ only)")
+    require(versions(spark, root).contains(v),
+      s"cannot tag unpublished version v$v under $root")
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/$TagsDir")
+    if (!f.exists(dir)) { f.mkdirs(dir); () }
+    val tmp = new Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dst = tagPath(root, name)
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"tag commit failed for '$name'")
+    }
+  }
+
+  /** All tags under the root, name → version (empty for fresh/untagged
+    * roots; in-flight `.tmp` files are never listed). */
+  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/$TagsDir")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".ref") && !p.getName.startsWith("."))
+      .map(p => p.getName.stripSuffix(".ref") ->
+        readLinesAt(spark, root, p).head.trim.toInt)
+      .toMap
+  }
+
+  /** Read the snapshot a tag points at (exact version — a tag is a
+    * pin, not an upper bound). */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' under $root"))
+    read(spark, root, asOf = Some(v))
+  }
+
+  /** Drop a tag (the version becomes vacuum-eligible again). Returns
+    * whether the tag existed. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean =
+    fs(spark, root).delete(tagPath(root, name), false)
+
   /** Retention sweep — the VACUUM movement that makes the
     * overwrite-keeps-history design sustainable: keep the newest
     * `keepLast` published versions, delete the older manifests, then
@@ -347,8 +409,11 @@ object SnapshotStore {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val keep = vs.takeRight(keepLast)
-    val drop = vs.dropRight(keepLast)
+    // tagged versions are pinned: a named ref keeps its snapshot
+    // readable through any retention window (drop the tag to release)
+    val pinned = tags(spark, root).values.toSet
+    val keep = (vs.takeRight(keepLast) ++ vs.filter(pinned)).distinct.sorted
+    val drop = vs.filterNot(keep.contains)
     // resolve referenced dirs (data AND deletion vectors) BEFORE
     // dropping manifests
     val referenced = keep

@@ -432,6 +432,59 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("A36 tags: ref reads pin exact versions; retag moves; vacuum " +
+      "never reclaims a tagged snapshot; dropTag releases it") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    SnapshotStore.commitOverwrite(spark, root, Seq((4L, "d")).toDF("id", "v"))
+    // tag must target a published version, legal names only
+    intercept[IllegalArgumentException] {
+      SnapshotStore.setTag(spark, root, "ghost", 9)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.setTag(spark, root, "bad/name", 1)
+    }
+    SnapshotStore.setTag(spark, root, "audited", 1)
+    assert(SnapshotStore.tags(spark, root) == Map("audited" -> 1))
+    // a tag is an exact pin, not an upper bound
+    assert(SnapshotStore.readTag(spark, root, "audited")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // retag moves the pointer (last writer wins)
+    SnapshotStore.setTag(spark, root, "audited", 2)
+    assert(SnapshotStore.readTag(spark, root, "audited")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    SnapshotStore.setTag(spark, root, "hold", 1)
+    // vacuum keeps v3 by retention, v1+v2 ONLY via tags
+    val (dropped, _) = SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(dropped == 0, "every version is pinned by retention or a tag")
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2, 3))
+    // releasing the v1 pin makes it vacuum-eligible; v2 stays pinned
+    assert(SnapshotStore.dropTag(spark, root, "hold"))
+    assert(!SnapshotStore.dropTag(spark, root, "hold"))
+    val (dropped2, removed2) = SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(dropped2 == 1 && removed2 >= 1,
+      "v1's manifest and its now-unreferenced data must go")
+    assert(SnapshotStore.versions(spark, root) == Seq(2, 3))
+    assert(SnapshotStore.readTag(spark, root, "audited")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readTag(spark, root, "nope").collect()
+    }
+  }
+
+  test("A36 registered query: tagged refs survive keepLast=1 and read " +
+      "their exact historical content") {
+    val rows = ops.Scans.warehouseTags(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("audited", "latest", "prod"))
+    val byRef = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRef("prod") > byRef("audited"),
+      "prod (v2, append) must hold more rows than audited (v1)")
+  }
+
   test("A30/A31 registered queries: version trio and prune counts are " +
       "exactly the declared closed forms") {
     val mor = ops.Scans.warehouseDeleteMor(spark, sfDir).collect()
