@@ -30,6 +30,23 @@ object SortsCensus {
         col("l_linenumber"))
       .limit(10)
 
+  /** F13: OFFSET pagination as literal SQL (the C15 mechanism) — page
+    * 5 of the F2 ranking (`LIMIT 10 OFFSET 40`): the SQL pagination
+    * surface every API backend emits. Spark plans this as
+    * TakeOrdered(limit = offset + k) and discards the prefix — fine
+    * for shallow pages, but the cost grows LINEARLY with page depth
+    * (page 10⁶ materializes 10⁷ rows on one node), which is why deep
+    * pagination at 100 TB wants KEYSET continuation (`WHERE (sort key)
+    * > last-seen … LIMIT k` — constant cost per page, and the sort
+    * key is exactly this query's fully-tie-broken ORDER BY); the
+    * ordering includes every output column because (l_orderkey,
+    * l_linenumber) is not unique in the fixture — equal full rows
+    * make any page boundary permutation-stable. */
+  def sortPageOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(graft.oracle.OracleSql.all("sort_page_offset"))
+  }
+
   /** F3: top-3 orders per customer (window filter, tie-broken). */
   def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

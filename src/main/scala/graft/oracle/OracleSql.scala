@@ -1742,6 +1742,15 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin,
 
+    // F13 OFFSET pagination: literal SQL in both engines; ordering
+    // covers every output column (lineitem rows are not key-unique)
+    // so page boundaries are permutation-stable
+    "sort_page_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10 OFFSET 40""".stripMargin,
+
     "limit_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
