@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -600,4 +601,42 @@ object Aggregates {
         sum_distinct(cents(col("o_totalprice"))).as("cents_distinct_sum"),
         countDistinct(col("o_orderpriority")).as("n_prio"))
       .orderBy(col("o_orderstatus"))
+
+  /** D27: Pareto / ABC classification — the inventory-analytics
+    * staple: parts ranked by revenue, classified A (first 80% of
+    * cumulative revenue), B (to 95%), C (rest). Every comparison is
+    * EXACT integer arithmetic — per-line revenue is rounded to cents
+    * once (deterministic: both engines round the identical IEEE
+    * product half-up), and the class cuts are integer
+    * cross-multiplications (`cum·5 ≤ total·4`, `cum·20 ≤ total·19`) —
+    * no float threshold can flap a part across a class boundary. The
+    * cumulative window runs over the PART-TYPE aggregate (dimension
+    * cardinality, not the lineitem stream); at 100 TB the same
+    * running total distributes by F9's prefix-sum banding
+    * (per-range-partition subtotals + a tiny broadcast of bandwise
+    * offsets) — the heavy fact scan is one map-side-combined agg
+    * either way. */
+  def aggParetoAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .as("rc"))
+      .groupBy(col("l_partkey")).agg(sum(col("rc")).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+    val tot = rev.agg(sum(col("rev_cents")).as("total"))
+    rev
+      .withColumn("cum", sum(col("rev_cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc",
+        when(col("cum") * 5 <= col("total") * 4, lit("A"))
+          .when(col("cum") * 20 <= col("total") * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_cents")).as("class_cents"),
+        (sum(col("rev_cents")).cast("double") /
+          max(col("total")).cast("double")).as("rev_share"))
+      .orderBy(col("abc"))
+  }
 }

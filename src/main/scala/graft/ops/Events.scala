@@ -287,4 +287,40 @@ object Events {
         dbl(dec(col("dau")) / col("wau")).as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** J31: RFM segmentation — the marketing-analytics staple: per user,
+    * Recency (days since last event, against the corpus max day so
+    * the result is reproducible — never wall-clock), Frequency (event
+    * count), Monetary (exact cents), each scored into quintiles with
+    * `ntile(5)` over a FULLY TIE-BROKEN ordering (metric, then
+    * user_id — ntile assigns by row position, so an unbroken tie
+    * would be partition-order-dependent and flap the gate); scores
+    * are oriented so 5 = best (most recent / most frequent / highest
+    * spend). The three ntile windows rank the per-USER aggregate —
+    * dimension cardinality, not the event stream; at 100 TB the
+    * quintile cuts would come from D15's rank sketch instead of a
+    * global sort, but the heavy work (events → per-user rollup) is
+    * the same single map-side-combined aggregation either way. */
+  def eventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(unix_date(col("d"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("value"))).as("monetary_cents"))
+    val gmax = per.agg(max(col("last_day")).as("gmax"))
+    per.crossJoin(broadcast(gmax))
+      .withColumn("recency_days", col("gmax") - col("last_day"))
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary_cents"), col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r"), col("f"), col("m"),
+        concat(col("r").cast("string"), col("f").cast("string"),
+          col("m").cast("string")).as("segment"))
+      .orderBy(col("user_id"))
+  }
 }

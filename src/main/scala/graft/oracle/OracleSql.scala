@@ -340,6 +340,36 @@ object OracleSql {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 
+    // D27 Pareto/ABC: per-line cents rounded ONCE (identical IEEE
+    // product both engines), class cuts are integer cross-multiplies —
+    // no float threshold; one double division finalizes the share
+    "agg_pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |      0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), ranked AS (
+        |  SELECT l_partkey, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev
+        |), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM rev),
+        |classed AS (
+        |  SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |              WHEN cum * 20 <= total * 19 THEN 'B'
+        |              ELSE 'C' END AS abc,
+        |    rev_cents, total
+        |  FROM ranked, tot
+        |)
+        |SELECT abc, count(*) AS n_parts,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS class_cents,
+        |  CAST(SUM(rev_cents) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+        |    AS rev_share
+        |FROM classed GROUP BY abc
+        |ORDER BY abc""".stripMargin,
+
     // A35 dynamic partition overwrite: the oracle IS the merge
     // semantics — untouched years from the original landing, 1997
     // from the revised batch (doubling is exact in IEEE)
@@ -2103,6 +2133,38 @@ object OracleSql {
     // J23 DAU/WAU: the coverage trick — each distinct (day,user) pair
     // contributes to the 7 window days it covers, so rolling distinct
     // is a second plain DISTINCT, mirroring the engine exactly
+    // J31 RFM: quintiles via ntile over FULLY tie-broken orderings
+    // (metric, user_id); recency against corpus max day, never
+    // wall-clock; DuckDB ntile is BIGINT — CAST to INT for parity
+    "events_rfm" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+        |), per AS (
+        |  SELECT user_id,
+        |    CAST(max(d) - DATE '1970-01-01' AS BIGINT) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM ev GROUP BY user_id
+        |), g AS (SELECT max(last_day) AS gmax FROM per),
+        |base AS (
+        |  SELECT user_id, gmax - last_day AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per, g
+        |), s AS (
+        |  SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+        |      AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT)
+        |      AS m
+        |  FROM base
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_cents, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "events_active_users" ->
       s"""WITH du AS (
          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
