@@ -438,9 +438,14 @@ object Joins {
     * sparse monthly aggregate (a deliberately thin orderkey slice so
     * the zero-fill arm actually exercises at fixture scale). Spark
     * 4's UnionLoopExec executes the recursion; depth here is the
-    * month count (~80), far under the 100-level default. At 100 TB
-    * the recursion is over the SPINE (tiny), never the fact table —
-    * the fact side stays one aggregate + one broadcast-able join. */
+    * month count (~80), far under the 100-level default. The loop
+    * bound rides INSIDE the recursion (spine carries `hi` as a
+    * column): joining the `bounds` CTE from the recursive step
+    * instead re-aggregates the whole fact table EVERY iteration —
+    * measured 12 s of redundant scans at sf0.1, a catastrophe at
+    * 100 TB. With the bound carried, the recursion touches only the
+    * 1-row previous step, and the fact side stays one aggregate +
+    * one broadcast-able join. */
   def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
     t(spark, sfDir, "orders").createOrReplaceTempView("orders")
     spark.sql(graft.oracle.OracleSql.all("sql_recursive_cte"))

@@ -1214,6 +1214,10 @@ object OracleSql {
     // C27 recursive CTE calendar spine: integer month-index recursion
     // (ym = year*12 + month — no engine-specific date arithmetic),
     // LEFT JOIN a deliberately thin slice so zero-fill months exist;
+    // the loop bound rides INSIDE the recursion (spine carries hi):
+    // referencing the bounds CTE from the recursive step instead
+    // re-aggregated the whole orders table EVERY iteration — ~80
+    // redundant fact scans, 12 s at sf0.1 and a catastrophe at 100 TB;
     // yr recovered via floor() — NEVER bare CAST of a fractional
     // double: DuckDB CAST(1995.5 AS BIGINT) ROUNDS half-even where
     // Spark TRUNCATES, so the two engines disagree on every odd month
@@ -1223,10 +1227,10 @@ object OracleSql {
         |         CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS hi
         |  FROM orders
         |),
-        |spine(ym) AS (
-        |  SELECT lo FROM bounds
+        |spine(ym, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT ym + 1 FROM spine, bounds WHERE ym < hi
+        |  SELECT ym + 1, hi FROM spine WHERE ym < hi
         |),
         |m AS (
         |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS ym,

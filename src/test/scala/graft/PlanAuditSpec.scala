@@ -240,6 +240,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("agg_bitmap_distinct").contains("partial"))
   }
 
+  test("round-15 second-wave additions keep their scale shapes") {
+    // C24: the correlated EXISTS decorrelates into a left-semi join on
+    // l_orderkey — one distributed pass, never a per-order probe
+    val q4 = plan("sql_tpch_q4")
+    assert(q4.contains("Semi"), q4)
+    assert(!q4.contains("CartesianProduct"), q4)
+    // C26: the triple fact reference plans semi (l2) AND anti (l3) on
+    // the shared orderkey — the hardest TPC-H decorrelation shape
+    val q21 = plan("sql_tpch_q21")
+    assert(q21.contains("Semi"), q21)
+    assert(q21.contains("Anti"), q21)
+    assert(!q21.contains("CartesianProduct"), q21)
+    // C25: the ON-clause filter keeps the join OUTER (moving it to
+    // WHERE would silently drop the zero-order bucket)
+    val q13 = plan("sql_tpch_q13")
+    assert(q13.contains("LeftOuter") || q13.contains("RightOuter"), q13)
+    // C27: the recursion plans as Spark 4's UnionLoop over the tiny
+    // spine; the fact side aggregates map-side like any other rollup
+    val rec = plan("sql_recursive_cte")
+    assert(rec.contains("UnionLoop"), rec)
+    // E10/E11: one shuffle on the key — the window and agg reuse the
+    // same hash partitioning, no cartesian anywhere
+    assert(!plan("win_dedup_latest").contains("CartesianProduct"))
+    assert(!plan("win_gap_islands").contains("CartesianProduct"))
+    // D27/K69: the heavy scan aggregates partial before any window;
+    // the 1-row totals frame broadcasts, never shuffles the big side
+    assert(plan("agg_pareto_abc").contains("partial"))
+    assert(plan("bpe_merge_coverage").contains("partial"))
+    // F13: offset pagination still plans TakeOrdered, not a global sort
+    assert(plan("sort_page_offset").contains("TakeOrdered"),
+      plan("sort_page_offset"))
+  }
+
   test("no query plans a cartesian product") {
     for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
         "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard",
