@@ -582,6 +582,55 @@ object Graphs {
     * Scale shape: reads the cached edge parquet, one endpoint-melt +
     * two partial-agg passes (node-cardinality then ≤64 bucket keys) —
     * no window, no join. */
+  /** L10: LOCAL clustering coefficient, log2-degree-bucketed — how
+    * tightly each degree class's neighborhoods close into triangles:
+    * per node, T(v) triangles over d(v)·(d(v)−1)/2 possible wedge
+    * closures, reported per L5 degree bucket as the RATIO OF SUMS
+    * (ΣT / Σwedges — one exact-integer division per bucket). A
+    * mean-of-per-node-ratios would sum doubles, whose result depends
+    * on reduction order and flaps across engines/partitionings; the
+    * sums are exact BIGINTs, so the single final division is
+    * bit-deterministic. Triangle rows come from the same L1
+    * degree-orientation join (out-degree ≤ O(√m) bounds the wedge
+    * work); each triangle credits all THREE corners via one explode,
+    * and the per-node counts join back to the degree table on the
+    * node key — dimension-cardinality work after the oriented join. */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringByDegreeBucket(cachedCoOccurrenceEdges(spark, sfDir))
+
+  /** The L10 core over an arbitrary distinct undirected (u, v) edge
+    * list — separated (the [[triangleCensus]] pattern) so known-graph
+    * laws pin it directly in `GraphsSpec`. */
+  private[graft] def clusteringByDegreeBucket(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.localCheckpoint(true)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val fwd = orientLowHigh(edges, deg).localCheckpoint(true)
+    val e1 = fwd.select(col("x").as("x1"), col("y").as("y1"), col("dy").as("d1"))
+    val e2 = fwd.select(col("x").as("x2"), col("y").as("y2"), col("dy").as("d2"))
+    val closer = fwd.select(col("x").as("cx"), col("y").as("cy"))
+    val triPerNode = e1.join(e2,
+        col("x1") === col("x2") &&
+          (col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("y1") < col("y2"))))
+      .join(closer, col("y1") === col("cx") && col("y2") === col("cy"))
+      .select(explode(array(col("x1"), col("y1"), col("y2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(triPerNode, Seq("node"), "left_outer")
+      .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .groupBy((length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("t")).as("tri_sum"),
+        sum(expr("(d * (d - 1)) DIV 2")).as("wedge_sum"))
+      .withColumn("coeff",
+        when(col("wedge_sum") === 0, lit(null).cast("double"))
+          .otherwise(col("tri_sum").cast("double") /
+            col("wedge_sum").cast("double")))
+      .orderBy(col("bucket"))
+  }
+
   def graphDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
     val e = cachedCoOccurrenceEdges(spark, sfDir)
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))

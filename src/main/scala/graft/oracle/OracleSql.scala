@@ -2314,6 +2314,52 @@ object OracleSql {
     // pairs sharing an order), via the same degree-orientation the
     // L5 degree distribution: exact integer floor(log2) via the
     // binary-digit count (a float log2 flips power-of-two boundaries)
+    // L10 bucketed clustering coefficient: ratio of exact-integer
+    // sums per degree bucket (never a mean of float ratios — double
+    // summation order is engine/partitioning-dependent); same
+    // orientation + closer join as L1, each triangle credits 3 corners
+    "graph_clustering_coeff" ->
+      s"""WITH ${coGraphCtes()}, deg AS (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+         |  ) GROUP BY node
+         |), fwd AS (
+         |  SELECT
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.u ELSE e.v END AS x,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.v ELSE e.u END AS y,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN dv.d ELSE du.d END AS dy
+         |  FROM e
+         |  JOIN deg du ON e.u = du.node
+         |  JOIN deg dv ON e.v = dv.node
+         |), tri AS (
+         |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+         |  FROM fwd e1
+         |  JOIN fwd e2 ON e1.x = e2.x
+         |    AND (e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y))
+         |  JOIN fwd e3 ON e3.x = e1.y AND e3.y = e2.y
+         |), tpn AS (
+         |  SELECT node, COUNT(*) AS t FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b AS node FROM tri
+         |    UNION ALL SELECT c AS node FROM tri
+         |  ) GROUP BY node
+         |), j AS (
+         |  SELECT deg.d, COALESCE(tpn.t, 0) AS t
+         |  FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+         |)
+         |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(t) AS BIGINT) AS tri_sum,
+         |  CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedge_sum,
+         |  CASE WHEN SUM((d * (d - 1)) // 2) = 0 THEN NULL
+         |       ELSE CAST(SUM(t) AS DOUBLE) /
+         |            CAST(SUM((d * (d - 1)) // 2) AS DOUBLE) END AS coeff
+         |FROM j GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
+
     "graph_degree_dist" ->
       s"""WITH ${coGraphCtes()}, deg AS (
          |  SELECT node, COUNT(*) AS d FROM (

@@ -42,6 +42,27 @@ class GraphsSpec extends SparkTestBase {
     assert(c.isEmpty)
   }
 
+  test("clustering coefficient buckets on known graphs (L10)") {
+    import spark.implicits._
+    // K4: every node degree 3 (bucket 1), each in all 4 triangles:
+    // tri_sum = 12, wedges = 4·(3·2/2) = 12 → coeff exactly 1.0
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("u", "v")
+    val rk4 = Graphs.clusteringByDegreeBucket(k4).collect()
+    assert(rk4.length == 1 && rk4(0).getLong(0) == 1)
+    assert(rk4(0).getLong(2) == 12 && rk4(0).getLong(3) == 12)
+    assert(rk4(0).getDouble(4) == 1.0)
+    // star: hub bucket has wedges but zero triangles → 0.0; leaves
+    // (degree 1) have zero wedges → NULL coeff
+    val star = (2L to 9L).map(i => (1L, i)).toDF("u", "v")
+    val rs = Graphs.clusteringByDegreeBucket(star).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(rs(0L) == ((0L, 0L, None)), "degree-1 leaves: no wedges, NULL")
+    assert(rs(3L) == ((0L, 28L, Some(0.0))), "the degree-8 hub closes nothing")
+  }
+
   test("two triangles sharing an edge (bowtie-ish): exact count 2") {
     // {1,2,3} and {2,3,4} share edge (2,3)
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
