@@ -293,6 +293,47 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** D28: ordinary-least-squares regression (slope / intercept / R²)
+    * from EXACT raw moments — the D20 discipline extended to the full
+    * `regr_*` surface: Spark's `regr_slope`/`regr_intercept`/`regr_r2`
+    * built-ins accumulate FLOATS, whose value depends on partition
+    * reduction order (a different shuffle → a different ulp — the
+    * hash-flap D20 documents); here the five moments are exact
+    * DECIMAL sums (re-associate identically under any partitioning),
+    * and each statistic is ONE closed-form double expression over
+    * them: slope = (n·Σxy−ΣxΣy)/(n·Σx²−(Σx)²), intercept =
+    * (Σy·Σx²−Σx·Σxy)/(n·Σx²−(Σx)²) — the SINGLE-division closed form,
+    * never `(Σy−slope·Σx)/n` which would chain a second rounding —
+    * and R² = (n·Σxy−ΣxΣy)² / ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)). Fitting
+    * price against quantity per return flag: one map-side-combined
+    * pass at any scale. */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"),
+        sum(y * y).cast("double").as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sx2") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") * col("sx2") - col("sx") * col("sxy"))
+          / (col("n") * col("sx2") - col("sx") * col("sx")), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sx2") - col("sx") * col("sx"))
+            * (col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** D10: two-phase salted aggregation — the skew pattern for
     * low-cardinality heavy keys (l_returnflag has 3 values, so a direct
     * groupBy lands all 600M rows-per-flag-at-scale on 3 reducers).

@@ -3816,6 +3816,30 @@ object OracleSql {
     // associative in both engines; the final covar/corr derivation is
     // the IDENTICAL double expression tree, so the correctly-rounded
     // IEEE walk matches
+    // D28 OLS from exact moments: the D20 moment CTE, single-division
+    // closed forms (intercept is (Σy·Σx²−Σx·Σxy)/den, never chained
+    // through slope — one rounding point per statistic)
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+        |      * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+        |      * CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+        |      * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+        |  round((sy * sx2 - sx * sxy) / (n * sx2 - sx * sx), 6)
+        |    AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "agg_corr_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
