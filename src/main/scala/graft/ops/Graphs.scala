@@ -631,6 +631,46 @@ object Graphs {
       .orderBy(col("bucket"))
   }
 
+  /** L11: degree ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over the edge relation (Newman's r): does the graph wire
+    * hubs to hubs (r > 0, social-network shape) or hubs to leaves
+    * (r < 0, hub-and-spoke)? The sign decides whether C12-style hub
+    * salting or the L1 orientation bound is the binding mitigation at
+    * scale. Each undirected edge contributes BOTH orientations
+    * (du, dv) and (dv, du) — the standard symmetrization, which also
+    * makes the two marginal moment sets identical. Degrees are exact
+    * BIGINTs, so all five moments are exact integer sums and the
+    * coefficient is ONE closed-form double expression — the D28
+    * discipline on graph shape; degree-join + one map-side-combined
+    * pass, no window, no iteration. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = cachedCoOccurrenceEdges(spark, sfDir).localCheckpoint(true)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    val dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    val both = edges.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(edges.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(col("dv").as("x"), col("du").as("y")))
+    both.agg(
+        count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("m2"),
+        round((col("m2").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("m2").cast("double") * col("sx2").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("m2").cast("double") * col("sy2").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   def graphDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
     val e = cachedCoOccurrenceEdges(spark, sfDir)
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))

@@ -2314,6 +2314,35 @@ object OracleSql {
     // pairs sharing an order), via the same degree-orientation the
     // L5 degree distribution: exact integer floor(log2) via the
     // binary-digit count (a float log2 flips power-of-two boundaries)
+    // L11 assortativity: both orientations per edge, exact integer
+    // moments, one closed-form double (IEEE sqrt is correctly rounded
+    // in both engines)
+    "graph_assortativity" ->
+      s"""WITH ${coGraphCtes()}, deg AS (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+         |  ) GROUP BY node
+         |), b AS (
+         |  SELECT du.d AS x, dv.d AS y FROM e
+         |  JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+         |  UNION ALL
+         |  SELECT dv.d AS x, du.d AS y FROM e
+         |  JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+         |), m AS (
+         |  SELECT COUNT(*) AS m2, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+         |  FROM b
+         |)
+         |SELECT CAST(m2 AS BIGINT) AS m2,
+         |  round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(m2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin,
+
     // L10 bucketed clustering coefficient: ratio of exact-integer
     // sums per degree bucket (never a mean of float ratios — double
     // summation order is engine/partitioning-dependent); same
