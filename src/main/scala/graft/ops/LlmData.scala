@@ -530,6 +530,51 @@ object LlmData {
       .orderBy(col("doc_id"))
   }
 
+  /** K71: Zipf-law fit over the token-BIGRAM frequency distribution —
+    * the corpus-naturalness check a data pipeline runs before
+    * training (natural language sits near slope −1 on the log-log
+    * rank/frequency line; machine-generated or templated text bends
+    * it): OLS slope and R² of log10(freq) against log10(rank). Float
+    * discipline is the text_entropy one — each log/product TERM is
+    * rounded to 9 dp (the correctly-rounded-enough window where
+    * Java's Math.log10 and DuckDB's libm agree) and summed as exact
+    * DECIMAL(28,9), so the five moments re-associate identically
+    * under any partitioning, then the D28 closed forms finalize with
+    * one division each. The ranking window runs over the bigram TYPE
+    * table (bounded by vocab², tiny next to the corpus); the heavy
+    * tokenize/adjacency pass is the shared [[ensureBigrams]] cache. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(28, 9)
+    val freq = ensureBigrams(spark, sfDir)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w1"), col("w2"))
+    val pts = freq.withColumn("rk", row_number().over(w))
+      .select(round(log10(col("rk")), 9).as("x"),
+        round(log10(col("c")), 9).as("y"))
+    pts
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DL)).as("sx"),
+        sum(col("y").cast(DL)).as("sy"),
+        sum(round(col("x") * col("y"), 9).cast(DL)).as("sxy"),
+        sum(round(col("x") * col("x"), 9).cast(DL)).as("sx2"),
+        sum(round(col("y") * col("y"), 9).cast(DL)).as("sy2"))
+      .select(col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sx2").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"),
+        round(((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          * (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")))
+          / ((col("n").cast("double") * col("sx2").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("sy2").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("r2"))
+  }
+
   /** K31: deterministic corpus sharding — the balance report a corpus
     * build runs before writing N output shards. Shard assignment is a
     * pure function of doc_id (the [[sampleHashBernoulli]] md5 draw,

@@ -3382,6 +3382,50 @@ object OracleSql {
     // p(w2|w1) = c12/c1, per-term 9 dp round + exact-decimal sum (the
     // text_entropy walk), 6 dp final; < 2-token docs LEFT-join to
     // (0, NULL)
+    // K71 Zipf fit: the K47 adjacency CTE, ranked by (c DESC, w1, w2);
+    // text_entropy term-round discipline (9 dp, DECIMAL(28,9) sums),
+    // D28 closed forms finalize
+    "text_zipf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(l) - 1), i -> l[i+1])) AS w1,
+        |    unnest(list_transform(range(0, len(l) - 1), i -> l[i+2])) AS w2
+        |  FROM tk WHERE len(l) >= 2
+        |), freq AS (
+        |  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+        |), pts AS (
+        |  SELECT round(log10(row_number() OVER (ORDER BY c DESC, w1, w2)),
+        |      9) AS x,
+        |    round(log10(c), 9) AS y
+        |  FROM freq
+        |), m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+        |    SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy,
+        |    SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sx2,
+        |    SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS sy2
+        |  FROM pts
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m""".stripMargin,
+
     "text_surprisal_bigram" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
