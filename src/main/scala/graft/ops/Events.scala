@@ -288,6 +288,40 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** J33: last-touch ATTRIBUTION — which event type gets credit for
+    * each conversion: purchases are attributed to the immediately
+    * preceding event WITHIN the same 30-minute-gap session (the J16
+    * island construction), session-opening purchases to 'direct' —
+    * the GA-style credit assignment every growth team reports on.
+    * Assignment is pure window machinery (the island flag-sum, then
+    * one lag inside the (user, session) refinement — Spark reuses the
+    * user_id hash partitioning for both), so the event stream is
+    * touched once with no self-join; credit is exact cents, rolled up
+    * per touch type at the end — a ≤type-cardinality aggregate. */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(wOrd).isNull ||
+          col("tus") - lag(col("tus"), 1).over(wOrd) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("tus"), col("event_id"))))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("prev_type"), lit("direct")).as("touch"),
+        cents(col("value")).as("credit"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit")).as("credited_cents"))
+      .orderBy(col("touch"))
+  }
+
   /** J31: RFM segmentation — the marketing-analytics staple: per user,
     * Recency (days since last event, against the corpus max day so
     * the result is reproducible — never wall-clock), Frequency (event

@@ -2186,6 +2186,38 @@ object OracleSql {
          |FROM dau d JOIN wau w USING (day)
          |ORDER BY d.day""".stripMargin,
 
+    // J33 attribution: the J16 island CTEs, one lag inside the
+    // (user, session) refinement, session-opening purchases → 'direct'
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus
+        |  FROM events
+        |), fl AS (
+        |  SELECT user_id, event_id, event_type, value, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |), sid AS (
+        |  SELECT user_id, event_id, event_type, value, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM fl
+        |), pv AS (
+        |  SELECT event_type, value,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY tus, event_id) AS prev_type
+        |  FROM sid
+        |)
+        |SELECT COALESCE(prev_type, 'direct') AS touch,
+        |  count(*) AS n_conversions,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS credited_cents
+        |FROM pv WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY touch""".stripMargin,
+
     "sessionize_batch" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
