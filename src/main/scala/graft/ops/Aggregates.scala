@@ -334,6 +334,30 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** D29: ORDERED string aggregation — Spark 4's `listagg … WITHIN
+    * GROUP (ORDER BY …)` (the SQL:2016 form), the reporting staple
+    * ("top accounts, comma-joined, richest first") that was a
+    * collect_list+sort UDF kludge before 4.0. Order inside the
+    * aggregate MUST be fully tie-broken ((acctbal DESC, custkey)):
+    * listagg over an unordered or partially-ordered group
+    * concatenates in partition-arrival order — a nondeterminism trap
+    * exactly like E-family ntile/row_number. The F3 window cap keeps
+    * every group's string O(k) before the aggregate, so the operator
+    * never materializes an unbounded concat at scale. */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr(
+        "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)")
+        .as("top_names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** D10: two-phase salted aggregation — the skew pattern for
     * low-cardinality heavy keys (l_returnflag has 3 values, so a direct
     * groupBy lands all 600M rows-per-flag-at-scale on 3 reducers).

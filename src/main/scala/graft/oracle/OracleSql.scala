@@ -3921,6 +3921,23 @@ object OracleSql {
     // associative in both engines; the final covar/corr derivation is
     // the IDENTICAL double expression tree, so the correctly-rounded
     // IEEE walk matches
+    // D29 ordered string agg: DuckDB spells the order inside
+    // string_agg; the inner order is fully tie-broken
+    "agg_listagg" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+        |    AS top_names,
+        |  count(*) AS n
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // D28 OLS from exact moments: the D20 moment CTE, single-division
     // closed forms (intercept is (Σy·Σx²−Σx·Σxy)/den, never chained
     // through slope — one rounding point per statistic)
