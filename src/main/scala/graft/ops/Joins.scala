@@ -451,6 +451,29 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_recursive_cte"))
   }
 
+  /** C28: SQL PIPE syntax (Spark 4's `|>` operators, the
+    * GoogleSQL-pipes proposal) — the same scan → filter → derive →
+    * aggregate → order pipeline a DataFrame chain expresses, written
+    * as piped SQL: `FROM … |> WHERE … |> EXTEND … |> AGGREGATE …
+    * GROUP BY … |> ORDER BY`. The surface is new; the PLAN must not
+    * be — Catalyst lowers pipes to the same logical operators as the
+    * classic formulation (the oracle is that classic SQL, so the
+    * equality IS the lowering check), filter still pushed to the
+    * scan, aggregate still partial. Exact cents derived once in the
+    * EXTEND stage. */
+  def sqlPipeSyntax(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        ||> EXTEND CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |     0) AS BIGINT) AS rc
+        ||> AGGREGATE count(*) AS n_lines, CAST(sum(rc) AS BIGINT)
+        |     AS rev_cents GROUP BY l_returnflag
+        ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** C10: as-of join — for each purchase, the latest prior event of the
     * same user. Single window pass (lag over user_id), no join: the
     * 100 TB-safe as-of shape (one shuffle, no candidate blowup). */

@@ -1157,6 +1157,18 @@ object OracleSql {
         |FROM c GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
 
+    // C28 pipe syntax: the oracle is the CLASSIC formulation of the
+    // piped pipeline — result equality is the lowering check
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |    0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // C24 TPC-H Q4-shaped EXISTS: literal SQL in both engines;
     // lateness derived from shipdate (fixture has no commit/receipt
     // dates); the EXISTS must decorrelate to a left-semi on orderkey
