@@ -367,6 +367,42 @@ object Fns {
     * split yields one part. Oracle: DuckDB divides-to-NULL natively
     * and mirrors the rest with TRY_CAST / list indexing / a CASE for
     * the analytically-known overflow. */
+  /** H17: TRY_CAST ingestion battery — the safe-parse posture every
+    * raw-string load needs: `try_cast` yields NULL on malformed input
+    * instead of failing the job (one bad row in a 100 TB load must
+    * not kill the stage — and a plain CAST under ANSI mode does
+    * exactly that). Dirt is synthesized deterministically from CLEAN
+    * string renderings: integer keys with a trailing 'x' every 7th,
+    * an impossible calendar date every 11th, 'N/A' cents every 13th —
+    * note the cents column is stringified from the exact BIGINT, never
+    * from the DOUBLE (double→string formatting is engine-specific;
+    * integer and date renderings are not). One pass: per-rule failure
+    * counts plus aggregates over the successfully parsed values —
+    * parse + audit ride the same map-side-combined aggregation. */
+  def fnTryCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = t(spark, sfDir, "orders").select(
+      when(col("o_orderkey") % 7 === 0,
+        concat(col("o_orderkey").cast("string"), lit("x")))
+        .otherwise(col("o_orderkey").cast("string")).as("s_int"),
+      when(col("o_orderkey") % 11 === 0, lit("2020-13-45"))
+        .otherwise(col("o_orderdate").cast("date").cast("string"))
+        .as("s_date"),
+      when(col("o_orderkey") % 13 === 0, lit("N/A"))
+        .otherwise(cents(col("o_totalprice")).cast("string")).as("s_cents"))
+    raw.select(
+        expr("try_cast(s_int AS BIGINT)").as("i"),
+        expr("try_cast(s_date AS DATE)").as("d"),
+        expr("try_cast(s_cents AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("i").isNull, 1L).otherwise(0L)).as("n_bad_int"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_bad_date"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_bad_cents"),
+        sum(col("i")).as("sum_int"),
+        min(col("d")).as("min_date"),
+        max(col("d")).as("max_date"),
+        sum(col("c")).as("sum_cents"))
+  }
+
   def fnTryArith(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .select(col("o_orderkey"),

@@ -462,6 +462,30 @@ object Scans {
       .orderBy(col("yr"))
   }
 
+  /** A37: multi-path scoped read with `basePath` — how a backfill
+    * bounds its IO: instead of scanning the table root and filtering
+    * (which still LISTS every partition), the job names exactly the
+    * partition directories it owns (`spark.read.option("basePath",
+    * root).parquet(dir1996, dir1997)`) — listing AND scan cost are
+    * proportional to the named paths, and `basePath` recovers the
+    * partition column from the directory names so downstream logic is
+    * identical to a root read. The oracle computes the same result by
+    * filtering the base table: path scoping must be value-transparent
+    * — a row leaking from an unnamed partition fails the hash. */
+  def scanGlobPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshSinkDir(spark, "glob_paths_")
+    t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.option("basePath", out)
+      .parquet(s"$out/o_year=1996", s"$out/o_year=1997")
+      .groupBy(col("o_year").cast("bigint").as("yr"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumDbl(col("o_totalprice")).as("total_price"))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+
   /** A24: declarative data-quality EXPECTATIONS in one pass — the
     * Delta-Live-Tables/Great-Expectations movement: every load
     * declares its invariants (not-null, value range, domain pattern,

@@ -370,6 +370,17 @@ object OracleSql {
         |FROM classed GROUP BY abc
         |ORDER BY abc""".stripMargin,
 
+    // A37 multi-path scoped read: path scoping must be
+    // value-transparent — the oracle filters the base table
+    "scan_glob_paths" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+         |  count(*) AS n_orders,
+         |  ${dbl(s"sum(${dec("o_totalprice")})")} AS total_price
+         |FROM orders
+         |WHERE year(o_orderdate) IN (1996, 1997)
+         |GROUP BY 1, 2
+         |ORDER BY yr, o_orderpriority""".stripMargin,
+
     // A35 dynamic partition overwrite: the oracle IS the merge
     // semantics — untouched years from the original landing, 1997
     // from the revised batch (doubling is exact in IEEE)
@@ -3933,6 +3944,39 @@ object OracleSql {
     // associative in both engines; the final covar/corr derivation is
     // the IDENTICAL double expression tree, so the correctly-rounded
     // IEEE walk matches
+    // H17 try_cast battery: identical dirt synthesis from CLEAN
+    // string renderings (integer/date only — double→string formatting
+    // is engine-specific); TRY_CAST NULLs on malformed in both
+    "fn_try_cast" ->
+      """WITH raw AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN CAST(o_orderkey AS VARCHAR) || 'x'
+        |      ELSE CAST(o_orderkey AS VARCHAR) END AS s_int,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN '2020-13-45'
+        |      ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS s_date,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'N/A'
+        |      ELSE CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |        AS VARCHAR) END AS s_cents
+        |  FROM orders
+        |), p AS (
+        |  SELECT TRY_CAST(s_int AS BIGINT) AS i,
+        |    TRY_CAST(s_date AS DATE) AS d,
+        |    TRY_CAST(s_cents AS BIGINT) AS c
+        |  FROM raw
+        |)
+        |SELECT count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN i IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_int,
+        |  CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_date,
+        |  CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_cents,
+        |  CAST(SUM(i) AS BIGINT) AS sum_int,
+        |  MIN(d) AS min_date, MAX(d) AS max_date,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM p""".stripMargin,
+
     // D29 ordered string agg: DuckDB spells the order inside
     // string_agg; the inner order is fully tie-broken
     "agg_listagg" ->
