@@ -367,6 +367,36 @@ object Fns {
     * split yields one part. Oracle: DuckDB divides-to-NULL natively
     * and mirrors the rest with TRY_CAST / list indexing / a CASE for
     * the analytically-known overflow. */
+  /** H18: calendar battery — the date-dimension derivations every
+    * warehouse calendar carries, chosen for CROSS-ENGINE SEMANTIC
+    * AGREEMENT and pinned by the oracle where engines are known to
+    * diverge elsewhere: `last_day` month-end detection, `quarter`,
+    * ISO `weekofyear` (both engines are ISO-8601 — week 1 holds the
+    * first Thursday; early-January dates can belong to week 52/53 of
+    * the PRIOR year, which is why n_distinct weeks per quarter is a
+    * real check, not a constant 13), ISO day-of-week (Spark's
+    * `dayofweek` is 1=Sunday while DuckDB's is 0=Sunday — the battery
+    * uses Spark `weekday`+1 ≡ DuckDB `isodow`, the unambiguous ISO
+    * numbering), and `dayofyear`. Deliberately NO month arithmetic on
+    * month-ends: Spark `add_months` preserves end-of-month while
+    * interval addition clamps — a semantic fork this battery's
+    * scaladoc records and every query here avoids. */
+  def fnCalendar(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders")
+      .select(col("o_orderdate").cast("date").as("d"))
+      .groupBy(year(col("d")).cast("bigint").as("yr"),
+        quarter(col("d")).cast("bigint").as("q"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("d") === last_day(col("d")), 1L).otherwise(0L))
+          .as("n_monthend"),
+        countDistinct(weekofyear(col("d"))).as("n_weeks"),
+        sum(when(weekday(col("d")) + 1 === 1, 1L).otherwise(0L))
+          .as("n_mondays"),
+        min(dayofyear(col("d")).cast("bigint")).as("min_doy"),
+        max(dayofyear(col("d")).cast("bigint")).as("max_doy"))
+      .orderBy(col("yr"), col("q"))
+  }
+
   /** H17: TRY_CAST ingestion battery — the safe-parse posture every
     * raw-string load needs: `try_cast` yields NULL on malformed input
     * instead of failing the job (one bad row in a 100 TB load must

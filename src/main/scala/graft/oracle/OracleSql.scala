@@ -3944,6 +3944,23 @@ object OracleSql {
     // associative in both engines; the final covar/corr derivation is
     // the IDENTICAL double expression tree, so the correctly-rounded
     // IEEE walk matches
+    // H18 calendar battery: ISO weeks both engines; DuckDB isodow ≡
+    // Spark weekday+1 (dayofweek numbering differs — avoided)
+    "fn_calendar" ->
+      """WITH d0 AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(quarter(d) AS BIGINT) AS q,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_monthend,
+        |  CAST(COUNT(DISTINCT weekofyear(d)) AS BIGINT) AS n_weeks,
+        |  CAST(SUM(CASE WHEN isodow(d) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mondays,
+        |  CAST(MIN(dayofyear(d)) AS BIGINT) AS min_doy,
+        |  CAST(MAX(dayofyear(d)) AS BIGINT) AS max_doy
+        |FROM d0 GROUP BY 1, 2
+        |ORDER BY yr, q""".stripMargin,
+
     // H17 try_cast battery: identical dirt synthesis from CLEAN
     // string renderings (integer/date only — double→string formatting
     // is engine-specific); TRY_CAST NULLs on malformed in both
