@@ -298,12 +298,23 @@ object Events {
     * user_id hash partitioning for both), so the event stream is
     * touched once with no self-join; credit is exact cents, rolled up
     * per touch type at the end — a ≤type-cardinality aggregate. */
-  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionTouches(
+      t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("tus")))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit")).as("credited_cents"))
+      .orderBy(col("touch"))
+
+  /** The J33 per-conversion core over a (user_id, event_id,
+    * event_type, value, tus) frame — separated so the J34 streaming
+    * twin pins row-for-row equality against it in `StreamingSpec`. */
+  private[graft] def attributionTouches(ev: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    t(spark, sfDir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("tus"))
+    ev
       .withColumn("new_s",
         when(lag(col("tus"), 1).over(wOrd).isNull ||
           col("tus") - lag(col("tus"), 1).over(wOrd) > 1800000000L, 1)
@@ -314,12 +325,9 @@ object Events {
         Window.partitionBy(col("user_id"), col("session_id"))
           .orderBy(col("tus"), col("event_id"))))
       .filter(col("event_type") === "purchase")
-      .select(coalesce(col("prev_type"), lit("direct")).as("touch"),
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("prev_type"), lit("direct")).as("touch"),
         cents(col("value")).as("credit"))
-      .groupBy(col("touch"))
-      .agg(count(lit(1)).as("n_conversions"),
-        sum(col("credit")).as("credited_cents"))
-      .orderBy(col("touch"))
   }
 
   /** J31: RFM segmentation — the marketing-analytics staple: per user,

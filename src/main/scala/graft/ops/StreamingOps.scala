@@ -619,6 +619,54 @@ object StreamingOps {
       .toDF("event_id", "user_id", "value", "n_prev", "zscore", "is_anomaly")
   }
 
+  /** J34: streaming last-touch ATTRIBUTION — the stateful counterpart
+    * of the batch [[Events.attributionTouches]] (J33): per-user state
+    * is ONE (lastTus, lastType) pair — O(1), not a buffer — because
+    * last-touch needs only the immediately preceding event; the
+    * 30-minute session break is re-derived from the gap to that
+    * state, so a session boundary falling BETWEEN micro-batches
+    * attributes exactly like the batch window does. Within a
+    * micro-batch rows process in (tus, event_id) order — the batch
+    * window's order — and results equal the batch query whenever
+    * per-user delivery is in order across batches (the
+    * [[streamingAnomaly]] contract; pinned row-for-row in
+    * `StreamingSpec`). Credit parity is exact: the same HALF_UP
+    * cents rounding as `Util.cents`. */
+  def streamingAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    events.selectExpr("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+            state: GroupState[(Long, String)]) =>
+          var last = state.getOption
+          val out = rows.toSeq
+            .sortBy(r => (tsMicros(r._2), r._3))
+            .flatMap { case (_, ts, id, tpe, v) =>
+              val tus = tsMicros(ts)
+              val touch = last match {
+                case Some((lt, ltype)) if tus - lt <= 1800000000L => ltype
+                case _ => "direct"
+              }
+              last = Some((tus, tpe))
+              if (tpe == "purchase") {
+                val credit = JBD.valueOf(v * 100)
+                  .setScale(0, RoundingMode.HALF_UP).longValue
+                Some((id, user, touch, credit))
+              } else None
+            }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "touch", "credit")
+  }
+
   /** J7: custom stateful processing — running per-user event counter via
     * `mapGroupsWithState`. State is one Long per user key, partitioned by
     * the grouping key (one shuffle), checkpointed by the streaming

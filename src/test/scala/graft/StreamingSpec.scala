@@ -11,6 +11,10 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 /** Valued variant for the J19/J20 anomaly family. */
 case class EvV(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
+/** Typed+valued variant for the J33/J34 attribution pair. */
+case class EvTV(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
 /** True-streaming semantics for J4-J7 via MemoryStream: watermark late
   * drop, stateful dedup, stream-static join, and mapGroupsWithState
   * accumulation across micro-batches. */
@@ -958,6 +962,46 @@ class StreamingSpec extends SparkTestBase {
       val gap = spark.table("j22").collect()
         .find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get.getLong(3)
       assert(gap == 120000000L)
+    }
+  }
+
+  test("J34: streaming last-touch attribution equals the batch law, " +
+      "session breaks crossing micro-batch boundaries included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EvTV]
+    val q = ops.StreamingOps.streamingAttribution(in.toDF())
+      .writeStream.format("memory").queryName("j34")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    // user 1: click → purchase (last-touch click), then a >30-min gap
+    // that falls BETWEEN the two micro-batches → the next purchase is
+    // session-opening 'direct'; user 2: purchase → purchase (the
+    // self-touch taxonomy), preceded by nothing → first is 'direct'
+    val batch1 = Seq(
+      EvTV(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      EvTV(2, ts("2024-01-01 10:05:00"), 1, "purchase", 19.99),
+      EvTV(3, ts("2024-01-01 10:01:00"), 2, "purchase", 5.25))
+    val batch2 = Seq(
+      EvTV(4, ts("2024-01-01 11:30:00"), 1, "purchase", 7.50), // gap > 30m
+      EvTV(5, ts("2024-01-01 10:02:00"), 2, "purchase", 1.01))
+    withQuery(q) {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      }.sortBy(_._1).toSeq
+      val streamed = norm(spark.table("j34").collect())
+      val batch = norm(ops.Events.attributionTouches(
+        (batch1 ++ batch2).toDF()
+          .select($"user_id", $"event_id", $"event_type", $"value",
+            unix_micros($"ts").as("tus"))).collect())
+      assert(streamed.find(_._1 == 2L).exists(_._3 == "click"))
+      assert(streamed.find(_._1 == 4L).exists(_._3 == "direct"),
+        "the cross-batch session break must re-derive from state")
+      assert(streamed.find(_._1 == 5L).exists(_._3 == "purchase"))
+      assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
     }
   }
 
