@@ -198,6 +198,33 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** E12: RUNNING DISTINCT COUNT — per user, the number of distinct
+    * event types seen SO FAR at each event: the "breadth of behavior
+    * over time" metric. Windowed `COUNT(DISTINCT)` is unsupported in
+    * both engines, and the `size(collect_set().over(w))` workaround
+    * carries the whole set per row — O(cardinality) state per row and
+    * a serialization bill that kills it at 100 TB. The scalable form
+    * is pure arithmetic: flag each (user, type)'s FIRST occurrence
+    * (`row_number` over the type refinement = 1), then a running SUM
+    * of flags over the user's timeline — two windows sharing the same
+    * user_id hash partitioning, O(1) per row. */
+  def winRunningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("first_seen",
+        when(row_number().over(wType) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_so_far", sum(col("first_seen")).over(wRun))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_types_so_far"))
+      .orderBy(col("event_id"))
+  }
+
   /** E10: dedupe-to-LATEST-row-per-key — the single most common window
     * op in a warehouse (collapse a CDC/event stream to each key's
     * current row: `row_number() = 1` over (key, recency DESC with a

@@ -1739,6 +1739,27 @@ object OracleSql {
     // E8 IGNORE NULLS navigation: identical deterministic NULL
     // synthesis (every 3rd order carries a reading) and identical
     // frames; IGNORE NULLS sits inside the call in DuckDB
+    // E12 running distinct: first-seen flag + running sum (windowed
+    // COUNT(DISTINCT) is unsupported in both engines; the collect_set
+    // workaround is O(cardinality) per row)
+    "win_running_distinct" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events
+        |), fl AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_so_far
+        |FROM fl
+        |ORDER BY event_id""".stripMargin,
+
     // E11 gaps-and-islands: day_number − row_number is constant within
     // a consecutive run; DuckDB DATE − DATE is integer days (Spark
     // side uses unix_date); sum(len) CAST from HUGEINT
