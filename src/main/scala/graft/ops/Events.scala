@@ -330,6 +330,36 @@ object Events {
         cents(col("value")).as("credit"))
   }
 
+  /** J35: cohort LTV curve — cumulative revenue per acquisition
+    * cohort as it ages, the money companion to J12's retention
+    * counts: users are cohorted by their FIRST event's epoch-week
+    * (integer `unix_date DIV 7` — no calendar arithmetic to disagree
+    * on), every purchase lands in (cohort_week, age_weeks), and the
+    * running LTV is a cumulative window over the AGE axis within each
+    * cohort — a window over the cohort×age matrix (tiny — weeks², not
+    * events), after the heavy work collapsed in two
+    * dimension-cardinality aggregations (first-event per user, then
+    * the cohort rollup riding the same user_id shuffle). Exact cents
+    * everywhere; the one shared join is the per-user cohort lookup,
+    * broadcast-sized relative to the event stream. */
+  def eventsCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        (unix_date(col("ts").cast("date")) / lit(7)).cast("long").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .withColumn("age", col("wk") - col("cwk"))
+      .groupBy(col("cwk"), col("age"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("rev_cents"))
+    val wCum = Window.partitionBy(col("cwk")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .orderBy(col("cwk"), col("age"))
+  }
+
   /** J31: RFM segmentation — the marketing-analytics staple: per user,
     * Recency (days since last event, against the corpus max day so
     * the result is reproducible — never wall-clock), Frequency (event

@@ -2230,6 +2230,32 @@ object OracleSql {
          |FROM dau d JOIN wau w USING (day)
          |ORDER BY d.day""".stripMargin,
 
+    // J35 cohort LTV: integer epoch-weeks (floor-div on positive day
+    // numbers ≡ Spark's truncating cast), cumulative window over the
+    // tiny cohort×age matrix
+    "events_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+        |      AS wk
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id
+        |), cells AS (
+        |  SELECT c.cwk, e.wk - c.cwk AS age,
+        |    count(DISTINCT e.user_id) AS n_active,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS rev_cents
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |  GROUP BY c.cwk, e.wk - c.cwk
+        |)
+        |SELECT cwk, age, CAST(n_active AS BIGINT) AS n_active, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cwk ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM cells
+        |ORDER BY cwk, age""".stripMargin,
+
     // J33 attribution: the J16 island CTEs, one lag inside the
     // (user, session) refinement, session-opening purchases → 'direct'
     "events_attribution" ->
