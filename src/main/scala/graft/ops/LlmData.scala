@@ -45,6 +45,64 @@ object LlmData {
     * multiply, round) are IEEE correctly-rounded — so Spark and DuckDB
     * produce bit-identical cosines. The query-vector norm is computed
     * driver-side with the same BigDecimal semantics. */
+  /** K72: HYBRID retrieval via reciprocal-rank fusion — the
+    * production RAG/retrieval shape: a LEXICAL leg (distinct-token
+    * overlap with the query document — the degenerate-but-honest BM25
+    * stand-in on this fixture's flat term statistics) and a VECTOR
+    * leg (the K3 exact-decimal cosine), each ranked with a fully
+    * tie-broken order, fused by RRF: `1/(60+r_lex) + 1/(60+r_vec)`
+    * (Cormack's k=60). RRF is why hybrid search is deterministic
+    * here: it consumes only integer RANKS, so the two float score
+    * scales never mix — the fusion arithmetic is two exact reciprocal
+    * doubles added once, identical in both engines. The ranking
+    * windows run over the CANDIDATE table (one row per doc); at scale
+    * each leg's candidate set comes pre-pruned (inverted index / K18
+    * ANN probe) and the fusion cost stays per-candidate. */
+  def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val qTok = docs.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val candTok = docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val overlap = candTok.join(broadcast(qTok), Seq("tok"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ov"))
+    val lexr = docs.filter(col("doc_id") =!= 0).select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("ov"), lit(0L)).as("ov"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("ov").desc, col("doc_id"))))
+    val emb = t(spark, sfDir, "embeddings")
+    val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm2: Double = q
+      .map(f => BigDecimal.decimal(f.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .map(d => d * d).sum.toDouble
+    val qLit = array(q.map(lit): _*)
+    val vecr = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"),
+        col("col").cast(D).as("x"),
+        element_at(qLit, col("pos") + 1).cast(D).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("y")).cast("double").as("dot"),
+        sum(col("x") * col("x")).cast("double").as("n2"))
+      .select(col("vec_id").as("doc_id"),
+        round(col("dot") / (sqrt(col("n2")) * sqrt(lit(qNorm2))), 6)
+          .as("score"))
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    lexr.join(vecr.select(col("doc_id"), col("r_vec")), Seq("doc_id"))
+      .select(col("doc_id"),
+        col("r_lex").cast("long").as("r_lex"),
+        col("r_vec").cast("long").as("r_vec"),
+        round(lit(1.0) / (lit(60) + col("r_lex"))
+          + lit(1.0) / (lit(60) + col("r_vec")), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q: Seq[Float] = emb.filter(col("vec_id") === 0)

@@ -4121,6 +4121,52 @@ object OracleSql {
         |FROM nr GROUP BY label
         |ORDER BY label""".stripMargin,
 
+    // K72 hybrid RRF: lexical leg = distinct-token overlap, vector
+    // leg = the sim_topk exact-decimal cosine; fusion consumes only
+    // integer RANKS — two exact reciprocals added once
+    "sim_hybrid_rrf" ->
+      """WITH qt AS (
+        |  SELECT DISTINCT unnest(str_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id = 0
+        |), ct AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id <> 0
+        |), ov AS (
+        |  SELECT doc_id, count(*) AS ov FROM ct JOIN qt USING (tok)
+        |  GROUP BY doc_id
+        |), lexr AS (
+        |  SELECT d.doc_id,
+        |    row_number() OVER (ORDER BY COALESCE(ov.ov, 0) DESC, d.doc_id)
+        |      AS r_lex
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id <> 0) d
+        |  LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |p AS (
+        |  SELECT e.vec_id,
+        |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+        |    CAST(unnest((SELECT qe FROM q)) AS DECIMAL(18,9)) AS y
+        |  FROM embeddings e WHERE e.vec_id <> 0
+        |), a AS (
+        |  SELECT vec_id, CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS n2
+        |  FROM p GROUP BY vec_id
+        |), qn AS (
+        |  SELECT CAST(SUM(v * v) AS DOUBLE) AS qn2
+        |  FROM (SELECT CAST(unnest(qe) AS DECIMAL(18,9)) AS v FROM q)
+        |), vecr AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (
+        |      ORDER BY round(dot / (sqrt(n2) * sqrt(qn2)), 6) DESC, vec_id)
+        |      AS r_vec
+        |  FROM a, qn
+        |)
+        |SELECT l.doc_id, CAST(l.r_lex AS BIGINT) AS r_lex,
+        |  CAST(v.r_vec AS BIGINT) AS r_vec,
+        |  round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec), 9) AS rrf
+        |FROM lexr l JOIN vecr v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, l.doc_id
+        |LIMIT 10""".stripMargin,
+
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (
