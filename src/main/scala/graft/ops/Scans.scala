@@ -787,6 +787,43 @@ object Scans {
       }.reduce(_.union(_)).orderBy(col("ref"))
   }
 
+  /** A38: INCREMENTAL materialized-view maintenance — the rollup is
+    * maintained by MERGING batch partials, never recomputed: batch 1
+    * lands as the view's initial state, batch 2 aggregates ALONE
+    * (cost ∝ batch) and full-outer-merges onto the state by group key
+    * (`coalesce(old,0) + coalesce(new,0)` per measure — new groups
+    * appear via the outer side, absent groups carry forward). This is
+    * Spark's own partial-aggregation algebra lifted to user level —
+    * COUNT/SUM are self-mergeable, and because the measures here are
+    * exact integers (cents) the merge re-associates BIT-EXACTLY: the
+    * oracle computes the direct one-shot aggregate over everything,
+    * so the hash equality IS the view-maintenance correctness proof.
+    * At 100 TB this is the difference between a daily O(batch) merge
+    * and an O(table) recompute; AVG-style measures ride along as
+    * (sum, count) pairs, while MIN/MAX only merge under inserts —
+    * the delete-retraction caveat the scaladoc records. */
+  def warehouseIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("tc"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("tc")).as("sum_cents"))
+    val state = rollup(base.filter(col("o_orderkey") % 3 =!= 0))
+      .withColumnRenamed("n_orders", "n0")
+      .withColumnRenamed("sum_cents", "s0")
+    val delta = rollup(base.filter(col("o_orderkey") % 3 === 0))
+      .withColumnRenamed("n_orders", "n1")
+      .withColumnRenamed("sum_cents", "s1")
+    state.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
+          .as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

@@ -370,6 +370,17 @@ object OracleSql {
         |FROM classed GROUP BY abc
         |ORDER BY abc""".stripMargin,
 
+    // A38 incremental view maintenance: the oracle is the DIRECT
+    // one-shot aggregate — hash equality proves partial-merge ≡
+    // recompute
+    "warehouse_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // A37 multi-path scoped read: path scoping must be
     // value-transparent — the oracle filters the base table
     "scan_glob_paths" ->
