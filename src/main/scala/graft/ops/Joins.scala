@@ -490,4 +490,110 @@ object Joins {
         col("prev_event_type"), col("gap_us"))
       .orderBy(col("event_id"))
   }
+
+  /** C29: TPC-H Q6 (forecast-revenue change) as literal SQL — the
+    * pure-scan rung of the literal-SQL family: no join at all, one
+    * fact pass with three range predicates that must ALL reach the
+    * parquet scan as PushedFilters, partial-aggregated map-side to a
+    * single row. At 100 TB this is the query whose cost is exactly
+    * "bytes the scan couldn't skip"; correctness rides exact DECIMAL
+    * sums so engine disagreement is impossible. */
+  def sqlTpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q6"))
+  }
+
+  /** C30: TPC-H Q8 (national market share) as literal SQL — the widest
+    * snowflake of the family: EIGHT relations (nation twice), where
+    * Catalyst must chain five dim broadcasts onto the two fact-fact
+    * shuffles and the grouped division computes a share-of-total per
+    * year from a conditional sum over the SAME aggregated rows (one
+    * pass, no self-join against a totals frame). Volumes are exact
+    * DECIMAL; the final ratio is rounded at 9 places so the one
+    * genuinely float-valued step is pinned to a stable digit. */
+  def sqlTpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+      "region").foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q8"))
+  }
+
+  /** C31: TPC-H Q10 (returned-item reporting) as literal SQL — the
+    * top-k-over-wide-groupBy shape: a quarter of orders joined to
+    * returned lines, revenue per customer with the customer
+    * attributes carried THROUGH the aggregate as group keys (the
+    * wide-key groupBy a reporting workload actually emits), then
+    * ORDER BY revenue LIMIT 20 which Spark executes as TakeOrdered —
+    * no global sort materializes at any scale. Tie-broken on
+    * c_custkey so the page is deterministic across engines. */
+  def sqlTpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q10"))
+  }
+
+  /** C32: TPC-H Q14 (promotion effect) as literal SQL — conditional
+    * share-of-total in ONE aggregate (promo revenue / all revenue
+    * from the same month's lines), the single-pass numerator/
+    * denominator idiom that replaces two scans or a self-join; the
+    * part join must broadcast. Exact DECIMAL volumes, ratio rounded
+    * at 9 places (the C30 discipline). */
+  def sqlTpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q14"))
+  }
+
+  /** C33: TPC-H Q15 (top supplier) as literal SQL — a named CTE
+    * aggregated once and consumed TWICE (join input + scalar MAX
+    * subquery), the classic shared-subplan shape; revenue equality is
+    * tested on the exact DECIMAL sum, never on a double, so the
+    * argmax row set is engine-independent by construction. */
+  def sqlTpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q15"))
+  }
+
+  /** C34: TPC-H Q17 (small-quantity-order revenue) as literal SQL —
+    * the correlated SCALAR AGGREGATE subquery (`l_quantity <
+    * 0.2 * avg(l_quantity) per part`) Catalyst must decorrelate into
+    * an aggregate-then-join, never a per-row re-scan; the quantity
+    * average is exact (integral doubles summed under 2^53, one IEEE
+    * divide both engines share), so the threshold comparison cannot
+    * flap. Part side broadcasts after its brand+size prune. */
+  def sqlTpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q17"))
+  }
+
+  /** C35: TPC-H Q19 (discounted revenue) as literal SQL — the
+    * disjunction-of-conjunctions residual: three (brand, size-range,
+    * quantity-range) arms OR'd together, where the only pushable
+    * common factor is the join key itself; Catalyst must extract the
+    * per-side common bounds it can (quantity/size envelopes), plan
+    * ONE broadcast join, and evaluate the OR as a post-join filter —
+    * the shape that catches optimizers that either give up (cartesian)
+    * or over-push (wrong results). */
+  def sqlTpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q19"))
+  }
+
+  /** C36: TPC-H Q22 (global-sales opportunity) as literal SQL,
+    * adapted to this schema's columns (segment prefix stands in for
+    * the phone country code): an uncorrelated scalar-aggregate
+    * threshold plus a NOT EXISTS anti-join against orders — the
+    * "customers above average with no pending order" shape combining
+    * both subquery kinds in one query (the anti-join arm filters on
+    * order STATUS because every fixture customer has some order —
+    * the literal "no orders at all" form is vacuous at every scale). The average-balance threshold is
+    * compared cross-multiplied (balance × count > exact-decimal sum)
+    * so no engine-ordered float summation ever feeds a comparison. */
+  def sqlTpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach(tbl =>
+      t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q22"))
+  }
 }

@@ -1245,6 +1245,149 @@ object OracleSql {
         |GROUP BY n_name, s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
+    // C29: pure-scan aggregate — every predicate pushable, one row out.
+    "sql_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // C30: eight-relation snowflake; share-of-total from one aggregate.
+    // Ratio is the lone float step — rounded at 9 places; numerator
+    // COALESCEd after the DOUBLE cast so a NATION_3-free year is 0.0
+    // in both engines rather than engine-typed NULL arithmetic.
+    "sql_tpch_q8" ->
+      """SELECT o_year,
+        |  ROUND(COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_3'
+        |                               THEN volume END) AS DOUBLE), 0.0) /
+        |        CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND p_type = 'PROMO'
+        |) all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    // C31: wide-key groupBy + deterministic top-20 page.
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // C32: single-pass conditional share-of-total (promo / all).
+    "sql_tpch_q14" ->
+      """SELECT ROUND(100.0 *
+        |  COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                         THEN volume END) AS DOUBLE), 0.0) /
+        |  CAST(SUM(volume) AS DOUBLE), 9) AS promo_revenue
+        |FROM (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume, p_type
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        |) promo""".stripMargin,
+
+    // C33: CTE consumed twice (join + scalar MAX); argmax equality on
+    // the exact DECIMAL, cast DOUBLE only in the projection.
+    "sql_tpch_q15" ->
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier
+        |JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // C34: correlated scalar-AVG subquery; threshold is exact because
+    // l_quantity is integral (sum exact under 2^53, one shared IEEE
+    // divide), so decorrelation cannot change the row set.
+    "sql_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |            AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size < 5
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // C35: three OR'd (brand, size, quantity) arms — join residual.
+    "sql_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,4))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size >= 1 AND p_size <= 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size >= 1 AND p_size <= 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // C36: NOT EXISTS anti-join + uncorrelated scalar threshold.
+    // The above-average test is cross-multiplied (balance × count >
+    // exact-decimal total) so no engine-ordered float sum is compared.
+    "sql_tpch_q22" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM (
+        |  SELECT SUBSTRING(c_mktsegment, 1, 2) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE SUBSTRING(c_mktsegment, 1, 2)
+        |        IN ('AU', 'BU', 'FU', 'HO', 'MA')
+        |    AND c_acctbal * (SELECT COUNT(*) FROM customer
+        |                     WHERE c_acctbal > 0.0) >
+        |        (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |                     AS DOUBLE)
+        |         FROM customer WHERE c_acctbal > 0.0)
+        |    AND NOT EXISTS (
+        |      SELECT * FROM orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
+
     // C27 recursive CTE calendar spine: integer month-index recursion
     // (ym = year*12 + month — no engine-specific date arithmetic),
     // LEFT JOIN a deliberately thin slice so zero-fill months exist;

@@ -273,6 +273,36 @@ class PlanAuditSpec extends SparkTestBase {
       plan("sort_page_offset"))
   }
 
+  test("round-15 third-wave TPC-H additions keep their scale shapes") {
+    // C29: pure scan — every predicate reaches the parquet reader
+    // (shipdate range + discount band + quantity cap), no join node
+    val q6 = plan("sql_tpch_q6")
+    assert(q6.contains("PushedFilters") && q6.contains("l_shipdate"), q6)
+    assert(!q6.contains("Join"), q6)
+    // C30: the 8-relation snowflake broadcasts every dim — the only
+    // shuffle joins are fact-fact; no cartesian, no nested loop
+    val q8 = plan("sql_tpch_q8")
+    assert(q8.contains("BroadcastHashJoin"), q8)
+    assert(!q8.contains("CartesianProduct") &&
+      !q8.contains("BroadcastNestedLoopJoin"), q8)
+    // C31: the top-20 page is a TakeOrdered, never a global sort
+    val q10 = plan("sql_tpch_q10")
+    assert(q10.contains("TakeOrdered"), q10)
+    // C34: the correlated scalar-AVG subquery decorrelates into an
+    // aggregate-then-join — a per-part re-scan would show as a
+    // nested-loop or cartesian
+    val q17 = plan("sql_tpch_q17")
+    assert(!q17.contains("CartesianProduct") &&
+      !q17.contains("BroadcastNestedLoopJoin"), q17)
+    assert(q17.contains("partial"), q17)
+    // C35: the OR-of-arms stays ONE equi-join with a residual filter
+    val q19 = plan("sql_tpch_q19")
+    assert(!q19.contains("CartesianProduct") &&
+      !q19.contains("BroadcastNestedLoopJoin"), q19)
+    // C36: the NOT EXISTS arm plans as an anti join
+    assert(plan("sql_tpch_q22").contains("Anti"), plan("sql_tpch_q22"))
+  }
+
   test("no query plans a cartesian product") {
     for (n <- Seq("join_shuffle_inner", "join_theta", "join_range_interval",
         "sim_topk", "win_ntile_pct", "dedup_minhash", "dedup_ngram_jaccard",
