@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Util._
 
 /** Category D — aggregations (SURVEY.md §2.2 D1-D9; D9 is unit-tested).
@@ -703,5 +704,48 @@ object Aggregates {
         (sum(col("rev_cents")).cast("double") /
           max(col("total")).cast("double")).as("rev_share"))
       .orderBy(col("abc"))
+  }
+
+  /** D30: chi-square test of independence (Pearson 1900, public) over
+    * the (market segment × order priority) contingency — "does the
+    * segment influence how customers prioritize orders", the
+    * categorical-association audit every feature-selection pass runs.
+    * Emits χ², degrees of freedom, N, and Cramér's V (the [0,1]
+    * effect size that makes χ² comparable across table shapes).
+    *
+    * Scale shape: ONE fact pass builds the contingency (partial agg
+    * on the ≤25 (segment, priority) cells; the customer dim
+    * broadcasts), after which everything is cell-cardinality
+    * arithmetic: row/column margins re-aggregate the 25-row frame,
+    * the 1-row grand total broadcasts back, and each cell's
+    * (obs−exp)²/exp term is a chain of IEEE ops on exact integer
+    * inputs (engine-identical), term-rounded at 9 dp and summed as
+    * exact DECIMAL — the text_entropy discipline, so the statistic
+    * never flaps under partitioning. */
+  def aggChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy(col("seg")).agg(sum(col("o")).as("r"))
+    val colTot = obs.groupBy(col("pri")).agg(sum(col("o")).as("c"))
+    val grand = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("seg")).as("n_seg"),
+      countDistinct(col("pri")).as("n_pri"))
+    val e = (col("r") * col("c")).cast("double") / col("n").cast("double")
+    val d = col("o").cast("double") - e
+    obs.join(rowTot, "seg").join(colTot, "pri").crossJoin(broadcast(grand))
+      .select(round(d * d / e, 9).cast(DecimalType(28, 9)).as("term"),
+        col("n"), col("n_seg"), col("n_pri"))
+      .groupBy(col("n"), col("n_seg"), col("n_pri"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .select(col("n"),
+        ((col("n_seg") - 1) * (col("n_pri") - 1)).as("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("n_seg") - 1, col("n_pri") - 1))
+            .cast("double")), 6).as("cramers_v"))
   }
 }

@@ -2401,4 +2401,63 @@ object LlmData {
         sum((col("n") - 1L) * col("n_bytes")).as("bytes_dedupable"))
       .orderBy(col("format"))
   }
+
+  /** K73: SOFT deduplication — down-WEIGHT duplicates instead of
+    * dropping them (the SlimPajama/SoftDedup alternative to K1's hard
+    * drop: every copy of an n-times-duplicated text carries weight
+    * 1/n, so each distinct text contributes exactly one effective
+    * document regardless of copy count, and no single copy is
+    * arbitrarily privileged). Per source: raw docs, docs that are
+    * members of a duplicate group, and the EFFECTIVE doc count
+    * Σ 1/n_copies — the number the sampler actually draws against.
+    *
+    * Scale shape: texts never shuffle — copy counts group on
+    * sha256(text) (one partial-agg pass), and the per-doc weight
+    * joins back on the same hash key; the 1/n weights are
+    * term-rounded at 9 dp and summed as exact DECIMAL (the
+    * text_entropy discipline), so the float walk is partitioning-
+    * and engine-independent. */
+  def dedupSoft(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    val copies = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(round(lit(1.0) / col("n_copies"), 9)
+          .cast(DecimalType(28, 9))).cast("double"), 6).as("eff_docs"))
+      .withColumn("eff_ratio",
+        round(col("eff_docs") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** K74: tokenizer FERTILITY by language (Ács 2019; Rust et al. 2021,
+    * public) — subword tokens emitted per whitespace word, the
+    * standard "how much does this tokenizer fragment language X"
+    * audit run before fixing a vocabulary: a language whose fertility
+    * is 2× pays 2× the sequence length (and 2× the training compute)
+    * for the same text. Uses the [[BpeTokenPattern]] pre-tokenizer
+    * (the K17 surface) as the subword stream and the corpus `lang`
+    * label as the grouping.
+    *
+    * Scale shape: both token counts are per-row scalar projections
+    * (codegen'd regexp + split — no explode, nothing shuffles but
+    * (lang, two ints)), partial-aggregated to ≤5 groups; the
+    * fertility ratio is one exact-DECIMAL division per group. */
+  def textFertility(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws"),
+        sum(col("bpe")).as("n_bpe"),
+        dbl(dec(sum(col("bpe"))) / sum(col("ws"))).as("fertility"))
+      .orderBy(col("lang"))
 }

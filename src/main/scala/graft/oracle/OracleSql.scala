@@ -343,6 +343,43 @@ object OracleSql {
     // D27 Pareto/ABC: per-line cents rounded ONCE (identical IEEE
     // product both engines), class cuts are integer cross-multiplies —
     // no float threshold; one double division finalizes the share
+    // D30 chi-square independence: exact integer contingency; each
+    // (obs-exp)^2/exp term is IEEE ops on identical inputs, rounded
+    // 9 dp and DECIMAL-summed (text_entropy discipline). DuckDB
+    // SUM(BIGINT) is HUGEINT — cast margins/totals before the output.
+    "agg_chi_square" ->
+      """WITH obs AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        |    COUNT(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), rt AS (SELECT seg, SUM(o) AS r FROM obs GROUP BY seg),
+        |ct AS (SELECT pri, SUM(o) AS c FROM obs GROUP BY pri),
+        |g AS (SELECT SUM(o) AS n, COUNT(DISTINCT seg) AS n_seg,
+        |        COUNT(DISTINCT pri) AS n_pri FROM obs),
+        |terms AS (
+        |  SELECT CAST(round(
+        |      (obs.o - (rt.r * ct.c) / CAST(g.n AS DOUBLE)) *
+        |      (obs.o - (rt.r * ct.c) / CAST(g.n AS DOUBLE)) /
+        |      ((rt.r * ct.c) / CAST(g.n AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9)) AS term,
+        |    g.n, g.n_seg, g.n_pri
+        |  FROM obs
+        |  JOIN rt ON obs.seg = rt.seg
+        |  JOIN ct ON obs.pri = ct.pri
+        |  CROSS JOIN g
+        |), s AS (
+        |  SELECT n, n_seg, n_pri,
+        |    round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+        |  FROM terms GROUP BY n, n_seg, n_pri
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST((n_seg - 1) * (n_pri - 1) AS BIGINT) AS dof, chi2,
+        |  round(sqrt(chi2 /
+        |    CAST(n * LEAST(n_seg - 1, n_pri - 1) AS DOUBLE)), 6)
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+
     "agg_pareto_abc" ->
       """WITH rev AS (
         |  SELECT l_partkey,
@@ -3067,6 +3104,41 @@ object OracleSql {
         |ORDER BY part""".stripMargin,
 
     // ---------------- K: LLM-data ops ----------------
+    // K73 soft dedup: copy counts group sha256(text); 1/n weights
+    // term-rounded 9 dp, DECIMAL(28,9)-summed (text_entropy discipline)
+    "dedup_soft" ->
+      """WITH c AS (
+        |  SELECT sha256(text) AS h, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1
+        |), d AS (
+        |  SELECT doc_id, source, sha256(text) AS h FROM documents
+        |), g AS (
+        |  SELECT d.source, c.n_copies FROM d JOIN c ON d.h = c.h
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        |  round(CAST(SUM(CAST(round(1.0 / n_copies, 9) AS DECIMAL(28,9)))
+        |             AS DOUBLE), 6) AS eff_docs,
+        |  round(round(CAST(SUM(CAST(round(1.0 / n_copies, 9)
+        |                            AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |        / COUNT(*), 6) AS eff_ratio
+        |FROM g
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // K74 tokenizer fertility: BPE pre-tokens (the K17 regex) per
+    // whitespace word, grouped by the corpus lang label
+    "text_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_ws,
+         |  CAST(SUM(len(regexp_extract_all(text,
+         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS n_bpe,
+         |  ${dbl(s"${dec("SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))")} / SUM(len(str_split(text, ' ')))")}
+         |    AS fertility
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
         |r AS (SELECT doc_id, text_sha,

@@ -342,4 +342,31 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("D30 chi-square: dof/N exact, stat and effect size in range, " +
+    "and a constructed independent table scores chi2 = 0") {
+    val r = graft.ops.Aggregates.aggChiSquare(spark, sfDir).collect()(0)
+    val (n, dof, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(n == graft.ops.Util.t(spark, sfDir, "orders").count())
+    assert(dof >= 1 && chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0, s"cramers_v $v outside [0,1]")
+    // construction law: a perfectly independent 2x2 (counts r*c/N
+    // exactly) must score chi2 = 0 via the same term pipeline
+    import spark.implicits._
+    val ind = Seq(("a", "x", 10), ("a", "y", 30), ("b", "x", 20),
+      ("b", "y", 60)).flatMap { case (s0, p0, k) =>
+        Seq.fill(k)((s0, p0)) }.toDF("seg", "pri")
+    val obs = ind.groupBy("seg", "pri")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("o"))
+    val e = obs.selectExpr("seg", "pri", "o",
+      "sum(o) over (partition by seg) as r",
+      "sum(o) over (partition by pri) as c",
+      "sum(o) over () as n")
+      .selectExpr("round(pow(o - (r*c)/cast(n as double), 2) / " +
+        "((r*c)/cast(n as double)), 9) as term")
+      .agg(org.apache.spark.sql.functions.sum("term")).collect()(0)
+    assert(e.getDouble(0) == 0.0)
+  }
+
 }

@@ -628,4 +628,38 @@ class LlmDataSpec extends SparkTestBase {
     assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
   }
 
+  test("K73 soft-dedup weights partition each text's unit mass: " +
+    "total effective docs == distinct texts, and eff <= raw per source") {
+    val rows = graft.ops.LlmData.dedupSoft(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var eff = 0.0; var raw = 0L
+    for (r <- rows) {
+      val (n, dup, e) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(e > 0.0 && e <= n + 1e-6, s"eff $e out of (0, $n]")
+      assert(dup >= 0 && dup <= n)
+      eff += e; raw += n
+    }
+    val distinctTexts = graft.ops.Util.t(spark, sfDir, "documents")
+      .select("text").distinct().count()
+    // each text's copies carry 1/n each — the weights sum to exactly 1
+    // per distinct text, across whatever sources the copies landed in
+    assert(math.abs(eff - distinctTexts) < 1e-3,
+      s"eff mass $eff != distinct texts $distinctTexts")
+    assert(raw == graft.ops.Util.t(spark, sfDir, "documents").count())
+  }
+
+  test("K74 fertility is >= 1 (every whitespace word yields at least " +
+    "one BPE pre-token) and totals match the K17 per-doc surface") {
+    val rows = graft.ops.LlmData.textFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getDouble(4) >= 1.0, s"lang ${r.getString(0)} fertility < 1")
+    val (ws, bpe) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+      (a + r.getLong(2), b + r.getLong(3)) }
+    import org.apache.spark.sql.functions.sum
+    val perDoc = graft.ops.LlmData.textTokensBpe(spark, sfDir)
+      .agg(sum("n_ws"), sum("n_bpe")).collect()(0)
+    assert(ws == perDoc.getLong(0) && bpe == perDoc.getLong(1))
+  }
+
 }
