@@ -395,4 +395,65 @@ object Events {
           col("m").cast("string")).as("segment"))
       .orderBy(col("user_id"))
   }
+
+  /** J36: Kaplan-Meier LIFE TABLE (Kaplan & Meier 1958, public) for
+    * time-to-first-HIGH-VALUE-purchase (value ≥ 100 — "conversion to
+    * premium") with per-user right-censoring — the survival-analysis
+    * primitive behind churn/conversion curves. Each user enters
+    * observation at their first event, "dies" at their first
+    * qualifying purchase, and is CENSORED at their last observed
+    * event if they never convert (the value bar keeps both outcomes
+    * populated at every fixture scale — bare "any purchase" converts
+    * every user) (the at-risk set genuinely varies —
+    * this is KM, not an empirical CDF). Per event day: the at-risk
+    * count n_i, events d_i, censorings c_i, and the discrete hazard
+    * d_i/n_i; S(t) = Π(1−hazard) follows by cumulative product, and
+    * every input to it here is exact.
+    *
+    * Scale shape: ONE user_id shuffle collapses the fact table to a
+    * 3-column per-user frame; everything after runs on the DAY-
+    * cardinality spine (entered/exited cumulative counts via window
+    * sums over the tiny ordered spine — the single-partition window
+    * is over ~10² rows, never the fact table). All counts are exact
+    * integers; the hazard is the sole division (one IEEE op, engine-
+    * identical), NULL on an empty at-risk set rather than NaN. */
+  def eventsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("start_day"),
+        max(col("day")).as("last_day"),
+        min(when(col("event_type") === "purchase" &&
+            col("value") >= 100.0, col("day"))).as("purch_day"))
+      .select(col("user_id"), col("start_day"),
+        coalesce(col("purch_day"), col("last_day")).as("end_day"),
+        col("purch_day").isNotNull.as("is_event"))
+    val spine = ev.select(col("day")).distinct()
+    val starts = per.groupBy(col("start_day").as("day"))
+      .agg(count(lit(1)).as("n_start"))
+    val ends = per.groupBy(col("end_day").as("day"))
+      .agg(count(lit(1)).as("n_end"),
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(starts, Seq("day"), "left")
+      .join(ends, Seq("day"), "left")
+      .select(col("day"),
+        sum(coalesce(col("n_start"), lit(0L))).over(w).as("entered"),
+        (sum(coalesce(col("n_end"), lit(0L))).over(w) -
+          coalesce(col("n_end"), lit(0L))).as("exited_before"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .select(col("day"),
+        (col("entered") - col("exited_before")).as("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        when(col("entered") - col("exited_before") > 0,
+          round(col("d").cast("double") /
+            (col("entered") - col("exited_before")).cast("double"), 9))
+          .as("hazard"))
+      .orderBy(col("day"))
+  }
 }

@@ -3139,6 +3139,52 @@ object OracleSql {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
+    // J36 Kaplan-Meier life table: per-user (start, end, event) frame,
+    // cumulative entered/exited window sums over the distinct-day
+    // spine; hazard is the sole division, NULL on an empty risk set
+    "events_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id, MIN(day) AS start_day, MAX(day) AS last_day,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 100.0
+        |             THEN day END) AS purch_day
+        |  FROM ev GROUP BY user_id
+        |), per2 AS (
+        |  SELECT user_id, start_day,
+        |    COALESCE(purch_day, last_day) AS end_day,
+        |    purch_day IS NOT NULL AS is_event
+        |  FROM per
+        |), spine AS (SELECT DISTINCT day FROM ev),
+        |st AS (SELECT start_day AS day, COUNT(*) AS n_start
+        |       FROM per2 GROUP BY 1),
+        |en AS (SELECT end_day AS day, COUNT(*) AS n_end,
+        |         SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS d,
+        |         SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS c
+        |       FROM per2 GROUP BY 1),
+        |tl AS (
+        |  SELECT s.day,
+        |    SUM(COALESCE(st.n_start, 0)) OVER (ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS entered,
+        |    SUM(COALESCE(en.n_end, 0)) OVER (ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - COALESCE(en.n_end, 0) AS exited_before,
+        |    COALESCE(en.d, 0) AS d, COALESCE(en.c, 0) AS c
+        |  FROM spine s
+        |  LEFT JOIN st ON s.day = st.day
+        |  LEFT JOIN en ON s.day = en.day
+        |)
+        |SELECT day, CAST(entered - exited_before AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        |  CASE WHEN entered - exited_before > 0
+        |    THEN round(CAST(d AS DOUBLE) /
+        |               CAST(entered - exited_before AS DOUBLE), 9)
+        |  END AS hazard
+        |FROM tl
+        |ORDER BY day""".stripMargin,
+
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
         |r AS (SELECT doc_id, text_sha,

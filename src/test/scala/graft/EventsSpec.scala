@@ -160,4 +160,25 @@ class EventsSpec extends SparkTestBase {
     assert(rows.length == du.map(_._1).distinct.length)
   }
 
+  test("J36 life table: exit mass partitions the user base, the " +
+    "at-risk set covers each day's exits, and the ledger balances") {
+    val rows = graft.ops.Events.eventsSurvival(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = graft.ops.Util.t(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    var d = 0L; var c = 0L
+    for (r <- rows) {
+      val (nRisk, de, ce) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // users exiting at t are still at risk at t
+      assert(nRisk >= de + ce, s"${r.get(0)}: risk $nRisk < $de+$ce")
+      if (nRisk > 0)
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      d += de; c += ce
+    }
+    // every user exits exactly once: death xor censoring
+    assert(d + c == users, s"exits ${d + c} != users $users")
+    // the fixture plants both outcomes — the table is non-vacuous
+    assert(d > 0 && c > 0)
+  }
+
 }
