@@ -680,4 +680,79 @@ object Graphs {
         max(col("d")).as("max_deg"), sum(col("d")).as("deg_sum"))
       .orderBy(col("bucket"))
   }
+
+  /** HITS iteration count — mirrored by the oracle's unrolled CTEs. */
+  val HitsIters = 3
+
+  /** Support threshold for the bipartite customer→part edge set. */
+  val HitsMinQty = 40
+
+  /** L12: HITS hubs & authorities (Kleinberg 1999, public) on the
+    * DIRECTED bipartite purchase graph customer→part — the one graph
+    * in the fixture where hub and authority are genuinely different
+    * roles (on an undirected graph the two HITS vectors coincide):
+    * a part's authority is the summed hub mass of the customers
+    * buying it, a customer's hub score the summed authority of the
+    * parts they buy — "influential buyers" and "anchor products"
+    * emerge together, which is exactly the bipartite setting HITS was
+    * designed for. [[HitsIters]] mutual-reinforcement rounds under
+    * L1 normalization; top-10 of each role, one `role`-tagged frame.
+    *
+    * Float discipline (the [[pagerank]] contract): scores carry 12 dp
+    * rounds, every cross-node sum is an exact DECIMAL(28,14) fold of
+    * those rounded terms, and each normalization is ONE IEEE divide
+    * of exact-decimal-derived doubles — both engines walk the
+    * identical float sequence, so the oracle can unroll the exact
+    * iteration count as CTEs.
+    *
+    * Scale shape: the edge list is built once (distinct collapses the
+    * lineitem fan-in), hash-partitioned on the customer key and
+    * checkpointed — each round exchanges only the node-cardinality
+    * score frames; normalization denominators stay IN the dataflow as
+    * 1-row broadcast frames (never a driver round-trip). */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame =
+    hits(t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") >= HitsMinQty)
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct())
+
+  /** HITS core over an arbitrary distinct directed (c, p) edge list —
+    * see [[graphHits]] for the discipline. */
+  def hits(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.repartition(col("c")).localCheckpoint(true)
+    val DL = DecimalType(28, 14)
+    val nC = broadcast(edges.select(col("c")).distinct()
+      .agg(count(lit(1)).cast("double").as("n")).localCheckpoint(true))
+    var h = edges.select(col("c")).distinct().crossJoin(nC)
+      .select(col("c"), round(lit(1.0) / col("n"), 12).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val sa = edges.join(h, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h").cast(DL)).as("s"))
+      val na = broadcast(sa.agg(sum(col("s")).as("tot"))
+        .localCheckpoint(true))
+      a = sa.crossJoin(na)
+        .select(col("p"), round(col("s").cast("double") /
+          col("tot").cast("double"), 12).as("a"))
+        .localCheckpoint(true)
+      val sh = edges.join(a, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a").cast(DL)).as("s"))
+      val nh = broadcast(sh.agg(sum(col("s")).as("tot"))
+        .localCheckpoint(true))
+      h = sh.crossJoin(nh)
+        .select(col("c"), round(col("s").cast("double") /
+          col("tot").cast("double"), 12).as("h"))
+        .localCheckpoint(true)
+    }
+    val topAuth = a.orderBy(col("a").desc, col("p")).limit(10)
+      .select(lit("authority").as("role"), col("p").cast("long").as("node"),
+        col("a").as("score"))
+    val topHub = h.orderBy(col("h").desc, col("c")).limit(10)
+      .select(lit("hub").as("role"), col("c").cast("long").as("node"),
+        col("h").as("score"))
+    topAuth.unionAll(topHub)
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
 }

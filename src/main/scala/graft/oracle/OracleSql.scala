@@ -159,6 +159,52 @@ object OracleSql {
        |LIMIT 20""".stripMargin
   }
 
+  /** HITS with the engine's iteration count unrolled as chained CTEs —
+    * 12 dp score rounds, exact DECIMAL(28,14) cross-node sums, one
+    * IEEE divide per normalization (mirror of `Graphs.graphHits`). */
+  private val hitsSql: String = {
+    val iters = graft.ops.Graphs.HitsIters
+    val steps = (1 to iters).map { i =>
+      s"""sa$i AS (
+         |  SELECT be.p, SUM(CAST(h.h AS DECIMAL(28,14))) AS s
+         |  FROM be JOIN h${i - 1} h ON be.c = h.c GROUP BY be.p
+         |), a$i AS (
+         |  SELECT p, round(CAST(s AS DOUBLE) /
+         |    (SELECT CAST(SUM(s) AS DOUBLE) FROM sa$i), 12) AS a
+         |  FROM sa$i
+         |), sh$i AS (
+         |  SELECT be.c, SUM(CAST(a.a AS DECIMAL(28,14))) AS s
+         |  FROM be JOIN a$i a ON be.p = a.p GROUP BY be.c
+         |), h$i AS (
+         |  SELECT c, round(CAST(s AS DOUBLE) /
+         |    (SELECT CAST(SUM(s) AS DOUBLE) FROM sh$i), 12) AS h
+         |  FROM sh$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH be AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= ${graft.ops.Graphs.HitsMinQty}
+       |), nc AS (SELECT COUNT(DISTINCT c) AS n FROM be),
+       |h0 AS (
+       |  SELECT DISTINCT c,
+       |    round(CAST(1 AS DOUBLE) / (SELECT n FROM nc), 12) AS h
+       |  FROM be
+       |),
+       |$steps
+       |SELECT role, node, score FROM (
+       |  SELECT 'authority' AS role, CAST(p AS BIGINT) AS node,
+       |    a AS score
+       |  FROM a$iters ORDER BY a DESC, p LIMIT 10
+       |) ta
+       |UNION ALL
+       |SELECT role, node, score FROM (
+       |  SELECT 'hub' AS role, CAST(c AS BIGINT) AS node, h AS score
+       |  FROM h$iters ORDER BY h DESC, c LIMIT 10
+       |) th
+       |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   /** The langid stopword profiles as DuckDB list literals (mirror of
     * `LlmData.langProfiles`). */
   private val langProfilesSql: Seq[(String, String)] = Seq(
@@ -2735,6 +2781,8 @@ object OracleSql {
          |FROM st, tri""".stripMargin,
 
     "graph_pagerank" -> pagerankSql,
+
+    "graph_hits" -> hitsSql,
 
     // neighborhood-Jaccard node similarity: common-neighbor counts
     // from the wedge self-join (tighter support cut 35 — no

@@ -441,4 +441,33 @@ class GraphsSpec extends SparkTestBase {
       graft.ops.Graphs.labelPropagation(tri2)).collect()(0)
     assert(lpa.getDouble(3) == 0.5)
   }
+
+  test("L12 HITS: the anchor part out-ranks the periphery, the " +
+    "broad buyer out-hubs the narrow one, and each role is L1-normal") {
+    import spark.implicits._
+    // customers 1,2 both buy part 10 (the anchor); customer 1 also
+    // buys 11-13 (broad hub); customer 2 adds 12 (so 10's buyer set
+    // carries more hub mass than 11's — without it (10,2)↔(11,3) is
+    // a graph automorphism and the two authorities tie forever);
+    // customer 3 buys only part 11
+    val edges = Seq(1L -> 10L, 2L -> 10L, 2L -> 12L, 1L -> 11L,
+      1L -> 12L, 1L -> 13L, 3L -> 11L).toDF("c", "p")
+    val rows = graft.ops.Graphs.hits(edges).collect()
+    val auth = rows.filter(_.getString(0) == "authority")
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val hub = rows.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // mutual reinforcement: 10 and 12 share the identical buyer set
+    // {1,2} so their authorities are EQUAL (permutation invariance);
+    // both beat 11 (buyers {1,3} — 3 is a weaker hub than 2), and 11
+    // beats the single-buyer 13
+    assert(auth(10L) == auth(12L))
+    assert(auth(10L) > auth(11L) && auth(11L) > auth(13L))
+    // hubs: the 4-part buyer beats the 2-part buyer beats the
+    // single-part buyer
+    assert(hub(1L) > hub(2L) && hub(2L) > hub(3L))
+    for (m <- Seq(auth, hub))
+      assert(math.abs(m.values.sum - 1.0) < 1e-6,
+        s"role mass ${m.values.sum} != 1")
+  }
 }
