@@ -3164,7 +3164,8 @@ object OracleSql {
         |  SELECT d.source, c.n_copies FROM d JOIN c ON d.h = c.h
         |)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
         |  round(CAST(SUM(CAST(round(1.0 / n_copies, 9) AS DECIMAL(28,9)))
         |             AS DOUBLE), 6) AS eff_docs,
         |  round(round(CAST(SUM(CAST(round(1.0 / n_copies, 9)

@@ -55,6 +55,11 @@ def eq(a, b):
         if all(isinstance(x, tuple) or not isinstance(x, str) for x in (a, b)):
             pass
     if isinstance(a, float) or isinstance(b, float):
+        # Type-class mismatch (one engine integral, the other float —
+        # e.g. an uncast DuckDB HUGEINT fetched as float64) fails the
+        # driver's exact hash even when values agree; flag it here too.
+        if isinstance(a, int) != isinstance(b, int):
+            return False
         try:
             af, bf = float(a if not isinstance(a, tuple) else a[1]), \
                      float(b if not isinstance(b, tuple) else b[1])
