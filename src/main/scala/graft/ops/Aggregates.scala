@@ -748,4 +748,92 @@ object Aggregates {
           (col("n") * least(col("n_seg") - 1, col("n_pri") - 1))
             .cast("double")), 6).as("cramers_v"))
   }
+
+  /** D31: two-sample Kolmogorov–Smirnov statistic — did the
+    * o_totalprice distribution of finished ('F') orders drift from
+    * open ('O') ones? The standard nonparametric drift test run on
+    * numeric columns between data releases (the continuous partner
+    * of D30's categorical χ²). D = max |F̂_a(x) − F̂_b(x)| over the
+    * pooled support, computed EXACTLY: the numerator is the integer
+    * cross-multiply |cf·n_o − co·n_f| (no per-step float CDFs), so
+    * the max is engine- and partition-order-independent; the one
+    * IEEE division happens after the max.
+    *
+    * Scale shape: the cumulative sweep runs over the VALUE-TYPE
+    * table (prices live on a 2-dp grid — value-domain-bounded, not
+    * row-bounded), after a partial agg collapses the fact rows; the
+    * totals ride as a 1-row broadcast. The global window is a range
+    * sort over that bounded type table. Cross-multiplies run in
+    * DECIMAL (HUGEINT on the oracle side) so counts can reach web
+    * scale without wrap. */
+  def aggKsTest(spark: SparkSession, sfDir: String): DataFrame =
+    ksCore(t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("s"), col("o_totalprice").as("v")),
+      "F", "O")
+
+  /** D31 core over an arbitrary two-class (s, v) frame — seam for the
+    * construction laws in `AggregatesSpec`. */
+  def ksCore(o: DataFrame, a: String, b: String): DataFrame = {
+    val DL = DecimalType(38, 0)
+    val byV = o.groupBy(col("v"))
+      .agg(sum(when(col("s") === a, 1L).otherwise(0L)).as("af"),
+        sum(when(col("s") === b, 1L).otherwise(0L)).as("ao"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("v"),
+      sum(col("af")).over(w).as("cf"),
+      sum(col("ao")).over(w).as("co"))
+    val tot = broadcast(o.agg(
+      sum(when(col("s") === a, 1L).otherwise(0L)).as("nf"),
+      sum(when(col("s") === b, 1L).otherwise(0L)).as("no")))
+    cum.crossJoin(tot)
+      .select(abs(col("cf").cast(DL) * col("no") -
+        col("co").cast(DL) * col("nf")).as("num"),
+        col("nf"), col("no"))
+      .groupBy(col("nf"), col("no"))
+      .agg(max(col("num")).as("dnum"))
+      .select(col("nf").as("n_f"), col("no").as("n_o"),
+        col("dnum").cast("long").as("d_num"),
+        round(col("dnum").cast("double") /
+          (col("nf").cast("double") * col("no").cast("double")), 9)
+          .as("ks"))
+  }
+
+  /** D32: Gini coefficient of per-customer spend — the inequality
+    * audit ("do 20% of customers carry 80% of revenue?") behind
+    * D27's ABC classes, as the single standard [0,1] statistic.
+    * Closed form over the rank-ordered spend vector:
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ). Every term is exact —
+    * spend sums in DECIMAL(14,2) (o_totalprice is a 2-dp grid),
+    * ranks are integers, numerator and denominator stay DECIMAL —
+    * and ONE IEEE division finalizes, so the value cannot flap
+    * under partitioning. Rank ties break by customer key; permuting
+    * equal-x rows leaves Σi·xᵢ unchanged, so the tie-break is for
+    * determinism of the sort, not the statistic.
+    *
+    * Scale shape: one fact partial-agg to customer cardinality,
+    * one global rank (range-partitioned sort — the win-rank shape),
+    * one 3-slot final aggregate. */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame =
+    giniCore(t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("x")))
+
+  /** D32 core over an arbitrary (k, x DECIMAL) holdings frame — seam
+    * for the construction laws in `AggregatesSpec`. */
+  def giniCore(spend: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x"), col("k"))
+    val ranked = spend.select(col("x"),
+      row_number().over(w).cast("long").as("i"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("i")).as("sxi"))
+      .select(col("n").as("n_cust"),
+        col("sx").cast("double").as("total_spend"),
+        round((lit(2) * col("sxi") - (col("n") + 1) * col("sx"))
+          .cast("double") /
+          (col("n") * col("sx")).cast("double"), 9).as("gini"))
+  }
 }

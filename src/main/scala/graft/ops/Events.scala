@@ -456,4 +456,66 @@ object Events {
           .as("hazard"))
       .orderBy(col("day"))
   }
+
+  /** J37: stickiness (DAU/WAU) by epoch week — the engagement ratio
+    * every product-analytics engine headlines ("what share of the
+    * week's users show up on an average day"). Weeks are integer
+    * ⌊days-since-epoch / 7⌋ — calendar-library week functions
+    * (ISO vs US, year boundaries) disagree across engines, epoch
+    * arithmetic cannot. Stickiness = Σdaily-actives / (days·WAU):
+    * exact integer counts, ONE IEEE division per week.
+    *
+    * Scale shape: one distinct over (user, day) — the fact collapse
+    * every DAU query starts with — then two partial aggs to week
+    * cardinality; nothing after the distinct exceeds the user-day
+    * frame, and the week join is on the tiny week spine. */
+  def eventsStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("week",
+        expr("datediff(day, DATE '1970-01-01') DIV 7").cast("long"))
+    val dau = ud.groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val weekly = dau.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_total"))
+    val wau = ud.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    weekly.join(wau, "week")
+      .select(col("week"), col("n_days"), col("wau"), col("dau_total"),
+        round(col("dau_total").cast("double") /
+          (col("n_days") * col("wau")).cast("double"), 9).as("stickiness"))
+      .orderBy(col("week"))
+  }
+
+  /** J38: power-user curve — users bucketed by their count of active
+    * days, with the "at least d days" cumulative share (Amplitude's
+    * L7/L30 histogram): the one chart that separates a habit product
+    * (bathtub shape) from a drive-by one (L-shape). Counts are exact
+    * integers; the share division is one IEEE op per bucket.
+    *
+    * Scale shape: the same (user, day) distinct collapse as J37, one
+    * partial agg to user cardinality, then a window over the
+    * day-count DOMAIN (≤ span-of-corpus rows — bounded, the D21
+    * fixed-bucket rationale); the grand total rides as a 1-row
+    * broadcast. */
+  def eventsPowerCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    val tot = broadcast(act.agg(count(lit(1)).as("n_users_total")))
+    val byDays = act.groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy(col("active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDays.crossJoin(tot)
+      .select(col("active_days"), col("n_users"),
+        sum(col("n_users")).over(w).as("cum_users_at_least"),
+        col("n_users_total"))
+      .select(col("active_days"), col("n_users"),
+        col("cum_users_at_least"),
+        round(col("cum_users_at_least").cast("double") /
+          col("n_users_total").cast("double"), 6).as("pct_at_least"))
+      .orderBy(col("active_days"))
+  }
 }

@@ -729,22 +729,24 @@ object Graphs {
       .select(col("c"), round(lit(1.0) / col("n"), 12).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // Checkpoint the per-node sums ONCE per half-iteration: the
+      // normalization total and the score frame both derive from the
+      // checkpointed sum, so the edge join runs once, not twice, and
+      // the tiny crossJoin-normalize stays lazy (bounded lineage).
       val sa = edges.join(h, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h").cast(DL)).as("s"))
-      val na = broadcast(sa.agg(sum(col("s")).as("tot"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      val na = broadcast(sa.agg(sum(col("s")).as("tot")))
       a = sa.crossJoin(na)
         .select(col("p"), round(col("s").cast("double") /
           col("tot").cast("double"), 12).as("a"))
-        .localCheckpoint(true)
       val sh = edges.join(a, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a").cast(DL)).as("s"))
-      val nh = broadcast(sh.agg(sum(col("s")).as("tot"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      val nh = broadcast(sh.agg(sum(col("s")).as("tot")))
       h = sh.crossJoin(nh)
         .select(col("c"), round(col("s").cast("double") /
           col("tot").cast("double"), 12).as("h"))
-        .localCheckpoint(true)
     }
     val topAuth = a.orderBy(col("a").desc, col("p")).limit(10)
       .select(lit("authority").as("role"), col("p").cast("long").as("node"),

@@ -297,6 +297,70 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q7"))
   }
 
+  /** C37: TPC-H Q2 (adapted — the fixture has no partsupp, so
+    * "supplies the part" means "appears on a lineitem for it" and
+    * min supply cost becomes min supplier account balance) as literal
+    * shared SQL: the correlated scalar-MIN subquery is the q2
+    * decorrelation shape — Catalyst rewrites it into an aggregate
+    * joined back on the correlation key (one distributed plan), and
+    * the region dims broadcast. DISTINCT collapses the lineitem
+    * fan-in the missing partsupp uniqueness used to provide. */
+  def sqlTpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation", "region")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q2"))
+  }
+
+  /** C38: TPC-H Q9 (adapted — supply cost proxied at 60% of retail)
+    * as literal shared SQL: the five-way star join grouped by
+    * (nation, order year); every dim side broadcasts, the two fact
+    * tables meet in one shuffle, and the profit expression stays
+    * exact DECIMAL until the final per-group CAST. */
+  def sqlTpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "orders", "part", "supplier", "nation")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q9"))
+  }
+
+  /** C39: TPC-H Q11 (adapted — stock value = shipped lineitem value
+    * for one nation's suppliers) as literal shared SQL: GROUP BY +
+    * HAVING against an uncorrelated scalar subquery — the "share of
+    * total" threshold shape; the scalar side is a 1-row broadcast,
+    * and both comparison operands are exact DECIMAL. */
+  def sqlTpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q11"))
+  }
+
+  /** C40: TPC-H Q12 (adapted — mode = l_returnflag, lateness = ship
+    * lag band, the C24 lateness convention) as literal shared SQL:
+    * conditional two-way counts over one fact-fact join. */
+  def sqlTpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "orders")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q12"))
+  }
+
+  /** C41: TPC-H Q16 (adapted — supplier bridge via lineitem) as
+    * literal shared SQL: NOT IN subquery (null-aware anti join) +
+    * COUNT(DISTINCT) per part-attribute triple. */
+  def sqlTpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q16"))
+  }
+
+  /** C42: TPC-H Q20 (adapted — "excess availability" = supplier
+    * shipped > 30% of the part's total quantity) as literal shared
+    * SQL: a nested IN whose inner relation joins two grouped
+    * aggregates of the same fact — the classic semi-join reduction. */
+  def sqlTpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "nation", "lineitem", "part")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q20"))
+  }
+
   /** C22: LATERAL correlated subquery join as literal SQL (the C15
     * mechanism) — top-2 customers per nation via `LATERAL (… ORDER BY
     * … LIMIT 2)`: the SQL-standard formulation of per-group top-k.

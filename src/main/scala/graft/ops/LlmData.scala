@@ -2460,4 +2460,80 @@ object LlmData {
         sum(col("bpe")).as("n_bpe"),
         dbl(dec(sum(col("bpe"))) / sum(col("ws"))).as("fertility"))
       .orderBy(col("lang"))
+
+  /** Sliding-chunk geometry (K75): window size / stride in tokens.
+    * Overlap = size − stride. */
+  val SlideSize = 128
+  val SlideStride = 96
+
+  /** K75: SLIDING-window chunking accounting — the RAG/long-context
+    * chunker (LangChain RecursiveTextSplitter semantics, public):
+    * fixed windows of [[SlideSize]] tokens advancing by
+    * [[SlideStride]], each chunk sharing size−stride tokens with its
+    * predecessor so no boundary ever splits context. A chunk is
+    * emitted only while it adds uncovered tokens (the last window
+    * aligns to the doc end), which gives closed integer forms:
+    * n_chunks = 1 if L ≤ S else ⌈(L−S)/T⌉+1, and emitted tokens =
+    * L + (S−T)·(n_chunks−1) — the re-embedding bill the overlap
+    * charges. Per source: docs, raw tokens, chunks, emitted tokens,
+    * redundancy ratio (ONE IEEE division per source).
+    *
+    * Scale shape: pure per-row integer projections (no explode —
+    * geometry, not materialized chunks), one partial agg to source
+    * cardinality; the fixture-scale and 100-TB plans are identical. */
+  def chunkSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = SlideSize; val T = SlideStride
+    val g = t(spark, sfDir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("n_chunks",
+        when(col("len") <= S, lit(1L)).otherwise(
+          expr(s"(len - $S + ${T - 1}) DIV $T") + 1L))
+      .withColumn("emitted",
+        col("len") + lit((S - T).toLong) * (col("n_chunks") - 1L))
+    g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("emitted")).as("n_emitted"))
+      .withColumn("redundancy",
+        round(col("n_emitted").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Context lengths the packing-efficiency curve is evaluated at. */
+  val PackContexts: Seq[Int] = Seq(256, 512, 1024, 2048)
+
+  /** K76: PACKING-efficiency curve — for each candidate context
+    * length, the padding bill of document-per-sequence batching
+    * (each doc occupies ⌈L/ctx⌉ sequences, the last one padded):
+    * sequences, token slots, padded slots, and the realized token
+    * efficiency. This is the pre-flight answer to "what context
+    * length wastes the least compute on THIS corpus" — run before
+    * committing to a packing strategy (K53 then measures the packed
+    * alternative). All counts are exact integer forms of the
+    * per-doc token length; ONE IEEE division per context length.
+    *
+    * Scale shape: token length is one per-row projection; the
+    * 4-way context explode multiplies the SCALAR frame (doc_id,
+    * len), not the text; one partial agg to the 4-row context
+    * domain. */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ctxs = array(PackContexts.map(c => lit(c.toLong)): _*)
+    t(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .select(col("len"), explode(ctxs).as("ctx"))
+      .withColumn("seqs", expr("(len + ctx - 1) DIV ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens"),
+        sum(col("seqs")).as("n_seqs"),
+        sum(col("seqs") * col("ctx")).as("n_slots"))
+      .select(col("ctx"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        (col("n_slots") - col("n_tokens")).as("n_padding"),
+        round(col("n_tokens").cast("double") /
+          col("n_slots").cast("double"), 6).as("efficiency"))
+      .orderBy(col("ctx"))
+  }
 }

@@ -426,6 +426,50 @@ object OracleSql {
         |    AS cramers_v
         |FROM s""".stripMargin,
 
+    // D31 KS test: exact integer cross-multiply numerator over the
+    // pooled value-type table; HUGEINT here mirrors Spark's DECIMAL(38)
+    "agg_ks_test" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS s, o_totalprice AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |), byv AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS af,
+        |    SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS ao
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT v,
+        |    SUM(af) OVER (ORDER BY v) AS cf,
+        |    SUM(ao) OVER (ORDER BY v) AS co
+        |  FROM byv
+        |), tot AS (
+        |  SELECT SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS nf,
+        |    SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS no
+        |  FROM o
+        |)
+        |SELECT CAST(nf AS BIGINT) AS n_f, CAST(no AS BIGINT) AS n_o,
+        |  CAST(MAX(ABS(cf * no - co * nf)) AS BIGINT) AS d_num,
+        |  round(CAST(MAX(ABS(cf * no - co * nf)) AS DOUBLE) /
+        |    (CAST(nf AS DOUBLE) * CAST(no AS DOUBLE)), 9) AS ks
+        |FROM cum, tot GROUP BY nf, no""".stripMargin,
+
+    // D32 Gini: exact DECIMAL spend sums + integer ranks; one final
+    // IEEE division
+    "agg_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey)
+        |    AS BIGINT) AS i
+        |  FROM spend
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(x) AS DOUBLE) AS total_spend,
+        |  round(CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(x) AS DOUBLE), 9) AS gini
+        |FROM ranked""".stripMargin,
+
     "agg_pareto_abc" ->
       """WITH rev AS (
         |  SELECT l_partkey,
@@ -1470,6 +1514,138 @@ object OracleSql {
         |) custsale
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+
+    // C37 (TPC-H Q2 adapted — no partsupp in the fixture: "supplied"
+    // = appears on a lineitem; min-cost supplier becomes min-acctbal
+    // supplier): correlated scalar-min subquery repeated inside and
+    // out, DISTINCT collapses the lineitem fan-in. No arithmetic on
+    // the compared doubles — stored-value equality only.
+    "sql_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name,
+        |  CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND s_acctbal = (
+        |    SELECT MIN(s2.s_acctbal)
+        |    FROM supplier s2, lineitem l2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand""".stripMargin,
+
+    // C38 (TPC-H Q9 adapted — supply cost proxied as 60% of retail
+    // price since partsupp is absent): per-row amount stays EXACT
+    // DECIMAL end-to-end (scales small enough that both engines keep
+    // full precision), one CAST TO DOUBLE after the final sum.
+    "sql_tpch_q9" ->
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,4)))
+        |      - CAST(p_retailprice AS DECIMAL(12,4))
+        |        * CAST(l_quantity AS DECIMAL(12,4))
+        |        * CAST(0.6 AS DECIMAL(4,2)) AS amount
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // C39 (TPC-H Q11 adapted — "stock value" = lineitem shipped value
+    // for half the nations' suppliers; the fixed q11 share fraction
+    // empties at growing SF, so the threshold is SCALE-FREE: parts
+    // worth > 2× the mean part value, cross-multiplied so both sides
+    // stay exact DECIMAL×INTEGER and the boundary cannot float-flap):
+    // HAVING against two uncorrelated scalar subqueries.
+    "sql_tpch_q11" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS ps_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS value
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey <= 12
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(l_quantity AS DECIMAL(12,4)))
+        |       * (SELECT COUNT(DISTINCT l_partkey)
+        |          FROM lineitem
+        |          JOIN supplier ON s_suppkey = l_suppkey
+        |          JOIN nation ON s_nationkey = n_nationkey
+        |          WHERE n_nationkey <= 12) > (
+        |  SELECT 2 * SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |                 * CAST(l_quantity AS DECIMAL(12,4)))
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey <= 12)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    // C40 (TPC-H Q12 adapted — no l_shipmode/commit/receipt dates:
+    // mode proxied by l_returnflag, lateness by a ship-lag band).
+    "sql_tpch_q12" ->
+      """SELECT l_returnflag AS ship_mode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY ship_mode""".stripMargin,
+
+    // C41 (TPC-H Q16 adapted — supplier bridge is the lineitem):
+    // NOT IN excluded-supplier subquery + COUNT DISTINCT per part
+    // attribute triple.
+    "sql_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+        |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND s_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // C42 (TPC-H Q20 adapted — "availqty exceeds half the demand"
+    // becomes the SCALE-FREE "this supplier shipped > 2× the part's
+    // mean per-supplier quantity", cross-multiplied by the supplier
+    // count so no division enters the boundary): nested IN whose
+    // inner relation joins two grouped aggregates of the same fact.
+    // l_quantity is integer-valued — its double sums are exact in
+    // any order, so the boundary is engine-stable.
+    "sql_tpch_q20" ->
+      """SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey <= 12
+        |  AND s_suppkey IN (
+        |    SELECT sp.l_suppkey
+        |    FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+        |          FROM lineitem
+        |          JOIN part ON p_partkey = l_partkey
+        |          WHERE p_type = 'PROMO'
+        |          GROUP BY l_suppkey, l_partkey) sp
+        |    JOIN (SELECT l_partkey AS pk, SUM(l_quantity) AS tot,
+        |                 COUNT(DISTINCT l_suppkey) AS ns
+        |          FROM lineitem GROUP BY l_partkey) pt
+        |      ON sp.l_partkey = pt.pk
+        |    WHERE sp.qty * pt.ns > 2 * pt.tot)
+        |ORDER BY s_name, s_suppkey""".stripMargin,
 
     // C27 recursive CTE calendar spine: integer month-index recursion
     // (ym = year*12 + month — no engine-specific date arithmetic),
@@ -3188,6 +3364,51 @@ object OracleSql {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
+    // K75 sliding-window chunking: closed integer forms of the
+    // LangChain splitter geometry (S=128, T=96); emitted tokens =
+    // L + (S-T)*(n_chunks-1)
+    "chunk_sliding" ->
+      """WITH g AS (
+        |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, len,
+        |    CASE WHEN len <= 128 THEN 1
+        |         ELSE (len - 128 + 95) // 96 + 1 END AS n_chunks
+        |  FROM g
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(len + 32 * (n_chunks - 1)) AS BIGINT) AS n_emitted,
+        |  round(CAST(SUM(len + 32 * (n_chunks - 1)) AS DOUBLE) /
+        |    CAST(SUM(len) AS DOUBLE), 6) AS redundancy
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // K76 packing-efficiency curve: doc-per-sequence padding bill per
+    // candidate context length; the 4-way unnest multiplies only the
+    // scalar length frame
+    "pack_efficiency" ->
+      """WITH g AS (
+        |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents
+        |), e AS (
+        |  SELECT len, CAST(ctx AS BIGINT) AS ctx,
+        |    (len + CAST(ctx AS BIGINT) - 1) // CAST(ctx AS BIGINT) AS seqs
+        |  FROM g, (SELECT UNNEST([256, 512, 1024, 2048]) AS ctx) t
+        |)
+        |SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(seqs * ctx) - SUM(len) AS BIGINT) AS n_padding,
+        |  round(CAST(SUM(len) AS DOUBLE) /
+        |    CAST(SUM(seqs * ctx) AS DOUBLE), 6) AS efficiency
+        |FROM e
+        |GROUP BY ctx
+        |ORDER BY ctx""".stripMargin,
+
     // J36 Kaplan-Meier life table: per-user (start, end, event) frame,
     // cumulative entered/exited window sums over the distinct-day
     // spine; hazard is the sole division, NULL on an empty risk set
@@ -3233,6 +3454,53 @@ object OracleSql {
         |  END AS hazard
         |FROM tl
         |ORDER BY day""".stripMargin,
+
+    // J37 stickiness: weeks are integer epoch-day DIV 7 (calendar week
+    // functions disagree across engines); one division per week
+    "events_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), ud2 AS (
+        |  SELECT user_id, day,
+        |    CAST((day - DATE '1970-01-01') // 7 AS BIGINT) AS week
+        |  FROM ud
+        |), dau AS (
+        |  SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud2 GROUP BY week, day
+        |), weekly AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dau) AS BIGINT) AS dau_total
+        |  FROM dau GROUP BY week
+        |), wau AS (
+        |  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM ud2 GROUP BY week
+        |)
+        |SELECT weekly.week, n_days, wau, dau_total,
+        |  round(CAST(dau_total AS DOUBLE) /
+        |    CAST(n_days * wau AS DOUBLE), 9) AS stickiness
+        |FROM weekly JOIN wau ON weekly.week = wau.week
+        |ORDER BY weekly.week""".stripMargin,
+
+    // J38 power-user curve: histogram over the active-day domain with
+    // a descending cumulative "at least d days" share
+    "events_power_curve" ->
+      """WITH act AS (
+        |  SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+        |  FROM events GROUP BY user_id
+        |), byd AS (
+        |  SELECT CAST(active_days AS BIGINT) AS active_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM act GROUP BY active_days
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_total FROM act)
+        |SELECT active_days, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY active_days DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users_at_least,
+        |  round(CAST(SUM(n_users) OVER (ORDER BY active_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / n_users_total, 6) AS pct_at_least
+        |FROM byd, tot
+        |ORDER BY active_days""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),

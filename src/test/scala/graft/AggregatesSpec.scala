@@ -369,4 +369,35 @@ class AggregatesSpec extends SparkTestBase {
     assert(e.getDouble(0) == 0.0)
   }
 
+  test("KS construction laws: identical classes D=0, disjoint D=1 (D31)") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i => Seq(("F", i.toDouble), ("O", i.toDouble)))
+      .toDF("s", "v").repartition(3)
+    val r0 = graft.ops.Aggregates.ksCore(same, "F", "O").collect().head
+    assert(r0.getAs[Long]("d_num") == 0L && r0.getAs[Double]("ks") == 0.0)
+    val disj = ((1 to 30).map(i => ("F", i.toDouble)) ++
+      (100 to 140).map(i => ("O", i.toDouble))).toDF("s", "v").repartition(3)
+    val r1 = graft.ops.Aggregates.ksCore(disj, "F", "O").collect().head
+    assert(r1.getAs[Double]("ks") == 1.0)
+    // numerator identity at full separation: d_num = n_f * n_o
+    assert(r1.getAs[Long]("d_num") ==
+      r1.getAs[Long]("n_f") * r1.getAs[Long]("n_o"))
+  }
+
+  test("Gini construction laws: uniform 0, single-holder (n-1)/n (D32)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    def holdings(xs: Seq[Double]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("k", "raw")
+        .select(col("k"), col("raw").cast(DecimalType(14, 2)).as("x"))
+        .repartition(3)
+    val uni = graft.ops.Aggregates.giniCore(holdings(Seq.fill(10)(5.0)))
+      .collect().head
+    assert(uni.getAs[Double]("gini") == 0.0)
+    val single = graft.ops.Aggregates
+      .giniCore(holdings(Seq.fill(9)(0.0) :+ 90.0)).collect().head
+    assert(math.abs(single.getAs[Double]("gini") - 0.9) < 1e-12)
+  }
+
 }

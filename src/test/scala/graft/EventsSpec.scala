@@ -181,4 +181,38 @@ class EventsSpec extends SparkTestBase {
     assert(d > 0 && c > 0)
   }
 
+  test("stickiness bounds and user-day mass conservation (J37)") {
+    import org.apache.spark.sql.functions.to_date
+    val out = Events.eventsStickiness(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+      // WAU is at most the summed DAUs, which is at most days*WAU
+      assert(r.getAs[Long]("wau") <= r.getAs[Long]("dau_total"))
+      assert(r.getAs[Long]("dau_total") <=
+        r.getAs[Long]("n_days") * r.getAs[Long]("wau"))
+    }
+    val ud = Util.t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("dau_total")).sum == ud)
+  }
+
+  test("power curve: descending cumulative conserves the user base (J38)") {
+    val out = Events.eventsPowerCurve(spark, sfDir)
+      .orderBy(col("active_days")).collect()
+    val nUsers = Util.t(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    // everyone has at least the minimum observed activity
+    assert(out.head.getAs[Long]("cum_users_at_least") == nUsers)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_users_at_least") >=
+          b.getAs[Long]("cum_users_at_least"))
+      case _ =>
+    }
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
+  }
+
 }

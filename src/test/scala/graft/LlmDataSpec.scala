@@ -662,4 +662,66 @@ class LlmDataSpec extends SparkTestBase {
     assert(ws == perDoc.getLong(0) && bpe == perDoc.getLong(1))
   }
 
+  test("chunk_sliding closed forms match a brute-force window walk (K75)") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // the splitter semantics, literally: emit [start, start+S) clipped,
+    // advance by T while the previous window did not reach the end
+    def walk(len: Long): (Long, Long) = {
+      var start = 0L; var chunks = 0L; var emitted = 0L
+      var done = false
+      while (!done) {
+        val end = math.min(start + LlmData.SlideSize, len)
+        chunks += 1; emitted += end - start
+        if (end >= len) done = true else start += LlmData.SlideStride
+      }
+      (chunks, emitted)
+    }
+    val lens = graft.ops.Util.t(spark, sfDir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = lens.groupBy(_._1).map { case (src, rs) =>
+      val walks = rs.map(r => walk(r._2))
+      (src, (rs.length.toLong, rs.map(_._2).sum,
+        walks.map(_._1).sum, walks.map(_._2).sum))
+    }
+    val out = LlmData.chunkSliding(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nd, nt, nc, ne) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_chunks") == nc, s"chunks for ${r}")
+      assert(r.getAs[Long]("n_emitted") == ne, s"emitted for ${r}")
+    }
+    // the edge lengths the fixture may not contain
+    Seq(1L, 95L, 96L, 127L, 128L, 129L, 224L, 225L, 1000L).foreach { l =>
+      val (c, e) = walk(l)
+      val nc = if (l <= 128) 1L else (l - 128 + 95) / 96 + 1
+      assert(c == nc, s"len=$l chunks")
+      assert(e == l + 32 * (nc - 1), s"len=$l emitted")
+    }
+  }
+
+  test("pack_efficiency conserves slots at every context length (K76)") {
+    val out = LlmData.packEfficiency(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("ctx")).toSeq ==
+      LlmData.PackContexts.map(_.toLong))
+    out.foreach { r =>
+      val ctx = r.getAs[Long]("ctx")
+      val slots = r.getAs[Long]("n_tokens") + r.getAs[Long]("n_padding")
+      assert(r.getAs[Long]("n_padding") >= 0L)
+      assert(slots == r.getAs[Long]("n_seqs") * ctx)
+      assert(r.getAs[Long]("n_seqs") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("efficiency") <= 1.0)
+    }
+    // padding can only grow with the context length under
+    // doc-per-sequence batching of a FIXED corpus
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_padding") <= b.getAs[Long]("n_padding"))
+      case _ =>
+    }
+  }
+
 }
