@@ -559,6 +559,41 @@ object Scans {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
+  /** A39: OPTIMIZE … ZORDER as a SnapshotStore commit — the layout
+    * rewrite that makes F10's zone-map arithmetic REAL at the store
+    * layer: four append-era commits each span the whole customer-key
+    * range (every band read must open every dir — the accumulated-
+    * appends state A25 compacts by size, this re-CLUSTERS by value),
+    * then `commitOverwriteClustered` rewrites the content into 8
+    * range-clustered dirs on the (custkey, price) Morton key with
+    * per-dir zone maps on `o_custkey`. The registered result is a
+    * key-band aggregate read through `readPruned` — value-transparent
+    * by construction (pruning only drops dirs that cannot match), so
+    * the oracle recomputes it from raw orders; the pruning WIN
+    * (dirsOpened < dirsTotal) is pinned in `SnapshotStoreSpec`, not
+    * here, because sampled range boundaries are not oracle-stable. */
+  def warehouseZorderRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "zorder_rw_")
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+    def slice(m: Int) = o.filter(col("o_orderkey") % 4 === m).repartition(2)
+    SnapshotStore.commitOverwrite(spark, root, slice(0),
+      statsCol = Some("o_custkey"))
+    (1 to 3).foreach(m => SnapshotStore.commitAppend(spark, root, slice(m),
+      statsCol = Some("o_custkey")))
+    SnapshotStore.commitOverwriteClustered(spark, root,
+      graft.ops.Layout.mortonKey(col("o_custkey").cast("long"),
+        col("price_cents").cast("long")),
+      statsCol = "o_custkey", bins = 8)
+    val band = SnapshotStore.readPruned(spark, root, "o_custkey", 10L, 60L)
+    band.df.filter(col("o_custkey").between(10, 60))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("cents_sum"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
   /** A23: the `_metadata` file-introspection surface — every file
     * source exposes a hidden `_metadata` struct (file_name, file_size,
     * row_index, …) that debugging, auditing, and incremental-load

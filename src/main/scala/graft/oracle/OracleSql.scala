@@ -426,6 +426,16 @@ object OracleSql {
         |    AS cramers_v
         |FROM s""".stripMargin,
 
+    // A39 clustered rewrite: pruned band reads are value-transparent,
+    // so the oracle recomputes the band from raw orders
+    "warehouse_zorder_rewrite" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents_sum,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 60""".stripMargin,
+
     // D31 KS test: exact integer cross-multiply numerator over the
     // pooled value-type table; HUGEINT here mirrors Spark's DECIMAL(38)
     "agg_ks_test" ->

@@ -176,6 +176,43 @@ object SnapshotStore {
     commit(spark, root, df, carryFrom = versions(spark, root).lastOption,
       statsCol)
 
+  /** OPTIMIZE … CLUSTER/ZORDER BY as a snapshot commit: publish a
+    * version whose content is the CURRENT content rewritten into
+    * `bins` range-clustered data directories on `clusterBy`, each
+    * carrying a zone map on `statsCol`. Content-identical to the
+    * latest version (outstanding deletion vectors are materialized by
+    * the rewrite — the merge-on-read debt is paid here), IO-different:
+    * a later `readPruned` band on `statsCol` opens only overlapping
+    * directories instead of every append-era file, which is the first
+    * IO lever after partition pruning at 100 TB. The rewrite
+    * range-partitions with SAMPLED boundaries (distributed — never a
+    * single-partition window), sorts within partitions, and lands in
+    * ONE write job via partitionBy on the bin id; the per-dir zone
+    * maps are `bins` bounded 1-row aggregates. Returns the version. */
+  def commitOverwriteClustered(spark: SparkSession, root: String,
+      clusterBy: Column, statsCol: String, bins: Int): Int = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val cur = read(spark, root)
+    val existing = versions(spark, root)
+    val v = existing.lastOption.getOrElse(0) + 1
+    val base =
+      s"$root/data/v$v-zc-${java.util.UUID.randomUUID().toString.take(8)}"
+    cur.repartitionByRange(bins, clusterBy)
+      .sortWithinPartitions(clusterBy)
+      .withColumn("__zbin", spark_partition_id())
+      .write.mode("error").partitionBy("__zbin").parquet(base)
+    val f = fs(spark, root)
+    // manifest entries use the same path grammar as every other
+    // commit (base + literal child name — never the fs's URI form)
+    val dirs = f.listStatus(new Path(base)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__zbin="))
+      .map(s => s"$base/${s.getPath.getName}").sorted
+    require(dirs.nonEmpty, s"clustered rewrite produced no data under $base")
+    val entries = dirs.map(d => DataDir(d, zoneMapOf(spark, d, statsCol)))
+    publishManifest(spark, root, v, entries.map(render))
+    v
+  }
+
   /** MERGE-ON-READ DELETE: publish a snapshot in which every row of
     * the current content whose `keyCol` satisfies `predicate` is
     * deleted — WITHOUT rewriting a single data file. The matching keys

@@ -497,4 +497,36 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(zm(0).getLong(2) == 2L && zm(0).getLong(3) == 4L,
       "the [30,60] range must open exactly 2 of the 4 zone-mapped dirs")
   }
+  test("clustered rewrite preserves content and tightens pruning (A39)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_zc_").toString
+    // two appends, each spanning the WHOLE key range: every band read
+    // must open both dirs before the rewrite
+    val a = (1L to 400L by 2).map(k => (k, s"r$k")).toDF("k", "p")
+    val b = (2L to 400L by 2).map(k => (k, s"r$k")).toDF("k", "p")
+    SnapshotStore.commitOverwrite(spark, root,
+      a.orderBy(rand(7)).repartition(2), statsCol = Some("k"))
+    SnapshotStore.commitAppend(spark, root,
+      b.orderBy(rand(8)).repartition(2), statsCol = Some("k"))
+    // a merge-on-read delete the rewrite must MATERIALIZE
+    SnapshotStore.commitDelete(spark, root, "k", col("k") === 123L)
+    val before = SnapshotStore.readPruned(spark, root, "k", 10L, 40L)
+    assert(before.dirsOpened == before.dirsTotal,
+      "append-era dirs all span the full range — nothing prunes")
+    val pre = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    val v = SnapshotStore.commitOverwriteClustered(spark, root,
+      col("k"), statsCol = "k", bins = 4)
+    val post = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(post == pre, "the rewrite must be content-identical")
+    assert(!post.exists(_._1 == 123L), "the DV is materialized, not lost")
+    val after = SnapshotStore.readPruned(spark, root, "k", 10L, 40L,
+      asOf = Some(v))
+    assert(after.dirsTotal >= 2 && after.dirsOpened < after.dirsTotal,
+      s"a narrow band must skip rewritten dirs " +
+        s"(opened ${after.dirsOpened}/${after.dirsTotal})")
+    assert(after.df.filter(col("k").between(10, 40)).count() == 31L)
+  }
+
 }
