@@ -51,8 +51,14 @@ object Bench {
       try graft.ops.Util.t(spark, sfDir, tbl).write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries — for
+    // iterating on one operator without paying the full-suite loop
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

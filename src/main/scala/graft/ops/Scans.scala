@@ -575,10 +575,12 @@ object Scans {
   def warehouseZorderRewrite(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = freshSinkDir(spark, "zorder_rw_")
+    // one fact scan feeds all four append slices
     val o = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         cents(col("o_totalprice")).as("price_cents"))
-    def slice(m: Int) = o.filter(col("o_orderkey") % 4 === m).repartition(2)
+      .localCheckpoint(true)
+    def slice(m: Int) = o.filter(col("o_orderkey") % 4 === m).repartition(1)
     SnapshotStore.commitOverwrite(spark, root, slice(0),
       statsCol = Some("o_custkey"))
     (1 to 3).foreach(m => SnapshotStore.commitAppend(spark, root, slice(m),

@@ -201,14 +201,29 @@ object SnapshotStore {
       .sortWithinPartitions(clusterBy)
       .withColumn("__zbin", spark_partition_id())
       .write.mode("error").partitionBy("__zbin").parquet(base)
-    val f = fs(spark, root)
+    // ONE job computes every dir's zone map: reading the base dir
+    // surfaces __zbin as a partition column, so the per-dir min/max
+    // is a bins-cardinality groupBy, not bins separate 1-row aggs
+    import org.apache.spark.sql.functions.{max, min}
+    val zones = spark.read.parquet(base)
+      .groupBy(col("__zbin"))
+      .agg(min(col(statsCol).cast("long")).as("mn"),
+        max(col(statsCol).cast("long")).as("mx"))
+      .collect()
+      .map(r => (r.get(0).toString.toInt,
+        (r.isNullAt(1), r.getLong(1), r.getLong(2))))
+      .toMap
     // manifest entries use the same path grammar as every other
     // commit (base + literal child name — never the fs's URI form)
-    val dirs = f.listStatus(new Path(base)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__zbin="))
-      .map(s => s"$base/${s.getPath.getName}").sorted
-    require(dirs.nonEmpty, s"clustered rewrite produced no data under $base")
-    val entries = dirs.map(d => DataDir(d, zoneMapOf(spark, d, statsCol)))
+    val entries = zones.keys.toSeq.sorted.map { bin =>
+      val zm = zones(bin) match {
+        case (true, _, _) => None
+        case (_, mn, mx) => Some((statsCol, mn, mx))
+      }
+      DataDir(s"$base/__zbin=$bin", zm)
+    }
+    require(entries.nonEmpty,
+      s"clustered rewrite produced no data under $base")
     publishManifest(spark, root, v, entries.map(render))
     v
   }
