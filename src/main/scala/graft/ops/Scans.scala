@@ -596,6 +596,54 @@ object Scans {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** A40: CHECK-constraint enforcement at commit — the Delta/Iceberg
+    * `ADD CONSTRAINT CHECK` contract on the snapshot store: a clean
+    * base lands, a second CLEAN batch passes its checked append, and
+    * a batch with three kinds of synthesized dirt (negative balance,
+    * NULL name, out-of-domain segment) is REJECTED atomically — the
+    * store keeps exactly the two clean batches, and the caller gets
+    * the per-rule violation bill from ONE aggregation pass instead of
+    * a poisoned table. NULL check results count as violations (the
+    * SQL CHECK would let them through; a warehouse gate must not —
+    * both engines spell the same CASE). The result joins the bill to
+    * the post-rejection store row count, so the hash proves BOTH the
+    * counting and the atomic reject. */
+  def warehouseConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    import spark.implicits._
+    val root = freshSinkDir(spark, "constraints_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    // the balance rule is the TPC-H domain floor — naturally-negative
+    // balances are legal; only the injected dirt breaches it
+    val checks = Seq(
+      "acctbal_above_floor" -> (col("c_acctbal") >= -1000.0),
+      "name_not_null" -> col("c_name").isNotNull,
+      "segment_in_domain" -> col("c_mktsegment").isin(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 4 === 0).repartition(1))
+    val (vClean, _) = SnapshotStore.commitAppendChecked(spark, root,
+      cust.filter(col("c_custkey") % 4 === 2).repartition(1), checks)
+    require(vClean.nonEmpty, "the clean batch must commit")
+    val dirty = cust.filter(col("c_custkey") % 2 === 1)
+      .withColumn("c_acctbal", when(col("c_custkey") % 10 === 1,
+        col("c_acctbal") - 20000.0).otherwise(col("c_acctbal")))
+      .withColumn("c_name", when(col("c_custkey") % 10 === 3,
+        lit(null).cast("string")).otherwise(col("c_name")))
+      .withColumn("c_mktsegment", when(col("c_custkey") % 10 === 5,
+        lit("UNKNOWN_SEG")).otherwise(col("c_mktsegment")))
+    val (vDirty, bill) =
+      SnapshotStore.commitAppendChecked(spark, root, dirty, checks)
+    require(vDirty.isEmpty, "the dirty batch must be rejected")
+    val storeRows = broadcast(SnapshotStore.read(spark, root)
+      .agg(count(lit(1)).as("store_rows")))
+    bill.toDF("rule", "n_violations")
+      .crossJoin(storeRows)
+      .orderBy(col("rule"))
+  }
+
   /** A23: the `_metadata` file-introspection surface — every file
     * source exposes a hidden `_metadata` struct (file_name, file_size,
     * row_index, …) that debugging, auditing, and incremental-load

@@ -276,4 +276,37 @@ object Windows {
       .drop("rn")
       .orderBy(col("o_custkey"))
   }
+
+  /** E12: longest strictly-increasing streak per user — the
+    * MATCH_RECOGNIZE-style sequence detection Spark expresses with
+    * lag + gaps-and-islands (the pattern behind "N consecutive days
+    * of growth" alerts): per (user, day) the exact-integer daily
+    * value total, an increase flag against the previous day, islands
+    * numbered by the running count of breaks, and the max island
+    * length per user. Comparisons run on integer cents (no float
+    * boundary), windows partition by user (one shuffle, no global
+    * sort), and the island trick turns run detection into two plain
+    * aggregations — the same plan at any user count. */
+  def winStreaks(spark: SparkSession, sfDir: String): DataFrame =
+    streaksCore(t(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).as("v")))
+
+  /** E12 core over an arbitrary (user_id, day, v) daily frame — seam
+    * for the known-log pins in `EventsSpec`. */
+  def streaksCore(daily: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val flagged = daily
+      .withColumn("brk",
+        when(col("v") > lag(col("v"), 1).over(wu), 0L).otherwise(1L))
+      .withColumn("island",
+        sum(col("brk")).over(wu.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("run_len")).as("n_days"),
+        max(col("run_len")).as("longest_up_run"))
+      .orderBy(col("user_id"))
+  }
 }

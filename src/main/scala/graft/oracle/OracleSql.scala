@@ -436,6 +436,43 @@ object OracleSql {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60""".stripMargin,
 
+    // A40 CHECK constraints: the bill recomputes from the same dirt
+    // expressions; store_rows = both clean batches (the dirty one is
+    // atomically rejected). NULL check results count as violations in
+    // both engines (CASE ... THEN 0 ELSE 1).
+    "warehouse_constraints" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal - 20000.0
+        |         ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 10 = 3 THEN NULL
+        |         ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 10 = 5 THEN 'UNKNOWN_SEG'
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |), bill AS (
+        |  SELECT 'acctbal_above_floor' AS rule,
+        |    CAST(SUM(CASE WHEN bal >= -1000.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 'name_not_null',
+        |    CAST(SUM(CASE WHEN name IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT)
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 'segment_in_domain',
+        |    CAST(SUM(CASE WHEN seg IN ('AUTOMOBILE', 'BUILDING',
+        |      'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+        |      THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM dirty
+        |), sr AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS store_rows
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |)
+        |SELECT rule, n_violations, store_rows FROM bill, sr
+        |ORDER BY rule""".stripMargin,
+
     // D31 KS test: exact integer cross-multiply numerator over the
     // pooled value-type table; HUGEINT here mirrors Spark's DECIMAL(38)
     "agg_ks_test" ->
@@ -3464,6 +3501,32 @@ object OracleSql {
         |  END AS hazard
         |FROM tl
         |ORDER BY day""".stripMargin,
+
+    // E12 streaks: gaps-and-islands over exact daily cents; first-row
+    // and non-increase days both break (CASE NULL -> ELSE 1)
+    "win_streaks" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |), flagged AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN v > lag(v) OVER (PARTITION BY user_id ORDER BY day)
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM daily
+        |), isl AS (
+        |  SELECT user_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(SUM(run_len) AS BIGINT) AS n_days,
+        |  CAST(MAX(run_len) AS BIGINT) AS longest_up_run
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // J37 stickiness: weeks are integer epoch-day DIV 7 (calendar week
     // functions disagree across engines); one division per week

@@ -228,6 +228,34 @@ object SnapshotStore {
     v
   }
 
+  /** CHECK-constrained append — the Delta/Iceberg `ALTER TABLE ADD
+    * CONSTRAINT CHECK` contract at commit time: every rule is a
+    * row-level predicate that must hold on the INCOMING batch; all
+    * rules are counted in ONE aggregation pass (sum-of-violations per
+    * rule — no per-rule scans), and if any rule is violated the commit
+    * is REJECTED atomically: nothing is staged, the store is
+    * untouched, and the caller gets the per-rule violation bill
+    * instead of a poisoned table. NULL predicate results count as
+    * violations (a constraint that cannot be proven true is false —
+    * the SQL CHECK semantics would let NULLs through; a warehouse
+    * gate must not). Returns (committed version if clean, per-rule
+    * violation counts in rule order). */
+  def commitAppendChecked(spark: SparkSession, root: String, df: DataFrame,
+      checks: Seq[(String, Column)],
+      statsCol: Option[String] = None): (Option[Int], Seq[(String, Long)]) = {
+    require(checks.nonEmpty, "commitAppendChecked needs at least one rule")
+    import org.apache.spark.sql.functions.{sum, when}
+    val counts = df.agg(
+      sum(when(checks.head._2, 0L).otherwise(1L)),
+      checks.tail.map { case (_, c) => sum(when(c, 0L).otherwise(1L)) }: _*)
+      .head()
+    val bill = checks.zipWithIndex.map { case ((name, _), i) =>
+      (name, if (counts.isNullAt(i)) 0L else counts.getLong(i))
+    }
+    if (bill.exists(_._2 > 0L)) (None, bill)
+    else (Some(commitAppend(spark, root, df, statsCol)), bill)
+  }
+
   /** MERGE-ON-READ DELETE: publish a snapshot in which every row of
     * the current content whose `keyCol` satisfies `predicate` is
     * deleted — WITHOUT rewriting a single data file. The matching keys

@@ -215,4 +215,22 @@ class EventsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
   }
 
+  test("streak islands segment a known log correctly (E12)") {
+    import spark.implicits._
+    // user 1: 1,2,3,2,3,4,5 -> up-runs of 3 (d1-3) and 4 (d4-7)
+    // user 2: 9,9,9        -> ties never extend a run (strict >)
+    // user 3: 5            -> singleton run
+    val daily = (Seq((1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L), (1L, 4, 2L),
+      (1L, 5, 3L), (1L, 6, 4L), (1L, 7, 5L),
+      (2L, 1, 9L), (2L, 2, 9L), (2L, 3, 9L),
+      (3L, 1, 5L)))
+      .toDF("user_id", "d", "v")
+      .select(col("user_id"), expr("date_add(DATE '2024-01-01', d)").as("day"),
+        col("v"))
+      .repartition(3)
+    val out = graft.ops.Windows.streaksCore(daily)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 7L, 4L), (2L, 3L, 1L), (3L, 1L, 1L)))
+  }
+
 }

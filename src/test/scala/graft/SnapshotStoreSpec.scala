@@ -529,4 +529,28 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(after.df.filter(col("k").between(10, 40)).count() == 31L)
   }
 
+  test("checked append commits clean batches and rejects atomically (A40)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_ck_").toString
+    val checks = Seq(
+      "positive" -> (col("x") > 0L),
+      "named" -> col("nm").isNotNull)
+    SnapshotStore.commitOverwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("x", "nm"))
+    val (v2, bill2) = SnapshotStore.commitAppendChecked(spark, root,
+      Seq((3L, "c")).toDF("x", "nm"), checks)
+    assert(v2.contains(2) && bill2.forall(_._2 == 0L))
+    // two violations of one rule, one NULL (must count) of the other
+    val dirty = Seq((-1L, Some("d")), (0L, Some("e")), (4L, None))
+      .toDF("x", "nm")
+    val (v3, bill3) = SnapshotStore.commitAppendChecked(spark, root,
+      dirty, checks)
+    assert(v3.isEmpty)
+    assert(bill3 == Seq("positive" -> 2L, "named" -> 1L))
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2),
+      "a rejected commit must not publish a version")
+    assert(SnapshotStore.read(spark, root).count() == 3L,
+      "the store keeps exactly the clean batches")
+  }
+
 }
