@@ -800,6 +800,44 @@ object Aggregates {
           .as("ks"))
   }
 
+  /** D33: Welch's unequal-variance t-test between finished- and
+    * open-order prices — the "did the mean shift?" companion of
+    * D31's whole-distribution KS (the pair every release-diff report
+    * runs): t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) with the
+    * Welch–Satterthwaite degrees of freedom. The D20 moments
+    * discipline: per-class n/Σx/Σx² are EXACT (sums of DECIMAL(14,2)
+    * values and their (29,4) squares — one partial-agg pass,
+    * deterministic under any partitioning), and the statistic is one
+    * fixed IEEE expression tree over those exact inputs — spelled
+    * identically in both engines, so the doubles match bit-for-bit
+    * before the final rounds. */
+  def aggWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val D2 = DecimalType(14, 2)
+    val m = t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("s"),
+        col("o_totalprice").cast(D2).as("v"))
+      .agg(
+        sum(when(col("s") === "F", 1L).otherwise(0L)).as("nf"),
+        sum(when(col("s") === "F", col("v"))).cast("double").as("sxf"),
+        sum(when(col("s") === "F", col("v") * col("v")))
+          .cast("double").as("sxxf"),
+        sum(when(col("s") === "O", 1L).otherwise(0L)).as("no"),
+        sum(when(col("s") === "O", col("v"))).cast("double").as("sxo"),
+        sum(when(col("s") === "O", col("v") * col("v")))
+          .cast("double").as("sxxo"))
+    val nf = col("nf").cast("double"); val no = col("no").cast("double")
+    val mf = col("sxf") / nf; val mo = col("sxo") / no
+    val vf = (col("sxxf") - col("sxf") * col("sxf") / nf) / (nf - 1)
+    val vo = (col("sxxo") - col("sxo") * col("sxo") / no) / (no - 1)
+    val sef = vf / nf; val seo = vo / no
+    m.select(col("nf").as("n_f"), col("no").as("n_o"),
+      round(mf, 6).as("mean_f"), round(mo, 6).as("mean_o"),
+      round((mf - mo) / sqrt(sef + seo), 6).as("t_stat"),
+      round((sef + seo) * (sef + seo) /
+        (sef * sef / (nf - 1) + seo * seo / (no - 1)), 4).as("df_welch"))
+  }
+
   /** D32: Gini coefficient of per-customer spend — the inequality
     * audit ("do 20% of customers carry 80% of revenue?") behind
     * D27's ABC classes, as the single standard [0,1] statistic.

@@ -488,6 +488,41 @@ object Events {
       .orderBy(col("week"))
   }
 
+  /** J39: inter-event time profile per event type — the cadence audit
+    * behind rate-limiting, anomaly baselines, and session-gap tuning
+    * (J16's 30-minute gap should come FROM this table, not folklore):
+    * per user the micros gap to the previous event of the same type,
+    * then per type the gap count, mean, and standard deviation. The
+    * D20 moments discipline: gaps are exact integer micros, Σgap and
+    * Σgap² are exact DECIMAL partial aggs, and mean/sd are one fixed
+    * IEEE expression tree over those exact inputs — engine-identical.
+    *
+    * Scale shape: one (user, type) window (the J16 shuffle), one
+    * partial agg to the ≤5-type domain; the squared sums ride
+    * DECIMAL(38) so micros-scale gaps cannot wrap. */
+  def eventsInterEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val gaps = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(DL)).cast("double").as("sg"),
+        sum((col("gap").cast(DL) * col("gap")).cast(DL))
+          .cast("double").as("sgg"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("sg") / n
+    val variance = (col("sgg") - col("sg") * col("sg") / n) / (n - 1)
+    m.select(col("event_type"), col("n_gaps"),
+        round(mean / 1000000.0, 6).as("mean_gap_s"),
+        round(sqrt(variance) / 1000000.0, 6).as("sd_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** J38: power-user curve — users bucketed by their count of active
     * days, with the "at least d days" cumulative share (Amplitude's
     * L7/L30 histogram): the one chart that separates a habit product

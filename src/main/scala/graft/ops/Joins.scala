@@ -297,6 +297,18 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q7"))
   }
 
+  /** C43: TPC-H Q1 as literal shared SQL — D1 pins the DataFrame
+    * formulation; this pins the SQL surface with the full spec shape
+    * (ship-date cutoff, the three-factor charge expression, all four
+    * averages), completing the 22/22 literal-SQL TPC-H sweep. One
+    * fact scan, partial + final hash aggregate on two low-cardinality
+    * flags — the canonical map-side-combine plan. */
+  def sqlTpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_tpch_q1"))
+  }
+
   /** C37: TPC-H Q2 (adapted — the fixture has no partsupp, so
     * "supplies the part" means "appears on a lineitem for it" and
     * min supply cost becomes min supplier account balance) as literal

@@ -2502,6 +2502,70 @@ object LlmData {
       .orderBy(col("source"))
   }
 
+  /** K77: n-gram NOVELTY per source — what share of a document's
+    * distinct token trigrams appears in NO other document (the
+    * memorization/templating audit: boilerplate-heavy or machine-
+    * generated sources score low, genuinely novel text high — the
+    * per-source aggregate of the same trigram relation the K6 dedup
+    * candidates ride). Doc-frequency of a shingle drives the flag;
+    * novelty = novel-shingle mass / shingle mass, ONE IEEE division
+    * per source.
+    *
+    * Scale shape: the shingle TEXT never shuffles — the document
+    * frequency groups on xxhash64(shingle) (the K63 move; the oracle
+    * groups by the text itself as the collision-free mirror), the
+    * per-doc flag returns via one hash-keyed join, and both
+    * aggregations are partial-agg passes. */
+  def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+    val dfreq = rows.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val perDoc = rows.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tt"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("nv"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tt")).as("n_shingles"),
+        sum(col("nv")).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") /
+        col("n_shingles").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** K78: class-BALANCED subsampling — the uniform-per-language eval
+    * subset (cap every language at the scarcest language's count so
+    * no class dominates the benchmark): per-language deterministic
+    * md5 ranking (salt 'bal' — the K28/K43 draw discipline: retry-
+    * and repartition-stable, no RNG coordination), keep rank ≤ the
+    * min class count. Per language: available docs, kept docs (the
+    * cap, by construction), realized share.
+    *
+    * Scale shape: one partial agg to the language domain, the 1-row
+    * cap as a broadcast, one ranking window per language partition
+    * (each orders only its own class). */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val cap = broadcast(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("bal"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(cap)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= col("cap"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_share", round(col("n_kept").cast("double") /
+        col("n_docs").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
   /** Context lengths the packing-efficiency curve is evaluated at. */
   val PackContexts: Seq[Int] = Seq(256, 512, 1024, 2048)
 

@@ -500,6 +500,38 @@ object OracleSql {
         |    (CAST(nf AS DOUBLE) * CAST(no AS DOUBLE)), 9) AS ks
         |FROM cum, tot GROUP BY nf, no""".stripMargin,
 
+    // D33 Welch t: exact per-class moments (DECIMAL sums of (14,2)
+    // values and their squares), one fixed IEEE expression tree
+    "agg_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT
+        |    SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS nf0,
+        |    CAST(SUM(CASE WHEN s = 'F' THEN v END) AS DOUBLE) AS sxf,
+        |    CAST(SUM(CASE WHEN s = 'F' THEN v * v END) AS DOUBLE) AS sxxf,
+        |    SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS no0,
+        |    CAST(SUM(CASE WHEN s = 'O' THEN v END) AS DOUBLE) AS sxo,
+        |    CAST(SUM(CASE WHEN s = 'O' THEN v * v END) AS DOUBLE) AS sxxo
+        |  FROM (SELECT o_orderstatus AS s,
+        |          CAST(o_totalprice AS DECIMAL(14,2)) AS v
+        |        FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |), d AS (
+        |  SELECT nf0, no0,
+        |    CAST(nf0 AS DOUBLE) AS nf, CAST(no0 AS DOUBLE) AS no,
+        |    sxf, sxxf, sxo, sxxo
+        |  FROM m
+        |), e AS (
+        |  SELECT nf0, no0, nf, no, sxf / nf AS mf, sxo / no AS mo,
+        |    ((sxxf - sxf * sxf / nf) / (nf - 1)) / nf AS sef,
+        |    ((sxxo - sxo * sxo / no) / (no - 1)) / no AS seo
+        |  FROM d
+        |)
+        |SELECT CAST(nf0 AS BIGINT) AS n_f, CAST(no0 AS BIGINT) AS n_o,
+        |  round(mf, 6) AS mean_f, round(mo, 6) AS mean_o,
+        |  round((mf - mo) / sqrt(sef + seo), 6) AS t_stat,
+        |  round((sef + seo) * (sef + seo) /
+        |    (sef * sef / (nf - 1) + seo * seo / (no - 1)), 4) AS df_welch
+        |FROM e""".stripMargin,
+
     // D32 Gini: exact DECIMAL spend sums + integer ranks; one final
     // IEEE division
     "agg_gini" ->
@@ -1561,6 +1593,33 @@ object OracleSql {
         |) custsale
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+
+    // C43 TPC-H Q1, the full spec shape as shared literal SQL: factor
+    // casts kept at DECIMAL(12,4) so the triple charge product stays
+    // inside both engines' 38-digit exactness
+    "sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))
+        |           * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE)
+        |    AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) / COUNT(*)
+        |            AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) / COUNT(*)
+        |            AS DECIMAL(38,6)) AS DOUBLE) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) / COUNT(*)
+        |            AS DECIMAL(38,6)) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // C37 (TPC-H Q2 adapted — no partsupp in the fixture: "supplied"
     // = appears on a lineitem; min-cost supplier becomes min-acctbal
@@ -3411,6 +3470,51 @@ object OracleSql {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
+    // K77 n-gram novelty: the shared trigram relation, doc frequency
+    // grouped by the shingle TEXT (collision-free mirror of the
+    // engine's xxhash64 key)
+    "text_ngram_novelty" ->
+      s"""WITH $shingleCtes, sh AS (
+         |  SELECT doc_id, UNNEST(shingles) AS shingle FROM d
+         |), dfreq AS (
+         |  SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+         |  FROM sh GROUP BY shingle
+         |), perdoc AS (
+         |  SELECT sh.doc_id, COUNT(*) AS tt,
+         |    SUM(CASE WHEN dfreq.nd = 1 THEN 1 ELSE 0 END) AS nv
+         |  FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+         |  GROUP BY sh.doc_id
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tt) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(nv) AS BIGINT) AS n_novel,
+         |  round(CAST(SUM(nv) AS DOUBLE) / CAST(SUM(tt) AS DOUBLE), 6)
+         |    AS novelty
+         |FROM perdoc JOIN documents USING (doc_id)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // K78 balanced subsample: per-language md5 ranking against the
+    // min class count
+    "sample_balanced" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |), cap AS (SELECT MIN(n) AS cap FROM counts),
+        |ranked AS (
+        |  SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS kept_share
+        |FROM ranked, cap
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     // K75 sliding-window chunking: closed integer forms of the
     // LangChain splitter geometry (S=128, T=96); emitted tokens =
     // L + (S-T)*(n_chunks-1)
@@ -3553,6 +3657,29 @@ object OracleSql {
         |    CAST(n_days * wau AS DOUBLE), 9) AS stickiness
         |FROM weekly JOIN wau ON weekly.week = wau.week
         |ORDER BY weekly.week""".stripMargin,
+
+    // J39 inter-event cadence: exact integer micros gaps, exact
+    // DECIMAL moments, one IEEE mean/sd tree per type
+    "events_inter_event" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n0,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DOUBLE) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n0 AS BIGINT) AS n_gaps,
+        |  round((sg / CAST(n0 AS DOUBLE)) / 1000000.0, 6) AS mean_gap_s,
+        |  round(sqrt((sgg - sg * sg / CAST(n0 AS DOUBLE))
+        |             / (CAST(n0 AS DOUBLE) - 1)) / 1000000.0, 6)
+        |    AS sd_gap_s
+        |FROM m
+        |ORDER BY event_type""".stripMargin,
 
     // J38 power-user curve: histogram over the active-day domain with
     // a descending cumulative "at least d days" share
