@@ -502,14 +502,8 @@ object Events {
     * DECIMAL(38) so micros-scale gaps cannot wrap. */
   def eventsInterEvent(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = org.apache.spark.sql.types.DecimalType(38, 0)
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("tus"), col("event_id"))
-    val gaps = t(spark, sfDir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("tus"))
-      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
-      .filter(col("gap").isNotNull)
-    val m = gaps.groupBy(col("event_type"))
+    val m = interEventGaps(t(spark, sfDir, "events"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap").cast(DL)).cast("double").as("sg"),
         sum((col("gap").cast(DL) * col("gap")).cast(DL))
@@ -521,6 +515,18 @@ object Events {
         round(mean / 1000000.0, 6).as("mean_gap_s"),
         round(sqrt(variance) / 1000000.0, 6).as("sd_gap_s"))
       .orderBy(col("event_type"))
+  }
+
+  /** J39 gap relation — (user_id, event_type, event_id, tus, gap)
+    * rows for every event with a same-type predecessor; the seam the
+    * streaming J40 processor is pinned row-equal against. */
+  def interEventGaps(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
   }
 
   /** J38: power-user curve — users bucketed by their count of active

@@ -731,6 +731,63 @@ object StreamingOps {
         OutputMode.Update())
       .toDF("user_id", "n_events")
   }
+
+  /** J40: streaming inter-event gaps — the STREAMING form of the J39
+    * cadence relation, on `transformWithState` with one named Long
+    * state variable per (user, type) key holding the last seen event
+    * time: each micro-batch's rows are ordered in-memory within the
+    * key (batches are small per key; ACROSS batches the state
+    * carries), gaps fold from the stored timestamp, and every row
+    * with a predecessor emits (event_id, gap). Pinned ROW-EQUAL to
+    * the batch `Events.interEventGaps` across a multi-batch feed in
+    * `StreamingSpec` — the streaming path computes the identical gap
+    * relation the batch window does, which is the whole contract of
+    * lambda-free streaming analytics. */
+  def streamInterEventGaps(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS tus")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new InterEventGapProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "event_type", "event_id", "gap")
+  }
+}
+
+/** The J40 stateful processor: per (user, type) key, one Long value
+  * state with the last seen event time in micros. In-batch rows sort
+  * by (time, event_id) — the batch window's order — before folding. */
+class InterEventGapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Long, String), (Long, String, Long, Long), (Long, String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var lastTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastTs = getHandle.getValueState[Long]("last_ts",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String),
+      rows: Iterator[(Long, String, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    val batch = rows.toSeq.sortBy(r => (r._4, r._3))
+    val havePrev = lastTs.exists()
+    val prev = if (havePrev) lastTs.get() else 0L
+    val out = Seq.newBuilder[(Long, String, Long, Long)]
+    var last = prev
+    var first = !havePrev
+    batch.foreach { r =>
+      if (!first) out += ((key._1, key._2, r._3, r._4 - last))
+      first = false
+      last = r._4
+    }
+    lastTs.update(last)
+    out.result().iterator
+  }
 }
 
 /** The J27 stateful processor: one named, Long-encoded value state per

@@ -1046,4 +1046,47 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
     }
   }
+  test("J40: streaming inter-event gaps row-equal to the batch window " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.streamInterEventGaps(in.toDF())
+        .writeStream.format("memory").queryName("j40")
+        .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+        .start()
+      val batch1 = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(2, ts("2024-01-01 10:01:30"), 1, "view"),
+        Ev(3, ts("2024-01-01 10:02:00"), 1, "click"),
+        Ev(4, ts("2024-01-01 10:00:10"), 2, "view"))
+      val batch2 = Seq(
+        Ev(5, ts("2024-01-01 10:05:00"), 1, "view"),
+        Ev(6, ts("2024-01-01 10:06:00"), 2, "view"),
+        Ev(7, ts("2024-01-01 10:07:00"), 1, "click"),
+        Ev(8, ts("2024-01-01 10:07:20"), 2, "view"))
+      withQuery(q) {
+        in.addData(batch1: _*)
+        q.processAllAvailable()
+        in.addData(batch2: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("j40").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val batch = graft.ops.Events.interEventGaps(
+          (batch1 ++ batch2).toDF()).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(4))).toSet
+        assert(streamed == batch,
+          "the streaming state fold must produce the batch gap relation")
+        // gaps DO cross the micro-batch boundary (event 5 vs event 2)
+        assert(streamed.exists(_._3 == 5L))
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
 }
