@@ -1557,6 +1557,28 @@ object LlmData {
       excludeId = Some(0L))
   }
 
+  /** K79: HNSW hierarchical graph-probe nearest neighbors of
+    * vec_id=0 — the FULL Malkov-Yashunin shape over K67's
+    * single-layer NSW: exponentially thinner upper layers
+    * (deterministic 1/16-decay id rule) give the greedy descent
+    * long-range moves, so the wide layer-0 beam starts near the
+    * answer instead of at arbitrary entry points — the structural
+    * reason HNSW beats flat NSW as the corpus grows. Build-once
+    * layered index ([[AnnHnsw.ensureIndex]]); search descends with a
+    * narrow beam then runs the K67 layer-0 beam ([[AnnHnsw
+    * .searchTopK]]). Registered rows-only (seeded k-means cells);
+    * layer/descent/determinism laws in `AnnNswSpec`, recall vs brute
+    * force in `GroundTruthSpec`. */
+  def simHnswTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      s"$sfDir/embeddings")
+    val qVec = df.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    AnnHnsw.searchTopK(spark, dir, df, "vec_id", "embedding", qVec, 5,
+      excludeId = Some(0L))
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

@@ -82,4 +82,47 @@ class AnnNswSpec extends SparkTestBase {
     val scores = out.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+  test("HNSW: every layer-l edge joins two level>=l members; degrees " +
+      "bounded; the entry is the top layer's min id (K79)") {
+    import graft.ops.AnnHnsw
+    val vs = randomVecs(600, 31)
+    val df = vecsDf(vs.zipWithIndex.map { case (v, i) => i.toLong -> v })
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    val layers = spark.read.parquet(s"$dir/layers")
+    def lvl(id: Long): Int =
+      if (id % 256 == 0) 2 else if (id % 16 == 0) 1 else 0
+    layers.collect().foreach { r =>
+      val (src, dst, l) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(src != dst)
+      assert(lvl(src) >= l && lvl(dst) >= l,
+        s"layer $l edge ($src,$dst) touches a lower-level node")
+    }
+    val maxDeg = layers.groupBy(col("layer"), col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= AnnNsw.M)
+    val entry = spark.read.parquet(s"$dir/entry").head().getLong(0)
+    assert(entry == 0L, "min id of the level-2 subsample (0,256,512)")
+  }
+
+  test("HNSW: a planted scaled copy of the query is hit #1 and the " +
+      "search is deterministic (K79)") {
+    import graft.ops.AnnHnsw
+    val q = randomVecs(1, 41).head
+    val copy = q.map(_ * 1.0005f)
+    val noise = randomVecs(300, 42)
+    val df = vecsDf(Seq(0L -> q, 1L -> copy) ++
+      noise.zipWithIndex.map { case (v, i) => (10L + i) -> v })
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    def run() = AnnHnsw.searchTopK(spark, dir, df, "vec_id", "embedding",
+      q, 5, excludeId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "repeated searches must walk the identical path")
+    assert(a.head._1 == 1L && a.head._2 == 1.0,
+      s"planted duplicate must lead, got $a")
+    assert(a.forall(_._1 != 0L))
+  }
+
 }

@@ -363,4 +363,21 @@ class GroundTruthSpec extends SparkTestBase {
     assert(r8 >= r2, s"recall must not fall as nprobe grows: $r2 -> $r8")
     assert(r8 >= 0.6, s"K18 sf0.1 recall@5 at nprobe=8 was $r8, below the pinned floor")
   }
+  test("K79 sim_hnsw_topk: recall@5 vs the oracle-checked exact sim_topk") {
+    // deterministic like K67 (measured 1.0 / 0.6 — identical to the
+    // flat NSW probe on these isotropic fixtures, which is the honest
+    // expectation: the hierarchy pays off in navigation HOPS, and on
+    // structureless random vectors recall is bounded by probe volume,
+    // not entry quality). Floors pinned one notch under measurement
+    // as regression guards, the K67 discipline.
+    val floors = Seq(sfDir -> 0.8, "/root/testdata/sf0.01" -> 0.4)
+    for ((dir, floor) <- floors) {
+      val exact = LlmData.simTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val hnsw = LlmData.simHnswTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      val recall = hnsw.count(exact.contains).toDouble / exact.size
+      info(s"K79 $dir recall@5 = $recall (hnsw=$hnsw exact=$exact)")
+      assert(recall >= floor, s"K79 $dir recall@5 $recall below floor $floor")
+    }
+  }
+
 }
