@@ -297,6 +297,22 @@ object Joins {
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q7"))
   }
 
+  /** C44: the COUNT-bug decorrelation shape as literal shared SQL —
+    * a correlated scalar COUNT in the SELECT list must return 0 (not
+    * NULL) for outer rows with NO matching inner rows: naive
+    * decorrelation into an outer join + COUNT yields NULL for the
+    * empty group, the textbook rewrite bug (Kim 1982's unnesting
+    * trap). Catalyst handles it with a post-join NULL→0 projection;
+    * this query pins that the handled plan and DuckDB agree on every
+    * customer, including order-less ones — plus the same subquery
+    * under COALESCE in a filter, where the bug would silently drop
+    * rows instead of mis-reporting them. */
+  def sqlCountBug(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(tbl => t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
+    spark.sql(graft.oracle.OracleSql.all("sql_count_bug"))
+  }
+
   /** C43: TPC-H Q1 as literal shared SQL — D1 pins the DataFrame
     * formulation; this pins the SQL surface with the full spec shape
     * (ship-date cutoff, the three-factor charge expression, all four

@@ -1594,6 +1594,20 @@ object OracleSql {
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
 
+    // C44 COUNT-bug shape: a correlated scalar COUNT must be 0, never
+    // NULL, for outer rows with no matches — pinned on the filter arm
+    // too, where the bug silently drops rows
+    "sql_count_bug" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey = c_custkey
+        |     AND o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM customer
+        |WHERE (SELECT COUNT(*) FROM orders
+        |       WHERE o_custkey = c_custkey
+        |         AND o_orderpriority = '1-URGENT') <= 2
+        |ORDER BY c_custkey""".stripMargin,
+
     // C43 TPC-H Q1, the full spec shape as shared literal SQL: factor
     // casts kept at DECIMAL(12,4) so the triple charge product stays
     // inside both engines' 38-digit exactness

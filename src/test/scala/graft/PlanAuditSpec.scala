@@ -660,4 +660,26 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+  test("round-16 TPC-H completions keep their join shapes") {
+    // q9: five-way star — the part/supplier/nation dims broadcast,
+    // the two facts meet in hash joins, never a nested loop
+    val q9 = plan("sql_tpch_q9")
+    assert(q9.contains("BroadcastHashJoin"), q9)
+    assert(!q9.contains("CartesianProduct") &&
+      !q9.contains("BroadcastNestedLoopJoin"), q9)
+    // q2: the correlated scalar-MIN decorrelates into an aggregate
+    // joined back on the correlation key — no per-row subquery plan,
+    // no cartesian
+    val q2 = plan("sql_tpch_q2")
+    assert(!q2.contains("CartesianProduct"), q2)
+    // q20: the nested IN plans as joins over the two grouped
+    // aggregates of the same fact — again no nested loop
+    val q20 = plan("sql_tpch_q20")
+    assert(!q20.contains("CartesianProduct") &&
+      !q20.contains("BroadcastNestedLoopJoin"), q20)
+    // the COUNT-bug query must not fall back to a per-row plan either
+    val cb = plan("sql_count_bug")
+    assert(!cb.contains("CartesianProduct"), cb)
+  }
+
 }
