@@ -315,6 +315,29 @@ object Fns {
     * binary-collation strings (the canonical form is the binary MIN —
     * deterministic in both engines); the oracle mirrors with
     * `GROUP BY lower()`, equivalent on this ASCII domain. */
+  /** H17: higher-order array lambdas — transform / filter / aggregate
+    * / exists / forall over the tokenized part name, the SQL-surface
+    * battery for the lambda functions (every output scalar and
+    * integer-exact, so cross-engine parity is exact). CAVEAT baked
+    * into the suite's own guidance: lambda bodies run INTERPRETED
+    * (no codegen) — fine over ≤5-token arrays in a projection, wrong
+    * on a hot path (the MinHash/AnnLsh scaladocs document the
+    * codegen'd explode+agg replacements); this query exists to pin
+    * the capability, priced where it is cheap. */
+  def fnLambda(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+      .select(col("p_partkey"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long")
+          .as("n_long"),
+        aggregate(col("toks"), lit(0),
+          (acc, t) => acc + length(t)).cast("long").as("len_sum"),
+        array_join(transform(col("toks"), t => upper(t)), "-")
+          .as("upper_join"),
+        exists(col("toks"), t => t === "widget").as("has_widget"),
+        forall(col("toks"), t => length(t) >= 3).as("all_min3"))
+      .orderBy(col("p_partkey"))
+
   def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
     val b = t(spark, sfDir, "part").select(col("p_brand").as("b"))
     val variants = b

@@ -1619,6 +1619,35 @@ object LlmData {
     * though the pair (A, C) was never emitted. See [[Components]] for
     * the iteration/scale story. Oracle: the same min-label closure as a
     * DuckDB recursive CTE over the identical pair query. */
+  /** K81: the dedup SAVINGS bill — what collapsing each near-dup
+    * cluster (K19's components) to its min-id representative buys,
+    * per source: docs and token mass total vs removable (non-
+    * canonical cluster members), and the savings ratio — the number
+    * that decides whether the dedup pass pays for itself at 100 TB
+    * (the text twin of K60's multimodal byte bill). Rides the SHARED
+    * pair/cluster caches (no re-pairing); token lengths are one
+    * per-row projection; one left join on doc_id + one partial agg. */
+  def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val removable = dedupClusters(spark, sfDir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(1L).as("rm"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(removable, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L))
+          .as("n_removable_docs"),
+        sum(when(col("rm").isNotNull, col("n_tok")).otherwise(0L))
+          .as("n_removable_tokens"))
+      .withColumn("savings_ratio",
+        round(col("n_removable_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clustersFromLabels(ensureComponents(spark, sfDir))
 

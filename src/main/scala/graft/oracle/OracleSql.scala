@@ -3672,6 +3672,24 @@ object OracleSql {
         |FROM weekly JOIN wau ON weekly.week = wau.week
         |ORDER BY weekly.week""".stripMargin,
 
+    // H17 lambda battery: list_transform/list_filter/list_aggregate —
+    // every scalar integer-exact
+    "fn_lambda" ->
+      """WITH p AS (
+        |  SELECT p_partkey, str_split(p_name, ' ') AS toks FROM part
+        |)
+        |SELECT p_partkey,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT)
+        |    AS n_long,
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        |    AS BIGINT) AS len_sum,
+        |  array_to_string(list_transform(toks, t -> upper(t)), '-')
+        |    AS upper_join,
+        |  list_contains(toks, 'widget') AS has_widget,
+        |  len(list_filter(toks, t -> length(t) < 3)) = 0 AS all_min3
+        |FROM p
+        |ORDER BY p_partkey""".stripMargin,
+
     // J39 inter-event cadence: exact integer micros gaps, exact
     // DECIMAL moments, one IEEE mean/sd tree per type
     "events_inter_event" ->
@@ -3802,6 +3820,42 @@ object OracleSql {
     // (UNION dedupes, so it terminates), and MIN picks the component
     // representative — the declarative mirror of the engine's
     // iterative min-label propagation (graft.ops.Components).
+    // K81 dedup savings: the K19 closure labels joined to token
+    // lengths — removable = non-canonical cluster members
+    "dedup_savings" ->
+      s"""WITH RECURSIVE jacc AS (
+         |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
+         |), und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jacc
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jacc
+         |), verts AS (
+         |  SELECT DISTINCT src AS id FROM und
+         |), reach(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+         |), rm AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id
+         |  HAVING id <> MIN(lbl)
+         |), toks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removable_docs,
+         |  CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS n_removable_tokens,
+         |  round(CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL THEN n_tok
+         |                 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(n_tok) AS DOUBLE), 6) AS savings_ratio
+         |FROM toks LEFT JOIN rm USING (doc_id)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE jacc AS (
          |  SELECT doc_a, doc_b FROM ($ngramJaccardSql)
