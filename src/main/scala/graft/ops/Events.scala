@@ -517,6 +517,45 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** J41: per-user simple exponential smoothing (α = 1/2) of daily
+    * spend — the one-number "current run rate" behind alerting and
+    * LTV nowcasts: s_t = y_t/2 + s_{t−1}/2, evaluated in its closed
+    * form as a 16-term weighted tail (weights below 2⁻¹⁶ are noise —
+    * the truncation IS the declared statistic, identical in both
+    * engines). Determinism is structural: α = 1/2 makes every weight
+    * an exact power of two, and dividing an integer-cents double by
+    * an exact 2ᵏ only changes the exponent — each term is BIT-EXACT
+    * before the 9-dp term round + exact-DECIMAL sum (the text_entropy
+    * discipline), so no float walk can flap.
+    *
+    * Scale shape: the daily collapse is the J37 shuffle; the tail
+    * expansion is a per-user join bounded at 16 rows per user (never
+    * days²); one partial agg closes. The streaming twin is a
+    * one-ValueState fold (the J40 pattern). */
+  def eventsForecastSes(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val wIdx = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val idx = daily.select(col("user_id"), col("y"),
+      (row_number().over(wIdx) - 1).cast("long").as("t"))
+    val lastd = idx.groupBy(col("user_id"))
+      .agg(max(col("t")).as("tn"), count(lit(1)).as("n_days"))
+    val terms = idx.join(lastd, "user_id")
+      .filter(col("t") >= when(col("tn") >= 16, col("tn") - 15)
+        .otherwise(lit(0L)))
+      .select(col("user_id"), col("n_days"),
+        when(col("t") === 0, col("tn"))
+          .otherwise(col("tn") - col("t") + 1).as("k"), col("y"))
+      .withColumn("term",
+        round(col("y").cast("double") /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"),
+          9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+    terms.groupBy(col("user_id"), col("n_days"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("ses"))
+      .orderBy(col("user_id"))
+  }
+
   /** J39 gap relation — (user_id, event_type, event_id, tus, gap)
     * rows for every event with a same-type predecessor; the seam the
     * streaming J40 processor is pinned row-equal against. */

@@ -3713,6 +3713,36 @@ object OracleSql {
         |FROM m
         |ORDER BY event_type""".stripMargin,
 
+    // J41 SES run rate: 16-term truncated α=1/2 smoothing — every
+    // weight an exact power of two, terms bit-exact before the
+    // 9-dp round + DECIMAL sum
+    "events_forecast_ses" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |), idx AS (
+        |  SELECT user_id, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1
+        |      AS BIGINT) AS t
+        |  FROM daily
+        |), lastd AS (
+        |  SELECT user_id, MAX(t) AS tn, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM idx GROUP BY user_id
+        |), terms AS (
+        |  SELECT i.user_id, l.n_days,
+        |    CASE WHEN i.t = 0 THEN l.tn ELSE l.tn - i.t + 1 END AS k, i.y
+        |  FROM idx i JOIN lastd l ON i.user_id = l.user_id
+        |  WHERE i.t >= CASE WHEN l.tn >= 16 THEN l.tn - 15 ELSE 0 END
+        |)
+        |SELECT user_id, n_days,
+        |  round(CAST(SUM(CAST(round(CAST(y AS DOUBLE) /
+        |    CAST((CAST(1 AS BIGINT) << k) AS DOUBLE), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE), 6) AS ses
+        |FROM terms
+        |GROUP BY user_id, n_days
+        |ORDER BY user_id""".stripMargin,
+
     // J38 power-user curve: histogram over the active-day domain with
     // a descending cumulative "at least d days" share
     "events_power_curve" ->
