@@ -711,12 +711,30 @@ object Graphs {
     * score frames; normalization denominators stay IN the dataflow as
     * 1-row broadcast frames (never a driver round-trip). */
   def graphHits(spark: SparkSession, sfDir: String): DataFrame =
-    hits(t(spark, sfDir, "lineitem")
+    hits(cachedHitsEdges(spark, sfDir))
+
+  /** The L12 bipartite edge list, lazily derived. */
+  def hitsEdges(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
       .join(t(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_quantity") >= HitsMinQty)
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct())
+      .distinct()
+
+  /** Build-once parquet of [[hitsEdges]] — the cograph cache
+    * discipline (name carries the support cut + a logic version;
+    * content key tracks the fixture parquet). Cached == lazy row
+    * identity pinned in `GraphsSpec`. */
+  def cachedHitsEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FixtureCache.ensure(spark, s"hits_edges_q${HitsMinQty}_v1",
+      sfDir, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")) {
+      staging =>
+        hitsEdges(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$staging/edges.parquet")
+    }
+    spark.read.parquet(s"$dir/edges.parquet")
+  }
 
   /** HITS core over an arbitrary distinct directed (c, p) edge list —
     * see [[graphHits]] for the discipline. */

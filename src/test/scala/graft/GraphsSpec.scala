@@ -470,4 +470,13 @@ class GraphsSpec extends SparkTestBase {
       assert(math.abs(m.values.sum - 1.0) < 1e-6,
         s"role mass ${m.values.sum} != 1")
   }
+  test("cached HITS edges are row-identical to the lazy derivation (L12)") {
+    val lazyE = graft.ops.Graphs.hitsEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = graft.ops.Graphs.cachedHitsEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == lazyE)
+    assert(cached.nonEmpty)
+  }
+
 }
