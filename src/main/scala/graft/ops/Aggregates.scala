@@ -600,9 +600,25 @@ object Aggregates {
       exact: Option[Boolean]): DataFrame = {
     val c = t(spark, sfDir, "lineitem")
       .select(cents(col("l_extendedprice")).as("c"))
-    val ex = exact.getOrElse(useExactPercentile(c.count()))
-    val qs = c.agg(
-      percentileAgg("c", (1 to 7).map(_ / 8.0d), exact = ex).as("qs"))
+    // the registered (exact = None) path caches the 7 boundaries per
+    // fixture content — the exact-percentile single-reducer merge is
+    // the suite's most expensive aggregate and its result is a pure
+    // function of the fixture (the tokens_v1 amortization discipline);
+    // the explicit-seam path used by the spec laws stays uncached
+    val qs = exact match {
+      case None =>
+        val dir = FixtureCache.ensure(spark, "eqdepth_bounds_extprice_p8_v1",
+          sfDir, Seq(s"$sfDir/lineitem.parquet")) { staging =>
+          val ex = useExactPercentile(c.count())
+          c.agg(percentileAgg("c", (1 to 7).map(_ / 8.0d), exact = ex)
+            .as("qs"))
+            .write.mode("overwrite").parquet(s"$staging/bounds.parquet")
+        }
+        spark.read.parquet(s"$dir/bounds.parquet")
+      case Some(ex) =>
+        c.agg(percentileAgg("c", (1 to 7).map(_ / 8.0d), exact = ex)
+          .as("qs"))
+    }
     val bucket = (0 until 7)
       .map(i => when(col("c") > col("qs").getItem(i), 1L).otherwise(0L))
       .reduce(_ + _)
