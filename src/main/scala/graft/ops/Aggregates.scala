@@ -854,6 +854,78 @@ object Aggregates {
         (sef * sef / (nf - 1) + seo * seo / (no - 1)), 4).as("df_welch"))
   }
 
+  /** D35: Mann–Whitney U (Wilcoxon rank-sum) between finished- and
+    * open-order prices — the LOCATION-shift member of the
+    * nonparametric family (D31's KS reacts to any distributional
+    * difference; U asks specifically "does one group tend to be
+    * larger", and U/(n₁n₂) IS the AUC of the implied classifier —
+    * the effect size every A/B readout wants). Tie-corrected average
+    * ranks kept EXACT by working in doubled-rank integers: a value
+    * with cum-before c and count m contributes af·(2c + m + 1) to
+    * 2R_f — integer arithmetic end-to-end (DECIMAL(38)/HUGEINT), one
+    * IEEE division each for U and AUC.
+    *
+    * Scale shape: the same value-type-table cumulative sweep as D31
+    * (bounded by the 2-dp price grid), totals as a 1-row broadcast. */
+  def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val DL = DecimalType(38, 0)
+    val o = t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("s"), col("o_totalprice").as("v"))
+    val byV = o.groupBy(col("v"))
+      .agg(sum(when(col("s") === "F", 1L).otherwise(0L)).as("af"),
+        sum(when(col("s") === "O", 1L).otherwise(0L)).as("ao"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("af"), col("ao"),
+      (sum(col("af") + col("ao")).over(w) - col("af") - col("ao"))
+        .as("cbefore"))
+    val tot = broadcast(o.agg(
+      sum(when(col("s") === "F", 1L).otherwise(0L)).as("nf"),
+      sum(when(col("s") === "O", 1L).otherwise(0L)).as("no")))
+    cum.crossJoin(tot)
+      .groupBy(col("nf"), col("no"))
+      .agg(sum((col("af").cast(DL)) *
+        (lit(2) * col("cbefore") + col("af") + col("ao") + 1))
+        .as("r2f"))
+      .select(col("nf").as("n_f"), col("no").as("n_o"),
+        round((col("r2f") - col("nf").cast(DL) * (col("nf") + 1))
+          .cast("double") / 2.0, 2).as("u_stat"),
+        round((col("r2f") - col("nf").cast(DL) * (col("nf") + 1))
+          .cast("double") / 2.0 /
+          (col("nf").cast("double") * col("no").cast("double")), 9)
+          .as("auc"))
+  }
+
+  /** D36: Benford first-digit audit of order totals — the
+    * fraud/synthetic-data screen (Benford 1938, public: naturally
+    * occurring multi-scale amounts put digit d first with probability
+    * log₁₀(1+1/d); fabricated or truncated data bends the curve).
+    * The first digit comes from the INTEGER cents rendered as a
+    * string — no float log in the bucketing, so the digit assignment
+    * cannot flap; expected shares are nine shared literals. One
+    * narrow projection + a ≤9-key partial agg. */
+  def aggBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = map(
+      Seq(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+        5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+        9 -> 0.045757)
+        .flatMap { case (d, p) => Seq(lit(d), lit(p)) }: _*)
+    val digits = t(spark, sfDir, "orders")
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(digits.agg(sum(col("n")).as("total")))
+    digits.crossJoin(tot)
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        element_at(expected, col("digit")).as("benford"),
+        round(abs(col("n").cast("double") / col("total").cast("double") -
+          element_at(expected, col("digit"))), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
   /** D32: Gini coefficient of per-customer spend — the inequality
     * audit ("do 20% of customers carry 80% of revenue?") behind
     * D27's ABC classes, as the single standard [0,1] statistic.

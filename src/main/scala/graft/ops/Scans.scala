@@ -644,6 +644,34 @@ object Scans {
       .orderBy(col("rule"))
   }
 
+  /** A41: vacuum DRY-RUN — the audit every production retention job
+    * offers before the destructive pass: the plan reports what WOULD
+    * drop (manifests outside the retention window) and what WOULD be
+    * reclaimed (a planted crashed-writer orphan dir), while the
+    * result row reads the store's CURRENT content THROUGH the
+    * snapshot reader AFTER planning — the hash proves both the plan
+    * arithmetic and that planning touched nothing. */
+  def warehouseVacuumPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "vacplan_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+    def slice(m: Int) = cust.filter(col("c_custkey") % 3 === m)
+      .repartition(1)
+    SnapshotStore.commitOverwrite(spark, root, slice(0))
+    SnapshotStore.commitAppend(spark, root, slice(1))
+    SnapshotStore.commitOverwrite(spark, root, slice(2))
+    // a crashed writer: staged data, manifest never published
+    slice(0).write.mode("overwrite").parquet(s"$root/data/orphan-crashed")
+    val (drop, orphans) = SnapshotStore.vacuumPlan(spark, root, keepLast = 2)
+    SnapshotStore.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_cents")).as("cents_sum"))
+      .select(lit(drop.length).as("n_drop"),
+        lit(orphans.length).as("n_orphans"),
+        col("n_rows"), col("cents_sum"))
+  }
+
   /** A23: the `_metadata` file-introspection surface — every file
     * source exposes a hidden `_metadata` struct (file_name, file_size,
     * row_index, …) that debugging, auditing, and incremental-load

@@ -436,6 +436,17 @@ object OracleSql {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60""".stripMargin,
 
+    // A41 vacuum dry-run: keepLast=2 drops exactly v1's manifest and
+    // reclaims exactly the planted orphan; the content row reads the
+    // untouched store (v3 = the %3==2 slice)
+    "warehouse_vacuum_plan" ->
+      """SELECT CAST(1 AS INT) AS n_drop, CAST(1 AS INT) AS n_orphans,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM customer
+        |WHERE c_custkey % 3 = 2""".stripMargin,
+
     // A40 CHECK constraints: the bill recomputes from the same dirt
     // expressions; store_rows = both clean batches (the dirty one is
     // atomically rejected). NULL check results count as violations in
@@ -531,6 +542,60 @@ object OracleSql {
         |  round((sef + seo) * (sef + seo) /
         |    (sef * sef / (nf - 1) + seo * seo / (no - 1)), 4) AS df_welch
         |FROM e""".stripMargin,
+
+    // D35 Mann-Whitney U: tie-corrected average ranks as doubled-rank
+    // integers (HUGEINT mirror of Spark's DECIMAL(38))
+    "agg_mann_whitney" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS s, o_totalprice AS v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |), byv AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS af,
+        |    SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS ao
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT af, ao,
+        |    SUM(af + ao) OVER (ORDER BY v) - af - ao AS cbefore
+        |  FROM byv
+        |), tot AS (
+        |  SELECT SUM(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS nf,
+        |    SUM(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS no
+        |  FROM o
+        |), r AS (
+        |  SELECT nf, no,
+        |    SUM(CAST(af AS HUGEINT) * (2 * cbefore + af + ao + 1)) AS r2f
+        |  FROM cum, tot GROUP BY nf, no
+        |)
+        |SELECT CAST(nf AS BIGINT) AS n_f, CAST(no AS BIGINT) AS n_o,
+        |  round(CAST(r2f - CAST(nf AS HUGEINT) * (nf + 1) AS DOUBLE)
+        |    / 2.0, 2) AS u_stat,
+        |  round(CAST(r2f - CAST(nf AS HUGEINT) * (nf + 1) AS DOUBLE)
+        |    / 2.0 / (CAST(nf AS DOUBLE) * CAST(no AS DOUBLE)), 9) AS auc
+        |FROM r""".stripMargin,
+
+    // D36 Benford: first digit from the integer-cents STRING (no
+    // float log in the bucketing); expected shares are shared literals
+    "agg_benford" ->
+      """WITH b AS (
+        |  SELECT digit, CAST(benford AS DOUBLE) AS benford
+        |  FROM (VALUES (1, 0.30103), (2, 0.176091), (3, 0.124939),
+        |    (4, 0.09691), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+        |    (8, 0.051153), (9, 0.045757)) t(digit, benford)
+        |), d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |), g AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT g.digit, g.n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  b.benford,
+        |  round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - b.benford),
+        |    6) AS abs_dev
+        |FROM g JOIN b USING (digit) CROSS JOIN tot
+        |ORDER BY digit""".stripMargin,
 
     // D32 Gini: exact DECIMAL spend sums + integer ranks; one final
     // IEEE division

@@ -485,7 +485,12 @@ object SnapshotStore {
     * Driver-side METADATA work only (list + delete, same division of
     * labor as every lakehouse VACUUM); returns
     * (droppedManifests, removedDataDirs). */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
+  /** What [[vacuum]] WOULD do — the audit/dry-run every production
+    * retention job offers before the destructive pass: (manifest
+    * versions that would drop, top-level data-dir names that would be
+    * reclaimed). Touches nothing. */
+  def vacuumPlan(spark: SparkSession, root: String,
+      keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, root)
     val vs = versions(spark, root)
@@ -494,23 +499,38 @@ object SnapshotStore {
     val pinned = tags(spark, root).values.toSet
     val keep = (vs.takeRight(keepLast) ++ vs.filter(pinned)).distinct.sorted
     val drop = vs.filterNot(keep.contains)
-    // resolve referenced dirs (data AND deletion vectors) BEFORE
-    // dropping manifests
+    // resolve referenced dirs (data AND deletion vectors). Reclaim is
+    // TOP-LEVEL-dir granular, and a manifest entry may point BELOW the
+    // top level (the clustered rewrite commits `v5-zc-x/__zbin=0`
+    // children) — so reference the FIRST path component under data/,
+    // never the leaf name: leaf-name matching marked the live parent
+    // dir an orphan and a vacuum after OPTIMIZE ZORDER destroyed the
+    // current version's data.
+    val dataPrefix = s"$root/data/"
     val referenced = keep
       .flatMap(readManifestLines(spark, root, _)).map(parse)
-      .map(e => new Path(e.dir).getName).toSet
-    drop.foreach(v => f.delete(manifestPath(root, v), false))
+      .map(_.dir)
+      .map { d =>
+        if (d.startsWith(dataPrefix))
+          d.stripPrefix(dataPrefix).split('/').head
+        else new Path(d).getName
+      }.toSet
     val dataRoot = new Path(s"$root/data")
-    val removed =
-      if (!f.exists(dataRoot)) 0
-      else {
-        val orphans = f.listStatus(dataRoot).toSeq
-          .filter(_.isDirectory).map(_.getPath)
-          .filterNot(p => referenced.contains(p.getName))
-        orphans.foreach(p => f.delete(p, true))
-        orphans.length
-      }
-    (drop.length, removed)
+    val orphans =
+      if (!f.exists(dataRoot)) Seq.empty[String]
+      else f.listStatus(dataRoot).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(referenced.contains).sorted
+    (drop, orphans)
+  }
+
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
+    val f = fs(spark, root)
+    val (drop, orphans) = vacuumPlan(spark, root, keepLast)
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    orphans.foreach(name =>
+      f.delete(new Path(s"$root/data/$name"), true))
+    (drop.length, orphans.length)
   }
 
   /** Assemble the DataFrame a manifest describes: data dirs unioned in

@@ -553,4 +553,28 @@ class SnapshotStoreSpec extends SparkTestBase {
       "the store keeps exactly the clean batches")
   }
 
+  test("vacuum after a clustered rewrite keeps the live nested dirs " +
+      "(A39 x vacuum regression)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_zv_").toString
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 100L).map(k => (k, s"r$k")).toDF("k", "p"), Some("k"))
+    SnapshotStore.commitAppend(spark, root,
+      (101L to 200L).map(k => (k, s"r$k")).toDF("k", "p"), Some("k"))
+    SnapshotStore.commitOverwriteClustered(spark, root, col("k"),
+      statsCol = "k", bins = 3)
+    val pre = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    val (drop, orphans) = SnapshotStore.vacuumPlan(spark, root, 1)
+    assert(drop == Seq(1, 2))
+    // the rewrite's PARENT dir holds live nested children — it must
+    // never appear in the reclaim plan (leaf-name matching did)
+    assert(orphans.forall(!_.contains("-zc-")), orphans.toString)
+    assert(orphans.size == 2, "exactly the two pre-rewrite dirs reclaim")
+    SnapshotStore.vacuum(spark, root, 1)
+    val post = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(post == pre, "vacuum must not touch the live clustered data")
+  }
+
 }
