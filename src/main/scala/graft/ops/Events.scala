@@ -517,6 +517,33 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** J42: day-of-week seasonality profile — events, active users, and
+    * revenue by weekday: the first chart on any traffic dashboard and
+    * the denominator for every "is today anomalous" check (J19's
+    * z-scores should be computed WITHIN weekday at production scale).
+    * Weekday is integer ⌊epoch days⌋ mod 7 (0 = Thursday) — calendar
+    * DOW functions disagree across engines on the week start (Spark
+    * 1=Sunday, DuckDB 0=Sunday); epoch arithmetic cannot. One narrow
+    * projection + a 7-key partial agg + a 1-row broadcast total. */
+  def eventsSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDow = t(spark, sfDir, "events")
+      .select(
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7")
+          .cast("long").as("dow"),
+        col("user_id"), cents(col("value")).as("vc"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("vc")).as("revenue_cents"))
+    val tot = broadcast(byDow.agg(sum(col("n_events")).as("total")))
+    byDow.crossJoin(tot)
+      .select(col("dow"), col("n_events"), col("n_users"),
+        col("revenue_cents"),
+        round(col("n_events").cast("double") /
+          col("total").cast("double"), 6).as("share"))
+      .orderBy(col("dow"))
+  }
+
   /** J41: per-user simple exponential smoothing (α = 1/2) of daily
     * spend — the one-number "current run rate" behind alerting and
     * LTV nowcasts: s_t = y_t/2 + s_{t−1}/2, evaluated in its closed

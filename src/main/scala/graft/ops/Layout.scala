@@ -113,6 +113,52 @@ object Layout {
       sum(when(!cand, col("n_match")).otherwise(0L)).as("rows_missed"))
   }
 
+  /** F14: clustering-QUALITY metric — the "should we OPTIMIZE" number
+    * (Delta/Iceberg clustering depth): for the same rows under two
+    * layouts — arrival order (file = orderkey mod 32: every file
+    * spans the whole part-key domain) and Z-order (the F10 rule:
+    * file = top interleaved bits) — the average number of files whose
+    * [min,max] part-key zones OVERLAP each file's zone. A point probe
+    * must open every overlapping file, so avg_overlap IS the expected
+    * read amplification; arrival ≈ n_files (no zone helps), Z-order
+    * ≈ small constant — the before/after that justifies an A39
+    * rewrite. All counts exact integers; one IEEE division per
+    * layout.
+    *
+    * Scale shape: two partial aggs to file cardinality, then a
+    * file×file self-join per layout — bounded by the FILE count
+    * (metadata cardinality, never rows; the zone-map table any lake
+    * keeps). */
+  def layoutClusterMetric(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"),
+        mortonKey(col("l_partkey").cast("long"),
+          col("l_suppkey").cast("long")).as("z"))
+    def zonesOf(layout: String, fid: org.apache.spark.sql.Column) =
+      base.groupBy(fid.as("fid"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("mn"), max(col("l_partkey")).as("mx"))
+        .select(lit(layout).as("layout"), col("fid"), col("mn"), col("mx"))
+    val zones = zonesOf("arrival", col("l_orderkey") % 32)
+      .unionByName(zonesOf("zorder",
+        shiftright(col("z"), 16).cast("long")))
+      .localCheckpoint(true)
+    val pairs = zones.as("a")
+      .join(zones.as("b"),
+        col("a.layout") === col("b.layout") &&
+          col("a.mx") >= col("b.mn") && col("a.mn") <= col("b.mx"))
+      .groupBy(col("a.layout").as("layout"))
+      .agg(count(lit(1)).as("n_overlaps"))
+    zones.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("mx") - col("mn")).as("span_sum"))
+      .join(pairs, "layout")
+      .select(col("layout"), col("n_files"), col("span_sum"),
+        round(col("n_overlaps").cast("double") /
+          col("n_files").cast("double"), 6).as("avg_overlap"))
+      .orderBy(col("layout"))
+  }
+
   /** The compaction banding rule — ONE definition, applied by the
     * distributed planner ([[layoutCompaction]], via prefix sum) and
     * the filesystem executor ([[compact]], via this fold): files are

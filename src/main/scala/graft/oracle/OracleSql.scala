@@ -484,6 +484,33 @@ object OracleSql {
         |SELECT rule, n_violations, store_rows FROM bill, sr
         |ORDER BY rule""".stripMargin,
 
+    // F14 clustering metric: arrival (orderkey mod 32) vs Z-order
+    // (the F10 file rule) zone overlap depth — the shared Morton CTE
+    "layout_cluster_metric" ->
+      s"""WITH $mortonZCtes, za AS (
+         |  SELECT 'arrival' AS layout, l_orderkey % 32 AS fid,
+         |    MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+         |  FROM lineitem GROUP BY l_orderkey % 32
+         |), zz AS (
+         |  SELECT 'zorder' AS layout, z >> 16 AS fid,
+         |    MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+         |  FROM z GROUP BY z >> 16
+         |), zones AS (
+         |  SELECT * FROM za UNION ALL SELECT * FROM zz
+         |), pairs AS (
+         |  SELECT a.layout, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+         |  FROM zones a JOIN zones b
+         |    ON a.layout = b.layout AND a.mx >= b.mn AND a.mn <= b.mx
+         |  GROUP BY a.layout
+         |)
+         |SELECT z1.layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(z1.mx - z1.mn) AS BIGINT) AS span_sum,
+         |  round(CAST(MAX(p.n_overlaps) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS avg_overlap
+         |FROM zones z1 JOIN pairs p ON z1.layout = p.layout
+         |GROUP BY z1.layout
+         |ORDER BY z1.layout""".stripMargin,
+
     // D31 KS test: exact integer cross-multiply numerator over the
     // pooled value-type table; HUGEINT here mirrors Spark's DECIMAL(38)
     "agg_ks_test" ->
@@ -3777,6 +3804,26 @@ object OracleSql {
         |    AS sd_gap_s
         |FROM m
         |ORDER BY event_type""".stripMargin,
+
+    // J42 seasonality: weekday = epoch days mod 7 (0=Thursday) —
+    // calendar DOW functions disagree on the week start across engines
+    "events_seasonality" ->
+      """WITH e AS (
+        |  SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7
+        |    AS BIGINT) AS dow,
+        |    user_id, CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events
+        |), g AS (
+        |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(SUM(vc) AS BIGINT) AS revenue_cents
+        |  FROM e GROUP BY dow
+        |), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+        |SELECT dow, n_events, n_users, revenue_cents,
+        |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS share
+        |FROM g, tot
+        |ORDER BY dow""".stripMargin,
 
     // J41 SES run rate: 16-term truncated α=1/2 smoothing — every
     // weight an exact power of two, terms bit-exact before the
