@@ -2617,6 +2617,76 @@ object LlmData {
       .orderBy(col("lang"))
   }
 
+  /** K85: Neyman allocation for stratified sampling (Neyman 1934,
+    * public) — the OPTIMAL split of a labeling/eval budget across
+    * strata: sample stratum h in proportion to N_h·σ_h (big AND
+    * variable strata earn more draws than proportional allocation
+    * gives them; a uniform stratum needs almost none). Strata are
+    * languages, the measured variable is document length. σ_h comes
+    * from exact DECIMAL moments (the D20 discipline); each weight is
+    * term-rounded at 6 dp and summed as exact DECIMAL so the shares
+    * cannot flap under partitioning; the 10k-budget allocation is one
+    * IEEE multiply-divide per stratum.
+    *
+    * Scale shape: one fact partial-agg to the language domain, a
+    * 1-row broadcast total, scalar arithmetic after. */
+  def sampleNeyman(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars").cast(DecimalType(18, 0)).as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1))
+    val weighted = m.select(col("lang"), col("n"),
+      round(sd, 6).as("sd_chars"),
+      round(nD * sd, 6).cast(DecimalType(28, 6)).as("w"))
+    val tot = broadcast(weighted.agg(sum(col("w")).as("wtot")))
+    weighted.crossJoin(tot)
+      .select(col("lang"), col("n").as("n_docs"), col("sd_chars"),
+        round(col("w").cast("double") / col("wtot").cast("double"), 6)
+          .as("weight_share"),
+        round(lit(10000.0) * col("w").cast("double") /
+          col("wtot").cast("double"), 2).as("alloc_10k"))
+      .orderBy(col("lang"))
+  }
+
+  /** Audio framing geometry (K86): 25 ms window / 10 ms hop at the
+    * declared 16 kHz, 16-bit stereo PCM interpretation (4 bytes per
+    * sample frame). */
+  val AudioWin = 400
+  val AudioHop = 160
+
+  /** K86: audio FRAME-windowing accounting — the STFT/fbank front-end
+    * geometry every speech pipeline runs (25 ms windows advancing
+    * 10 ms): per source, assets, samples, frames, the re-read factor
+    * the 60% overlap charges, and the assets too short to frame at
+    * all (the silent data-loss case a framing audit must surface).
+    * The payload is the opaque binary column; sample count is its
+    * declared PCM interpretation (bytes DIV 4) — closed integer
+    * forms, no explode, the multimodal sibling of K75's token
+    * chunker. */
+  def multimodalAudioFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "documents")
+      .select(col("source"),
+        expr("CAST(length(CAST(text AS BINARY)) AS BIGINT) DIV 4")
+          .as("samples"))
+      .withColumn("frames",
+        when(col("samples") < AudioWin, lit(0L))
+          .otherwise(expr(s"(samples - $AudioWin) DIV $AudioHop") + 1L))
+    g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("frames") === 0, 1L).otherwise(0L)).as("n_too_short"),
+        sum(col("samples")).as("n_samples"),
+        sum(col("frames")).as("n_frames"),
+        sum(col("frames") * AudioWin).as("n_frame_samples"))
+      .withColumn("read_factor",
+        round(col("n_frame_samples").cast("double") /
+          col("n_samples").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Context lengths the packing-efficiency curve is evaluated at. */
   val PackContexts: Seq[Int] = Seq(256, 512, 1024, 2048)
 

@@ -46,4 +46,25 @@ object SetOps {
     custNations(spark, sfDir).exceptAll(suppNations(spark, sfDir))
       .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
       .orderBy(col("nationkey"))
+
+  /** G6: SYMMETRIC DIFFERENCE — orders with returned ('R') lines vs
+    * orders with accepted ('A') lines, keeping exactly the orders in
+    * ONE camp (the "purely returned / purely clean" split a returns
+    * analyst wants; mixed orders vanish): (R ∖ A) ∪ (A ∖ R), each
+    * side tagged. An order's line count is BOUNDED, so the
+    * one-camp-only population stays non-degenerate at every scale —
+    * a dense-membership pair (user-halves) empties as density grows.
+    * Composed from the ANSI operators: two EXCEPTs (distinct + anti
+    * semantics on the key — one shuffle each) + a UNION ALL of
+    * disjoint sides. */
+  def setSymmetricDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    def withFlag(f: String) = li.filter(col("l_returnflag") === f)
+      .select(col("l_orderkey")).distinct()
+    val r = withFlag("R"); val a = withFlag("A")
+    r.except(a).select(col("l_orderkey"), lit("returned_only").as("side"))
+      .unionAll(a.except(r)
+        .select(col("l_orderkey"), lit("accepted_only").as("side")))
+      .orderBy(col("side"), col("l_orderkey"))
+  }
 }

@@ -3621,6 +3621,57 @@ object OracleSql {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // K85 Neyman allocation: exact moments per stratum, 6-dp-rounded
+    // weights summed as exact DECIMAL
+    "sample_neyman" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * n_chars) AS DOUBLE)
+        |      AS sxx
+        |  FROM documents GROUP BY lang
+        |), wtd AS (
+        |  SELECT lang, n,
+        |    round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |               / (CAST(n AS DOUBLE) - 1)), 6) AS sd_chars,
+        |    CAST(round(CAST(n AS DOUBLE) *
+        |      sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - 1)), 6) AS DECIMAL(28,6)) AS w
+        |  FROM m
+        |), tot AS (SELECT SUM(w) AS wtot FROM wtd)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, sd_chars,
+        |  round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 6)
+        |    AS weight_share,
+        |  round(10000.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 2)
+        |    AS alloc_10k
+        |FROM wtd, tot
+        |ORDER BY lang""".stripMargin,
+
+    // K86 audio framing: closed forms of the 25ms/10ms STFT geometry
+    // over the declared 4-bytes-per-sample PCM interpretation
+    "multimodal_audio_frames" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) // 4 AS samples
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, samples,
+        |    CASE WHEN samples < 400 THEN 0
+        |         ELSE (samples - 400) // 160 + 1 END AS frames
+        |  FROM g
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(CASE WHEN frames = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_short,
+        |  CAST(SUM(samples) AS BIGINT) AS n_samples,
+        |  CAST(SUM(frames) AS BIGINT) AS n_frames,
+        |  CAST(SUM(frames * 400) AS BIGINT) AS n_frame_samples,
+        |  round(CAST(SUM(frames * 400) AS DOUBLE) /
+        |    CAST(SUM(samples) AS DOUBLE), 6) AS read_factor
+        |FROM f
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     // K75 sliding-window chunking: closed integer forms of the
     // LangChain splitter geometry (S=128, T=96); emitted tokens =
     // L + (S-T)*(n_chunks-1)
@@ -3804,6 +3855,21 @@ object OracleSql {
         |    AS sd_gap_s
         |FROM m
         |ORDER BY event_type""".stripMargin,
+
+    // G6 symmetric difference: two EXCEPTs + UNION ALL of tagged
+    // disjoint sides
+    "set_symmetric_diff" ->
+      """WITH r AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |), a AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |)
+        |SELECT l_orderkey, 'returned_only' AS side
+        |FROM (SELECT l_orderkey FROM r EXCEPT SELECT l_orderkey FROM a)
+        |UNION ALL
+        |SELECT l_orderkey, 'accepted_only' AS side
+        |FROM (SELECT l_orderkey FROM a EXCEPT SELECT l_orderkey FROM r)
+        |ORDER BY side, l_orderkey""".stripMargin,
 
     // J42 seasonality: weekday = epoch days mod 7 (0=Thursday) —
     // calendar DOW functions disagree on the week start across engines
