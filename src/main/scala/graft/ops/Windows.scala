@@ -277,6 +277,29 @@ object Windows {
       .orderBy(col("o_custkey"))
   }
 
+  /** E13: period-over-period change — weekly revenue with the
+    * previous week's value and the percent change, the
+    * week-over-week line every BI dashboard opens with: epoch-week
+    * buckets (the J37 rule — calendar week functions disagree across
+    * engines), exact integer cents, lag over the WEEK SPINE (the
+    * window orders a handful of rows after the fact table collapsed
+    * in a partial agg — never the raw events), one IEEE division
+    * guarded NULL-on-zero. */
+  def winPopChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = t(spark, sfDir, "events")
+      .groupBy(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7")
+        .cast("long").as("week"))
+      .agg(sum(cents(col("value"))).as("revenue_cents"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev_cents") =!= 0,
+          round((col("revenue_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double"), 6)))
+      .orderBy(col("week"))
+  }
+
   /** E12: longest strictly-increasing streak per user — the
     * MATCH_RECOGNIZE-style sequence detection Spark expresses with
     * lag + gaps-and-islands (the pattern behind "N consecutive days

@@ -3763,6 +3763,26 @@ object OracleSql {
         |FROM tl
         |ORDER BY day""".stripMargin,
 
+    // E13 period-over-period: epoch-week buckets, exact cents, lag
+    // over the collapsed week spine
+    "win_pop_change" ->
+      """WITH weekly AS (
+        |  SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+        |    AS BIGINT) AS week,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT week, revenue_cents,
+        |  lag(revenue_cents) OVER (ORDER BY week) AS prev_cents,
+        |  CASE WHEN lag(revenue_cents) OVER (ORDER BY week) <> 0
+        |    THEN round(CAST(revenue_cents -
+        |      lag(revenue_cents) OVER (ORDER BY week) AS DOUBLE) /
+        |      CAST(lag(revenue_cents) OVER (ORDER BY week) AS DOUBLE), 6)
+        |  END AS pct_change
+        |FROM weekly
+        |ORDER BY week""".stripMargin,
+
     // E12 streaks: gaps-and-islands over exact daily cents; first-row
     // and non-increase days both break (CASE NULL -> ELSE 1)
     "win_streaks" ->
