@@ -962,4 +962,62 @@ object Aggregates {
           .cast("double") /
           (col("n") * col("sx")).cast("double"), 9).as("gini"))
   }
+
+  /** D37: SQL-standard PERCENTILE_DISC — discrete quantiles per
+    * order priority. Unlike D13's interpolating `percentile`, the
+    * discrete variant returns an ACTUAL data value (the smallest
+    * value whose cumulative distribution ≥ p), which is what SLA /
+    * latency reporting wants: "the p90 order is THIS order", never a
+    * synthetic average of two neighbors. On exact integer cents both
+    * engines pick the identical element — no float boundary at all.
+    *
+    * Scale shape: same one-reducer-per-group property as any exact
+    * quantile (the D15 `percentile_approx` rung is the declared
+    * 100-TB switch); groups here are the 5 fixed priorities. */
+  def aggPercentileDisc(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tpc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY tpc)")
+          .cast("long").as("p25_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY tpc)")
+          .cast("long").as("p50_cents"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY tpc)")
+          .cast("long").as("p75_cents"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY tpc)")
+          .cast("long").as("p90_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** D38: winsorized mean — the robust-mean companion to D21's
+    * z-score outlier list: per return flag, extended prices are
+    * clamped to the [p05, p95] DISCRETE quantiles (actual data
+    * values, so the clamp bounds are exact integers) and re-averaged;
+    * reported next to the raw mean so the gap IS the outlier
+    * sensitivity. Two passes over the fact column (bounds, then
+    * clamp+mean) with the bounds frame broadcast — group cardinality
+    * rows, never a shuffle of the fact side for the second pass; the
+    * mean is the exact SUM(DECIMAL)/COUNT(*) contract division. */
+  def aggWinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("epc"))
+    val bounds = li.groupBy(col("rf")).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY epc)")
+        .cast("long").as("lo_cents"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY epc)")
+        .cast("long").as("hi_cents"))
+    li.join(broadcast(bounds), Seq("rf"))
+      .select(col("rf"), col("lo_cents"), col("hi_cents"), col("epc"),
+        least(greatest(col("epc"), col("lo_cents")), col("hi_cents"))
+          .as("wepc"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_cents")).as("lo_cents"),
+        first(col("hi_cents")).as("hi_cents"),
+        dbl(sum(dec(col("epc"))) / count(lit(1))).as("mean_cents"),
+        dbl(sum(dec(col("wepc"))) / count(lit(1))).as("winsor_mean_cents"))
+      .orderBy(col("rf"))
+  }
 }
