@@ -968,8 +968,11 @@ object Aggregates {
     * discrete variant returns an ACTUAL data value (the smallest
     * value whose cumulative distribution ≥ p), which is what SLA /
     * latency reporting wants: "the p90 order is THIS order", never a
-    * synthetic average of two neighbors. On exact integer cents both
-    * engines pick the identical element — no float boundary at all.
+    * synthetic average of two neighbors. The DuckDB oracle spells the
+    * standard rule out explicitly via cume_dist (DuckDB's own
+    * quantile_disc picks floor(p*(n-1)) and can disagree, e.g. n=5,
+    * p=0.9); on exact integer cents both engines then pick the
+    * identical element — no float boundary at all.
     *
     * Scale shape: same one-reducer-per-group property as any exact
     * quantile (the D15 `percentile_approx` rung is the declared
@@ -998,7 +1001,14 @@ object Aggregates {
     * sensitivity. Two passes over the fact column (bounds, then
     * clamp+mean) with the bounds frame broadcast — group cardinality
     * rows, never a shuffle of the fact side for the second pass; the
-    * mean is the exact SUM(DECIMAL)/COUNT(*) contract division. */
+    * mean is the exact SUM(DECIMAL)/COUNT(*) contract division.
+    *
+    * Scale shape: the bounds pass is an exact per-group quantile —
+    * one reducer per group (3 return flags) sees the full column, the
+    * same declared fixture-scale trade as D13/D37; the 100-TB switch
+    * is `percentile_approx` bounds (the D15 rung), which makes the
+    * bounds pass a mergeable sketch aggregation. The clamp pass is
+    * already scale-shaped (broadcast join, map-side partial agg). */
   def aggWinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),

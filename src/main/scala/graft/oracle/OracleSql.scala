@@ -2218,6 +2218,61 @@ object OracleSql {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // D37 percentile_disc: the SQL-standard rule (smallest value whose
+    // cume_dist >= p) written out EXPLICITLY via cume_dist — DuckDB's
+    // quantile_disc picks index floor(p*(n-1)), which differs from the
+    // standard (and from Spark's percentile_disc) for e.g. n=5, p=0.9.
+    // cume_dist is k/n in IEEE double in both engines, and the inputs
+    // are exact integer cents, so the selected element is identical.
+    "agg_percentile_disc" ->
+      """WITH cd AS (
+        |  SELECT o_orderpriority, tpc,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY tpc)
+        |      AS c
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tpc
+        |        FROM orders)
+        |)
+        |SELECT o_orderpriority,
+        |  CAST(MIN(CASE WHEN c >= 0.25 THEN tpc END) AS BIGINT) AS p25_cents,
+        |  CAST(MIN(CASE WHEN c >= 0.5  THEN tpc END) AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN c >= 0.75 THEN tpc END) AS BIGINT) AS p75_cents,
+        |  CAST(MIN(CASE WHEN c >= 0.9  THEN tpc END) AS BIGINT) AS p90_cents,
+        |  COUNT(*) AS n_orders
+        |FROM cd
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // D38 winsorized mean: [p05, p95] DISCRETE clamp bounds from the
+    // same explicit cume_dist standard rule as D37 (exact integer
+    // cents → identical bound element in both engines), then the
+    // contract mean SUM(DECIMAL)/COUNT(*) on raw and clamped cents.
+    "agg_winsorized_mean" ->
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS rf,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+         |  FROM lineitem
+         |), cd AS (
+         |  SELECT rf, epc,
+         |    cume_dist() OVER (PARTITION BY rf ORDER BY epc) AS c
+         |  FROM src
+         |), b AS (
+         |  SELECT rf,
+         |    CAST(MIN(CASE WHEN c >= 0.05 THEN epc END) AS BIGINT)
+         |      AS lo_cents,
+         |    CAST(MIN(CASE WHEN c >= 0.95 THEN epc END) AS BIGINT)
+         |      AS hi_cents
+         |  FROM cd GROUP BY rf
+         |)
+         |SELECT s.rf, COUNT(*) AS n,
+         |  MIN(b.lo_cents) AS lo_cents, MIN(b.hi_cents) AS hi_cents,
+         |  ${dbl(s"SUM(${dec("s.epc")}) / COUNT(*)")} AS mean_cents,
+         |  ${dbl(s"SUM(${dec("LEAST(GREATEST(s.epc, b.lo_cents), b.hi_cents)")}) / COUNT(*)")}
+         |    AS winsor_mean_cents
+         |FROM src s JOIN b ON s.rf = b.rf
+         |GROUP BY s.rf
+         |ORDER BY s.rf""".stripMargin,
+
     "agg_distinct" ->
       """SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,

@@ -400,4 +400,46 @@ class AggregatesSpec extends SparkTestBase {
     assert(math.abs(single.getAs[Double]("gini") - 0.9) < 1e-12)
   }
 
+  test("D37 percentile_disc follows the SQL-standard rule (smallest value " +
+      "with cume_dist >= p), incl. the n=5 p=0.9 boundary") {
+    import spark.implicits._
+    // n=5: cume_dist = 0.2,0.4,0.6,0.8,1.0 → p=0.9 selects the 5th
+    // element (standard rule); floor(p*(n-1)) = index 3 would give the
+    // 4th — the exact divergence the oracle must NOT inherit from
+    // quantile_disc.
+    val out = Seq(10L, 20L, 30L, 40L, 50L).toDF("v").repartition(3)
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("p90"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as("p50"))
+      .collect().head
+    assert(out.getAs[Long]("p90") == 50L,
+      "standard rule picks the smallest v with cume_dist >= 0.9")
+    assert(out.getAs[Long]("p50") == 30L)
+    // discreteness: the result is an ACTUAL element even between ranks
+    val mid = Seq(1L, 2L).toDF("v")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long")).collect().head.getLong(0)
+    assert(mid == 1L, "no interpolation: cume_dist(1)=0.5 >= 0.5")
+  }
+
+  test("D38 winsorized mean: clamp bounds are data values; winsorized " +
+      "mean is pulled toward the median under a planted outlier") {
+    val out = graft.ops.Aggregates
+      .aggWinsorizedMean(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      val (m, w) = (r.getAs[Double]("mean_cents"),
+        r.getAs[Double]("winsor_mean_cents"))
+      assert(lo <= hi)
+      // the winsorized mean lives inside the clamp interval by law
+      assert(w >= lo.toDouble && w <= hi.toDouble)
+      // and cannot stray further from the interval than the raw mean's
+      // clamp: |w - clamp(m)| bounded by interval width
+      assert(math.abs(w - math.min(math.max(m, lo.toDouble), hi.toDouble))
+        <= (hi - lo).toDouble)
+    }
+  }
+
 }
