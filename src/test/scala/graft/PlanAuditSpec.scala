@@ -682,4 +682,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!cb.contains("CartesianProduct"), cb)
   }
 
+  test("HITS half-iterations never re-shuffle the edge list (partition-once, both keys)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    // reproduce one authority-side half-iteration exactly as hits()
+    // builds it: a p-partitioned checkpointed edge copy joined with a
+    // score frame that is itself the checkpointed output of a
+    // groupBy(p) — the round-16 verdict defect was this join
+    // exchanging the FULL edge list every iteration because the only
+    // edge copy was c-partitioned
+    val edges = graft.ops.Graphs.cachedHitsEdges(spark, sfDir)
+    val edgesP = edges.repartition(col("p")).localCheckpoint(true)
+    val DL = DecimalType(28, 14)
+    val a = edgesP.groupBy(col("p"))
+      .agg(lit(0.5).as("a")).localCheckpoint(true)
+    val halfIter = edgesP.join(a, Seq("p"))
+      .groupBy(col("c")).agg(sum(col("a").cast(DL)).as("s"))
+    val p = halfIter.queryExecution.executedPlan.toString
+    // the ONLY hash exchange allowed is the aggregate's own shuffle on
+    // c (node-cardinality partial sums); an Exchange on p would mean
+    // the edge side is being re-shuffled into the join
+    assert(!p.contains("Exchange hashpartitioning(p#"),
+      s"edge side must arrive pre-partitioned on p:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"only the groupBy(c) partial-sum shuffle may exchange:\n$p")
+    // and the hub side symmetrically: c-partitioned copy, score frame
+    // out of groupBy(c), join on c — no edge re-shuffle
+    val edgesC = edges.repartition(col("c")).localCheckpoint(true)
+    val h = edgesC.groupBy(col("c"))
+      .agg(lit(0.5).as("h")).localCheckpoint(true)
+    val hubHalf = edgesC.join(h, Seq("c"))
+      .groupBy(col("p")).agg(sum(col("h").cast(DL)).as("s"))
+    val ph = hubHalf.queryExecution.executedPlan.toString
+    assert(!ph.contains("Exchange hashpartitioning(c#"),
+      s"edge side must arrive pre-partitioned on c:\n$ph")
+  }
+
 }
