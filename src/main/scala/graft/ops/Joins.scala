@@ -58,6 +58,45 @@ object Joins {
         col("c_nationkey"))
       .orderBy(asc_nulls_first("s_suppkey"), asc_nulls_first("c_custkey"))
 
+  /** C45: the scale-safe full-outer form (round-16 verdict #3) — C4's
+    * declared shape is a many-to-many fan-out on a 25-key column whose
+    * OUTPUT grows O(sf²); this companion aggregates BOTH sides first
+    * (supplier / customer balances rolled up per (nationkey,
+    * ⌊acctbal/1000⌋ band)) and full-outer joins the two aggregate
+    * frames, so the join output is bounded by the key-space
+    * cardinality (~25 × ~11 rows) at ANY scale factor. Band coverage
+    * differs naturally between the two sides, so both NULL arms are
+    * genuinely exercised. Presentation is top-50 by combined balance —
+    * plans TakeOrderedAndProject, never a global sort of a fan-out.
+    *
+    * Scale shape: two map-side partial aggs (each side shuffles only
+    * (key, partial) rows), one join of two ~300-row frames, one
+    * TakeOrdered. Survives 100× trivially — the only data-volume work
+    * is the two scans. */
+  def joinFullOuterTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = t(spark, sfDir, "supplier")
+      .groupBy(col("s_nationkey").as("snk"),
+        floor(col("s_acctbal") / lit(1000)).cast("long").as("sband"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(cents(col("s_acctbal"))).cast("long").as("supp_cents"))
+    val c = t(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").as("cnk"),
+        floor(col("c_acctbal") / lit(1000)).cast("long").as("cband"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).cast("long").as("cust_cents"))
+    s.join(c, col("snk") === col("cnk") && col("sband") === col("cband"),
+        "full")
+      .select(
+        coalesce(col("snk"), col("cnk")).as("nationkey"),
+        coalesce(col("sband"), col("cband")).as("band"),
+        col("n_supp"), col("supp_cents"), col("n_cust"), col("cust_cents"))
+      .orderBy(
+        (coalesce(col("supp_cents"), lit(0L))
+          + coalesce(col("cust_cents"), lit(0L))).desc,
+        col("nationkey"), col("band"))
+      .limit(50)
+  }
+
   /** C5: customers with ≥1 order (EXISTS → left-semi). */
   def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer")

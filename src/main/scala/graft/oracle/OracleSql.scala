@@ -1292,6 +1292,35 @@ object OracleSql {
         |FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey
         |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
 
+    // C45 scale-safe full outer: both sides aggregate FIRST (output is
+    // key-space-bounded at any SF), then FULL OUTER on the aggregate
+    // frames. floor(acctbal/1000) is one IEEE divide + floor in both
+    // engines; cents sums CAST to BIGINT (DuckDB SUM(BIGINT) yields
+    // HUGEINT → float64 fetch → hash mismatch otherwise).
+    "join_full_outer_topk" ->
+      """WITH s AS (
+        |  SELECT s_nationkey AS snk,
+        |    CAST(floor(s_acctbal / 1000) AS BIGINT) AS sband,
+        |    COUNT(*) AS n_supp,
+        |    CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS supp_cents
+        |  FROM supplier GROUP BY 1, 2
+        |), c AS (
+        |  SELECT c_nationkey AS cnk,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS cband,
+        |    COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cust_cents
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT COALESCE(s.snk, c.cnk) AS nationkey,
+        |  COALESCE(s.sband, c.cband) AS band,
+        |  s.n_supp, s.supp_cents, c.n_cust, c.cust_cents
+        |FROM s FULL JOIN c ON s.snk = c.cnk AND s.sband = c.cband
+        |ORDER BY COALESCE(s.supp_cents, 0) + COALESCE(c.cust_cents, 0) DESC,
+        |  nationkey, band
+        |LIMIT 50""".stripMargin,
+
     "join_semi" ->
       """SELECT c_custkey, c_name
         |FROM customer

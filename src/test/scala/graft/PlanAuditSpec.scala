@@ -682,6 +682,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!cb.contains("CartesianProduct"), cb)
   }
 
+  test("join_full_outer_topk: aggregate-first full outer, TakeOrdered presentation") {
+    val p = plan("join_full_outer_topk")
+    // the scale contract: the full-outer join sees two AGGREGATE
+    // frames (key-space-bounded), never the raw fact rows — so a
+    // HashAggregate must sit below the join on both sides, and the
+    // top-50 must plan TakeOrderedAndProject, not a global sort of a
+    // fan-out
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val joinLine = p.linesIterator.indexWhere(_.contains("SortMergeJoin") ) match {
+      case -1 => p.linesIterator.indexWhere(_.contains("Join FullOuter"))
+      case i => i
+    }
+    assert(joinLine >= 0, s"expected a full-outer join node:\n$p")
+    val below = p.linesIterator.drop(joinLine).mkString("\n")
+    assert(below.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"both full-outer inputs must be aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("HITS half-iterations never re-shuffle the edge list (partition-once, both keys)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
