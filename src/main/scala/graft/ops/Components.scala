@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import Util.IterCheckpoint
 
 /** Connected components over a pair list — the grouping stage that
   * turns near-duplicate PAIRS into dedup CLUSTERS (keep one canonical
@@ -68,7 +69,7 @@ object Components {
       .select(greatest(col(aCol), col(bCol)).as("hi"),
         least(col(aCol), col(bCol)).as("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // every vertex appearing in `edges` gets a label — taken BEFORE the
     // self-loop filter so a vertex whose only edge is (v, v) is still
     // labeled (as its own singleton) rather than silently dropped
@@ -76,7 +77,7 @@ object Components {
       .union(canon.select(col("lo").as("id")))
       .distinct()
     // self-loops carry no information
-    var e = canon.filter(col("hi") =!= col("lo")).localCheckpoint(true)
+    var e = canon.filter(col("hi") =!= col("lo")).iterCheckpoint()
     // order-invariant edge-set signature in ONE job per round: row
     // count + Σ xxhash64(hi, lo) summed as exact DECIMAL(38,0) (a
     // BIGINT sum of uniform 64-bit hashes overflows almost surely,
@@ -105,7 +106,7 @@ object Components {
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
-        .localCheckpoint(true)
+        .iterCheckpoint()
       // small-star: per hi-node u, m = min of its smaller neighbors;
       // attach every smaller neighbor and u itself to m (v = m would be
       // a self-loop — dropped)
@@ -116,7 +117,7 @@ object Components {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
         .distinct()
-        .localCheckpoint(true)
+        .iterCheckpoint()
       // fixpoint: both sides are distinct sets of materialized rows, so
       // equal counts + empty difference ⇔ set equality. The signature
       // screens in one job; the `except` job runs ONLY on a signature

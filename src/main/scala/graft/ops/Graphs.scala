@@ -122,13 +122,13 @@ object Graphs {
     * conservation, uniform stationary distribution on regular graphs)
     * are pinnable on known graphs (`GraphsSpec`). */
   def pagerank(rawEdges: DataFrame): DataFrame = {
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     // NOT checkpointed: a narrow projection-union over the already-
     // checkpointed edges — materializing it would only copy the rows
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // the teleport denominator n stays IN the dataflow as a 1-row
     // broadcast frame instead of a driver-side deg.count() (round-11
     // verdict #4): the scalar never round-trips through the driver.
@@ -140,7 +140,7 @@ object Graphs {
     // hint is the bounded-single-row pattern (Events.scala totals
     // frame): always exactly 1 row.
     val nF = broadcast(deg.agg(count(lit(1)).cast("double").as("n_nodes"))
-      .localCheckpoint(true))
+      .iterCheckpoint())
     // fold the out-degree onto each edge ONCE, and hash-partition the
     // edge list on the iteration join key BEFORE checkpointing: a
     // LogicalRDD keeps its physical partitioning, so every iteration's
@@ -149,7 +149,7 @@ object Graphs {
     // discipline, and the difference between shuffling the 100-TB edge
     // list once vs once per iteration
     val symd = sym.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).iterCheckpoint()
     val DL = DecimalType(28, 14)
     var ranks = deg.crossJoin(nF).select(col("src").as("node"),
       round(lit(1.0) / col("n_nodes"), 12).as("rank"))
@@ -163,7 +163,7 @@ object Graphs {
         .select(col("dst").as("node"),
           round(lit(0.15) / col("n_nodes")
             + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("d"), col("rank"))
@@ -309,10 +309,10 @@ object Graphs {
     * path/cycle distances, the hop cap) are pinnable on known graphs
     * (`GraphsSpec`). */
   def bfsDistances(rawEdges: DataFrame): DataFrame = {
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).iterCheckpoint()
     // guarded seed lookup: an empty edge relation yields a NULL min
     // (would NPE on getLong), and a non-Long integer key type would
     // ClassCastException — both fail informatively instead, and any
@@ -324,7 +324,7 @@ object Graphs {
     val src = seedRow.getLong(0)
     val session = edges.sparkSession
     import session.implicits._
-    var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)
+    var dist = Seq((src, 0)).toDF("node", "dist").iterCheckpoint()
     var frontier = dist
     for (d <- 1 to BfsMaxHops) {
       frontier = frontier.withColumnRenamed("node", "src")
@@ -332,8 +332,8 @@ object Graphs {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
-        .localCheckpoint(true)
-      dist = dist.unionAll(frontier).localCheckpoint(true)
+        .iterCheckpoint()
+      dist = dist.unionAll(frontier).iterCheckpoint()
     }
     dist
   }
@@ -388,7 +388,7 @@ object Graphs {
     * LPA CTE extended with the identical aggregation. */
   def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = cachedCoOccurrenceEdges(spark, sfDir, ComponentsMinQty)
-      .localCheckpoint(true)
+      .iterCheckpoint()
     modularity(edges, labelPropagation(edges))
   }
 
@@ -398,7 +398,7 @@ object Graphs {
     * in one community → Q = 0) are pinnable on known graphs
     * (`GraphsSpec`). */
   def modularity(rawEdges: DataFrame, labels: DataFrame): DataFrame = {
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     val tagged = edges
       .join(labels.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
       .join(labels.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
@@ -424,12 +424,12 @@ object Graphs {
     * disconnected-part independence) are pinnable on known graphs
     * (`GraphsSpec`). */
   def labelPropagation(rawEdges: DataFrame): DataFrame = {
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("dst")).localCheckpoint(true)
+      .repartition(col("dst")).iterCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      .select(col("id"), col("id").as("lbl")).iterCheckpoint()
     for (_ <- 1 to LpaRounds) {
       labels = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")),
@@ -440,7 +440,7 @@ object Graphs {
         .agg(min_by(col("nlbl"),
           struct((-col("c")).as("nc"), col("nlbl"))).as("lbl"))
         .select(col("src").as("id"), col("lbl"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     labels
   }
@@ -467,7 +467,7 @@ object Graphs {
     * list — separated so the peel laws (clique survival, tree
     * annihilation) are pinnable on known graphs (`GraphsSpec`). */
   def kcorePeel(rawEdges: DataFrame): DataFrame = {
-    var edges = rawEdges.localCheckpoint(true)
+    var edges = rawEdges.iterCheckpoint()
     for (_ <- 1 to KcoreRounds) {
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
@@ -477,7 +477,7 @@ object Graphs {
         .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
@@ -538,18 +538,18 @@ object Graphs {
     // the wedge self-join twice); without truncation each branch
     // re-derives the co-occurrence expansion from the base scan. A
     // production pipeline persists the built graph for the same reason.
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // n_nodes / n_edges / n_wedges in ONE pass over the degree table
     // (n_edges = Σd / 2 — edges never re-scanned for a plain count)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("sum(d) DIV 2").as("n_edges"),
       sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
-    val fwd = orientLowHigh(edges, deg).localCheckpoint(true)
+    val fwd = orientLowHigh(edges, deg).iterCheckpoint()
     // wedge at x over canonically-ordered out-neighbor pairs; the
     // closing edge, if present, is oriented y1→y2 by the same total
     // order, so one equi-join closes the triangle exactly once
@@ -602,12 +602,12 @@ object Graphs {
     * list — separated (the [[triangleCensus]] pattern) so known-graph
     * laws pin it directly in `GraphsSpec`. */
   private[graft] def clusteringByDegreeBucket(rawEdges: DataFrame): DataFrame = {
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.iterCheckpoint()
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    val fwd = orientLowHigh(edges, deg).localCheckpoint(true)
+      .iterCheckpoint()
+    val fwd = orientLowHigh(edges, deg).iterCheckpoint()
     val e1 = fwd.select(col("x").as("x1"), col("y").as("y1"), col("dy").as("d1"))
     val e2 = fwd.select(col("x").as("x2"), col("y").as("y2"), col("dy").as("d2"))
     val closer = fwd.select(col("x").as("cx"), col("y").as("cy"))
@@ -644,7 +644,7 @@ object Graphs {
     * discipline on graph shape; degree-join + one map-side-combined
     * pass, no window, no iteration. */
   def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = cachedCoOccurrenceEdges(spark, sfDir).localCheckpoint(true)
+    val edges = cachedCoOccurrenceEdges(spark, sfDir).iterCheckpoint()
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -752,11 +752,11 @@ object Graphs {
     // come out of groupBy(p)/groupBy(c) already hash-partitioned on
     // the matching key, so iteration exchanges carry only
     // node-cardinality partial sums.
-    val edgesC = rawEdges.repartition(col("c")).localCheckpoint(true)
-    val edgesP = rawEdges.repartition(col("p")).localCheckpoint(true)
+    val edgesC = rawEdges.repartition(col("c")).iterCheckpoint()
+    val edgesP = rawEdges.repartition(col("p")).iterCheckpoint()
     val DL = DecimalType(28, 14)
     val nC = broadcast(edgesC.select(col("c")).distinct()
-      .agg(count(lit(1)).cast("double").as("n")).localCheckpoint(true))
+      .agg(count(lit(1)).cast("double").as("n")).iterCheckpoint())
     var h = edgesC.select(col("c")).distinct().crossJoin(nC)
       .select(col("c"), round(lit(1.0) / col("n"), 12).as("h"))
     var a: DataFrame = null
@@ -767,14 +767,14 @@ object Graphs {
       // the tiny crossJoin-normalize stays lazy (bounded lineage).
       val sa = edgesC.join(h, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h").cast(DL)).as("s"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       val na = broadcast(sa.agg(sum(col("s")).as("tot")))
       a = sa.crossJoin(na)
         .select(col("p"), round(col("s").cast("double") /
           col("tot").cast("double"), 12).as("a"))
       val sh = edgesP.join(a, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a").cast(DL)).as("s"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       val nh = broadcast(sh.agg(sum(col("s")).as("tot")))
       h = sh.crossJoin(nh)
         .select(col("c"), round(col("s").cast("double") /

@@ -74,4 +74,44 @@ object Util {
   /** Money-as-integer-cents: deterministic BIGINT from a 2-decimal DOUBLE.
     * round() is HALF_UP for positive values in both Spark and DuckDB. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Conf key for the reliable-checkpoint switch: when set to a
+    * directory (HDFS/S3/local path), iterative ops checkpoint THROUGH
+    * the filesystem instead of executor block storage. */
+  val CheckpointDirConf = "spark.graft.checkpoint.dir"
+
+  /** Lineage checkpoint for iterative dataflows (pagerank / HITS /
+    * label-prop / k-core / BFS / connected components), conf-gated
+    * (round-16 verdict #5):
+    *
+    *  - default: `localCheckpoint(eager)` — materialized blocks live
+    *    on executors. Fast (no fs round-trip), right for local mode
+    *    and for clusters where a lost executor may simply re-run the
+    *    job.
+    *  - with [[CheckpointDirConf]] set: RELIABLE `checkpoint(eager)`
+    *    into that directory. On a real cluster an executor loss
+    *    mid-iteration otherwise kills the truncated lineage
+    *    IRRECOVERABLY (the blocks' only copy died with the executor
+    *    and the pre-checkpoint lineage was discarded) — the fs copy
+    *    makes iteration state survive any executor loss, the 100-TB
+    *    posture for multi-hour iterative jobs.
+    *
+    * Both variants go through the same Dataset.checkpoint machinery
+    * and preserve physical partitioning in the resulting LogicalRDD,
+    * so the partition-once join discipline is unaffected by the
+    * switch (pinned in `GraphsSpec`). */
+  implicit class IterCheckpoint(private val df: DataFrame) {
+    def iterCheckpoint(eager: Boolean = true): DataFrame =
+      df.sparkSession.conf.getOption(CheckpointDirConf)
+        .filter(_.nonEmpty) match {
+        case Some(dir) =>
+          val sc = df.sparkSession.sparkContext
+          // setCheckpointDir appends a per-app UUID subdir; only (re)set
+          // when unset or pointed elsewhere (conf changed mid-session)
+          if (!sc.getCheckpointDir.exists(_.contains(dir)))
+            sc.setCheckpointDir(dir)
+          df.checkpoint(eager)
+        case None => df.localCheckpoint(eager)
+      }
+  }
 }
