@@ -755,6 +755,114 @@ object StreamingOps {
         OutputMode.Append())
       .toDF("user_id", "event_type", "event_id", "gap")
   }
+
+  // ---- batch-equivalence drivers: the J4-J8 true-streaming ops run
+  // TO COMPLETION against the events fixture and surfaced as
+  // oracle-checkable queries (round-16 verdict #6). Each runs the
+  // REAL streaming operator (readStream file source → the same
+  // transform the MemoryStream specs pin → memory sink), then
+  // presents a deterministic batch-side aggregation of the sink —
+  // so the driver's DuckDB gate now covers the streaming surface,
+  // not just ScalaTest. The fixture arrives as one micro-batch
+  // (single parquet file), which makes watermark-order effects moot:
+  // the streamed result must equal the batch query exactly.
+
+  /** The events fixture as a bounded STREAM — same parquet, same
+    * timestamp normalization as `Util.t` (shared
+    * [[Util.normalizeFixture]] seam), read through the file streaming
+    * source. The fixture is a single FILE and the file source
+    * requires a DIRECTORY, so the file is staged once into a
+    * content-keyed FixtureCache dir (a regenerated fixture re-stages
+    * automatically). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sfDir/events.parquet"
+    val dir = FixtureCache.ensure(spark, "events_stream_dir_v1", sfDir,
+      Seq(src)) { staging =>
+      val conf = spark.sessionState.newHadoopConf()
+      val from = new org.apache.hadoop.fs.Path(src)
+      val to = new org.apache.hadoop.fs.Path(s"$staging/events.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf), from,
+        to.getFileSystem(conf), to, false, conf)
+    }
+    val schema = spark.read.parquet(src).schema
+    normalizeFixture(
+      spark.readStream.schema(schema).parquet(dir), eventsTs = true)
+  }
+
+  private val beCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a streaming frame to completion into a uniquely-named memory
+    * sink and return the sink table. Memory sink is bounded here by
+    * construction: every _be query either aggregates in-stream or
+    * joins down to pair cardinality before the sink. */
+  def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_be_${beCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_be_ckpt_").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** J4_be: [[tumblingWithWatermark]] run to completion (complete
+    * mode — every window emits; with the fixture as one batch nothing
+    * is late, so stream ≡ batch is the exact equivalence the oracle
+    * checks). */
+  def streamWatermarkLateBe(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(tumblingWithWatermark(eventsStream(spark, sfDir)),
+        "complete")
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** J5_be: [[streamingDedup]] run to completion; fixture event_ids
+    * are unique, so the deduped stream must carry exactly the corpus —
+    * presented as per-type counts (order-insensitive, sink-bounded). */
+  def streamDedupBe(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(streamingDedup(eventsStream(spark, sfDir)), "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** J6_be: [[streamStaticJoin]] against a derived user-segment dim
+    * (user_id mod 4), aggregated per segment. */
+  def streamStaticJoinBe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = t(spark, sfDir, "events").select(col("user_id")).distinct()
+      .withColumn("segment",
+        concat(lit("seg_"), pmod(col("user_id"), lit(4))))
+    runToCompletion(
+        streamStaticJoin(eventsStream(spark, sfDir), dim), "append")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("segment"))
+  }
+
+  /** J7_be: [[statefulRunningCount]] (mapGroupsWithState) run to
+    * completion in update mode; the FINAL running count per user (max
+    * over updates — the counter is monotone) must equal the batch
+    * per-user count. */
+  def streamStatefulCustomBe(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(statefulRunningCount(eventsStream(spark, sfDir)),
+        "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** J8_be: [[streamStreamIntervalJoin]] (stream-stream self-join) run
+    * to completion; pair counts and exact gap sums per user must equal
+    * the batch C9 range join. */
+  def streamStreamIntervalJoinBe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val joined = streamStreamIntervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+    runToCompletion(joined, "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("gap_us")).cast("long").as("sum_gap_us"))
+      .orderBy(col("user_id"))
+  }
 }
 
 /** The J40 stateful processor: per (user, type) key, one Long value

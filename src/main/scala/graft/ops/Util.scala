@@ -45,9 +45,19 @@ object Util {
     * both engines bit-agreed. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeFixture(spark.read.parquet(s"$sfDir/$name.parquet"),
+      name == "events")
+  }
+
+  /** The fixture-timestamp normalization of [[t]], factored so a
+    * STREAMING read of the same parquet (the J-family
+    * batch-equivalence rungs) applies the identical physical-type
+    * absorption — nanos-as-long floor-division and NTZ→session-TZ
+    * cast must never diverge between the batch and stream paths. */
+  def normalizeFixture(df0: DataFrame, eventsTs: Boolean): DataFrame = {
     val df =
-      if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (eventsTs && df0.schema.fieldNames.contains("ts")
+          && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df0.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
       else df0
     df.schema.fields.filter(_.dataType ==

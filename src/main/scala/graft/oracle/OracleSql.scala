@@ -2790,6 +2790,51 @@ object OracleSql {
         |ORDER BY p_partkey, pos""".stripMargin,
 
     // ---------------- J: event-time windowing (batch semantics) ----------------
+    // J4-J8 _be: the true-streaming ops run TO COMPLETION over the
+    // fixture (one micro-batch — nothing is late, dedup state sees
+    // every id, join state never evicts mid-stream), so the streamed
+    // result must equal the plain batch relation below EXACTLY.
+    "stream_watermark_late_be" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS wstart,
+        |  event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    // fixture event_ids are unique, so the deduped stream carries the
+    // whole corpus
+    "stream_dedup_be" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "stream_stream_static_join_be" ->
+      """SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
+
+    "stream_stateful_custom_be" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "stream_stream_interval_join_be" ->
+      """SELECT e1.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(epoch_us(e2.ts) - epoch_us(e1.ts)) AS BIGINT)
+        |    AS sum_gap_us
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |GROUP BY e1.user_id
+        |ORDER BY e1.user_id""".stripMargin,
+
     "stream_tumbling" ->
       s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
          |  event_type, COUNT(*) AS n,
