@@ -937,6 +937,64 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A42: incremental MV maintenance under DELETES — the retraction
+    * path A38's scaladoc declared as a caveat, made executable
+    * (round-16 verdict #7). The view (per-priority COUNT / SUM /
+    * MIN / MAX over order cents) is maintained through a CDC delete
+    * batch WITHOUT an O(table) recompute:
+    *
+    *  - COUNT/SUM retract EXACTLY: the delete batch aggregates alone
+    *    (cost ∝ batch) and subtracts from the state — exact integer
+    *    cents, so the subtraction is bit-exact;
+    *  - MIN/MAX are not retractable from the aggregate alone: a group
+    *    is flagged DIRTY only when the deleted batch's extreme
+    *    touches the stored extreme (deleted_min ≤ state_min or
+    *    deleted_max ≥ state_max), and ONLY dirty groups recompute
+    *    their extremes from the remaining base rows — the recompute
+    *    join is bounded by the broadcast dirty-key set, so a delete
+    *    batch that never touches an extreme costs O(batch) total;
+    *  - groups retracted to zero support DROP from the view.
+    *
+    * The oracle computes the one-shot aggregate over (initial \
+    * deleted) directly, so hash equality IS the retraction-
+    * correctness proof. */
+  def warehouseIncrementalAggDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("tc"))
+    def rollup(df: DataFrame, sfx: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(s"n$sfx"), sum(col("tc")).as(s"s$sfx"),
+          min(col("tc")).as(s"mn$sfx"), max(col("tc")).as(s"mx$sfx"))
+    // view contents after the initial build
+    val live0 = base.filter(col("o_orderkey") % 3 =!= 0)
+    val state = rollup(live0, "0")
+    // the CDC delete batch: every 7th live order retracts
+    val delBatch = live0.filter(col("o_orderkey") % 7 === 0)
+    val dAgg = rollup(delBatch, "1")
+    val merged = state.join(dAgg, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        (col("n0") - coalesce(col("n1"), lit(0L))).as("n_orders"),
+        (col("s0") - coalesce(col("s1"), lit(0L))).as("sum_cents"),
+        col("mn0"), col("mx0"),
+        (col("mn1").isNotNull &&
+          (col("mn1") <= col("mn0") || col("mx1") >= col("mx0")))
+          .as("dirty"))
+    // extremes recomputed ONLY for dirty groups, over remaining rows
+    val remaining = live0.filter(col("o_orderkey") % 7 =!= 0)
+    val recomputed = remaining
+      .join(broadcast(merged.filter(col("dirty"))
+        .select(col("o_orderpriority"))), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("tc")).as("rmn"), max(col("tc")).as("rmx"))
+    merged.join(recomputed, Seq("o_orderpriority"), "left")
+      .filter(col("n_orders") > 0)
+      .select(col("o_orderpriority"), col("n_orders"), col("sum_cents"),
+        when(col("dirty"), col("rmn")).otherwise(col("mn0")).as("min_cents"),
+        when(col("dirty"), col("rmx")).otherwise(col("mx0")).as("max_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

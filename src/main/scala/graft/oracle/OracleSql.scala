@@ -679,6 +679,21 @@ object OracleSql {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // A42 retraction path: the one-shot aggregate over (initial \
+    // deleted) — hash equality proves the engine's incremental
+    // COUNT/SUM retraction + dirty-group MIN/MAX recompute correct
+    "warehouse_incremental_agg_del" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(tc) AS BIGINT) AS sum_cents,
+        |  MIN(tc) AS min_cents, MAX(tc) AS max_cents
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc
+        |      FROM orders)
+        |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 0
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // A37 multi-path scoped read: path scoping must be
     // value-transparent — the oracle filters the base table
     "scan_glob_paths" ->
