@@ -55,11 +55,19 @@ object Bench {
     // iterating on one operator without paying the full-suite loop
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // per-query WARM-UP rep, discarded from both median and min
+    // (round-16 verdict #8): the first execution pays codegen JIT,
+    // FixtureCache builds, and broadcast warm-up — folding it into the
+    // median inflated every cold query; folding it into min never
+    // helped (min is only ever reached warm). SPARK_GRAFT_BENCH_WARMUP=0
+    // restores the old envelope.
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
+      .forall(_ != "0")
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to Reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,6 +77,8 @@ object Bench {
           None
         }
       }
+      if (warmup) rep()
+      val times = (1 to Reps).flatMap(_ => rep())
       // any failed rep marks the query failed — a flaky query must not
       // report the median of its surviving runs as if healthy
       (name, if (times.length == Reps) median(times) else -1.0,
@@ -123,7 +133,15 @@ object Bench {
     // stdout, and always machine-parses. n_outliers preserves the
     // contention signal even when the rep_outliers map was truncated
     // away with the head. value_min is the contention-immune headline.
-    val compactLine = s"""{"metric":"total_compact","unit":"sec","value":$total,"value_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"n_outliers":$nOutliers,"reps":$Reps,"wall_sec":$wallSec}"""
+    // contention_ratio: whole-loop wall clock over the sum of medians
+    // — a quiet host sits near (warm-up + reps); r15/r16 driver
+    // captures ran at 3.4-4.1x, the contention fingerprint the verdict
+    // had to reconstruct by hand. Reported in BOTH lines so the gate
+    // can discount a noisy capture without re-deriving it.
+    val contentionRatio =
+      if (total > 0) wallSec / (total * (Reps + (if (warmup) 1 else 0)))
+      else -1.0
+    val compactLine = s"""{"metric":"total_compact","unit":"sec","value":$total,"value_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"n_outliers":$nOutliers,"reps":$Reps,"warmup":${if (warmup) 1 else 0},"contention_ratio":${"%.3f".formatLocal(java.util.Locale.ROOT, contentionRatio)},"wall_sec":$wallSec}"""
     // mirror the FULL artifact to a file the driver can stage — stdout
     // tail-capture has truncated the big line every round since r9, so
     // the file is the only loss-proof channel for the per-query map.
