@@ -225,6 +225,68 @@ object AnnHnsw {
         .write.mode("overwrite").parquet(s"$tmp/entry")
     }
 
+  /** SET-ORIENTED multi-query hierarchical search — the BATCH-probe
+    * form of [[searchTopK]] (round-16 verdict: the driver-coordinated
+    * walk is a point-serving path, one Spark job per hop — correct
+    * for a single probe, wrong for a query SET). All queries descend
+    * the hierarchy TOGETHER: each hop is one frontier×adjacency join
+    * + one bounded score join + one per-query window — job count is
+    * O(hops), independent of the query count, and every join's volume
+    * is ≤ queries × beam × M. Per query, the expansion/selection walk
+    * is EXACTLY [[searchTopK]]'s (same entry, same pool-wide top-beam
+    * reselection, same hop counts), so batch(q) ≡ sequential(q)
+    * row-for-row — pinned in `AnnNswSpec`.
+    *
+    * `queries` carries (`qid`, `qvec`); returns (qid, rk, neighbor,
+    * score) — top-k per query, self-matches excluded, 6-dp rounded,
+    * fully tie-broken. */
+  def searchTopKBatch(spark: SparkSession, indexDir: String,
+      nodes: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val layers = spark.read.parquet(s"$indexDir/layers")
+    val corp = nodes.select(col(idCol).as("cand"), col(vecCol).as("__vb"))
+    val q = queries.select(col("qid"), col("qvec"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(q, Seq("qid"))
+        .join(corp, Seq("cand"))
+        .select(col("qid"), col("cand"),
+          AnnLsh.cosine(col("qvec").cast("array<double>"),
+            col("__vb").cast("array<double>")).as("score"))
+    def top(pool: DataFrame, width: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("cand"))
+      pool.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= width).drop("rk")
+    }
+    def hop(pool: DataFrame, frontier: DataFrame, layer: Int): DataFrame = {
+      val adjL = layers.filter(col("layer") === layer)
+        .select(col("src").as("cand"), col("dst"))
+      val expand = frontier.join(adjL, Seq("cand"))
+        .select(col("qid"), col("dst").as("cand")).distinct()
+        .join(pool.select(col("qid"), col("cand")), Seq("qid", "cand"),
+          "left_anti")
+      pool.unionByName(score(expand)).localCheckpoint(true)
+    }
+    val entryDf = broadcast(spark.read.parquet(s"$indexDir/entry")
+      .select(col("entry").as("cand")))
+    var pool = score(q.select(col("qid")).crossJoin(entryDf))
+      .localCheckpoint(true)
+    for (l <- MaxLevel to 1 by -1; _ <- 1 to UpperHops)
+      pool = hop(pool, top(pool, UpperBeam), l)
+    for (_ <- 1 to AnnNsw.Hops)
+      pool = hop(pool, top(pool, AnnNsw.Beam), 0)
+    top(pool, AnnNsw.Beam)
+      .filter(col("qid") =!= col("cand"))
+      .select(col("qid"), col("cand").as("neighbor"),
+        round(col("score"), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("neighbor"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("neighbor"), col("score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Greedy hierarchical search: descend the upper layers with a
     * narrow beam, then run the wide layer-0 beam. Returns top-k
     * (idCol, score), 6-dp rounded, fully tie-broken. */

@@ -1579,6 +1579,28 @@ object LlmData {
       excludeId = Some(0L))
   }
 
+  /** K87: BATCH graph-probe ANN — the set-oriented form of K79's
+    * point search (round-16 verdict: the driver-coordinated beam walk
+    * is one Spark job per hop, a point-serving path; the batch form
+    * must move ALL queries through the hierarchy together). Every
+    * 97th vector queries the shared HNSW index at once
+    * ([[AnnHnsw.searchTopKBatch]]): per hop ONE frontier×adjacency
+    * join + ONE bounded score join + ONE per-query window — job count
+    * independent of query count, join volume ≤ queries × beam × M.
+    * Per query the walk is exactly [[AnnHnsw.searchTopK]]'s
+    * (batch ≡ sequential row identity pinned in `AnnNswSpec`); batch
+    * recall vs brute force pinned in `GroundTruthSpec`. Registered
+    * rows-only (seeded k-means cells). */
+  def simHnswBatchTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      s"$sfDir/embeddings")
+    val queries = df.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    AnnHnsw.searchTopKBatch(spark, dir, df, "vec_id", "embedding",
+      queries, 5)
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

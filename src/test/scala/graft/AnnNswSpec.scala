@@ -105,6 +105,40 @@ class AnnNswSpec extends SparkTestBase {
     assert(entry == 0L, "min id of the level-2 subsample (0,256,512)")
   }
 
+  test("HNSW batch probe: batch(q) is row-identical to the sequential " +
+      "driver walk for every query (K87)") {
+    import graft.ops.{AnnHnsw, AnnNsw}
+    val vs = randomVecs(400, 53)
+    val pairs = vs.zipWithIndex.map { case (v, i) => i.toLong -> v }
+    val df = vecsDf(pairs)
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      tmpSource(df))
+    val qids = Seq(0L, 97L, 194L, 291L)
+    val queries = df.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = AnnHnsw.searchTopKBatch(spark, dir, df, "vec_id",
+        "embedding", queries, 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    for (qid <- qids) {
+      val seqWalk = AnnHnsw.searchTopK(spark, dir, df, "vec_id",
+          "embedding", pairs(qid.toInt)._2, 5, excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == seqWalk,
+        s"batch and sequential walks diverged for q=$qid: " +
+          s"${batch(qid)} vs $seqWalk")
+    }
+    // job-count independence is structural (hops, not queries): the
+    // batch result covers every query in one pool — sanity: all
+    // queries answered with k rows
+    assert(batch.keySet == qids.toSet)
+    assert(batch.values.forall(_.length == 5))
+  }
+
   test("HNSW: a planted scaled copy of the query is hit #1 and the " +
       "search is deterministic (K79)") {
     import graft.ops.AnnHnsw

@@ -363,6 +363,37 @@ class GroundTruthSpec extends SparkTestBase {
     assert(r8 >= r2, s"recall must not fall as nprobe grows: $r2 -> $r8")
     assert(r8 >= 0.6, s"K18 sf0.1 recall@5 at nprobe=8 was $r8, below the pinned floor")
   }
+  test("K87 sim_hnsw_batch_topk: mean batch recall@5 vs per-query brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val floors = Seq(sfDir -> 0.7, "/root/testdata/sf0.01" -> 0.7)
+    for ((dir, floor) <- floors) {
+      val emb = graft.ops.Util.t(spark, dir, "embeddings")
+      val batch = LlmData.simHnswBatchTopk(spark, dir).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      // brute force per query: bounded queries × corpus score join
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = q.join(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nv")), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          graft.ops.AnnLsh.cosine(col("qv").cast("array<double>"),
+            col("nv").cast("array<double>")).as("s"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("s").desc, col("nid"))))
+        .filter(col("rk") <= 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      assert(batch.keySet == truth.keySet,
+        s"every query must be answered: ${batch.keySet} vs ${truth.keySet}")
+      val recalls = truth.map { case (k, exact) =>
+        batch(k).count(exact.contains).toDouble / exact.size }
+      val mean = recalls.sum / recalls.size
+      info(s"K87 $dir mean batch recall@5 = $mean over ${recalls.size} queries")
+      assert(mean >= floor, s"K87 $dir mean recall $mean below floor $floor")
+    }
+  }
+
   test("K79 sim_hnsw_topk: recall@5 vs the oracle-checked exact sim_topk") {
     // deterministic like K67 (measured 1.0 / 0.6 — identical to the
     // flat NSW probe on these isotropic fixtures, which is the honest

@@ -24,7 +24,8 @@ class QueriesSmokeSpec extends SparkTestBase {
       "dedup_minhash",
       "dedup_simhash", "dedup_embedding", "dedup_semantic",
       "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
-      "sim_nsw_topk", "sim_hnsw_topk", "contamination_embedding"))
+      "sim_nsw_topk", "sim_hnsw_topk", "sim_hnsw_batch_topk",
+      "contamination_embedding"))
   }
 
   test("entry() returns rows") {
