@@ -995,6 +995,35 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A43: warehouse-side SCHEMA EVOLUTION — an append commit ADDS a
+    * column and the snapshot read absorbs it additively (the
+    * Delta/Iceberg evolution contract): rows from pre-evolution
+    * commits surface the new column as NULL, post-evolution rows
+    * carry their values, nothing is rewritten. Distinct from A10
+    * (file-level mergeSchema on a raw directory): here the evolution
+    * happens THROUGH the versioned commit protocol, and the read
+    * path's by-name assembly is what makes every older snapshot and
+    * time-travel read keep working. The presentation folds the NULLs
+    * into a 'legacy' tier so the oracle can rebuild the exact frame
+    * from the base table. */
+  def warehouseSchemaAddCol(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_addcol_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 2 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 2 === 1)
+        .withColumn("c_tier",
+          when(col("c_acctbal") >= 5000.0d, "gold").otherwise("std")))
+    SnapshotStore.read(spark, root)
+      .groupBy(coalesce(col("c_tier"), lit("legacy")).as("tier"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+      .orderBy(col("tier"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

@@ -795,15 +795,27 @@ object StreamingOps {
   /** Run a streaming frame to completion into a uniquely-named memory
     * sink and return the sink table. Memory sink is bounded here by
     * construction: every _be query either aggregates in-stream or
-    * joins down to pair cardinality before the sink. */
+    * joins down to pair cardinality before the sink.
+    *
+    * Stateful streaming cost is dominated by STATE STORE count (one
+    * RocksDB/HDFS-backed store per shuffle partition per stateful
+    * operator, re-opened every micro-batch) — at the fixture's data
+    * volume 32 stores are pure overhead, so the shuffle width is
+    * narrowed around the bounded run and restored after (the
+    * stream-stream join measured 12.5 s at 32 partitions; state count
+    * scales with partitions, results don't depend on it). */
   def runToCompletion(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_be_${beCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_be_ckpt_").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 

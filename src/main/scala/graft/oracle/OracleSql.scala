@@ -679,6 +679,20 @@ object OracleSql {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // A43 schema evolution: pre-evolution rows (even keys) read the
+    // added column as NULL → 'legacy'; post-evolution rows carry the
+    // committed tier rule
+    "warehouse_schema_add_col" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'legacy'
+        |            WHEN c_acctbal >= 5000 THEN 'gold'
+        |            ELSE 'std' END AS tier,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY tier""".stripMargin,
+
     // A42 retraction path: the one-shot aggregate over (initial \
     // deleted) — hash equality proves the engine's incremental
     // COUNT/SUM retraction + dirty-group MIN/MAX recompute correct

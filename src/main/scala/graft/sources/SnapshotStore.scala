@@ -554,14 +554,21 @@ object SnapshotStore {
       .toSeq
       // deterministic assembly order: by first member's manifest position
       .sortBy { case (_, members) => members.map(_._2).min }
+    // mergeSchema + by-name union with missing-column NULL fill: a
+    // later commit may ADD columns (A43 schema evolution) — earlier
+    // dirs read them as NULL, the Delta/Iceberg additive-evolution
+    // contract. (Production stores the current schema in the table
+    // log and reads ONE footer; mergeSchema's footer sweep is the
+    // log-less stand-in, bounded by dir count per segment.)
     segments.map { case (dvs, members) =>
-      val base = spark.read.parquet(members.map(_._1.dir): _*)
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(members.map(_._1.dir): _*)
       dvs.groupBy(_.keyCol).foldLeft(base) { case (acc, (keyCol, vs)) =>
         val keys = spark.read.parquet(vs.map(_.dir): _*)
           .select(col(keyCol)).distinct()
         acc.join(keys, Seq(keyCol), "left_anti")
       }
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def resolve(spark: SparkSession, root: String,

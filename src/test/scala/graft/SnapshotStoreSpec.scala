@@ -577,4 +577,29 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(post == pre, "vacuum must not touch the live clustered data")
   }
 
+  test("A43: an append commit ADDS a column — old rows read NULL, " +
+      "old snapshots keep the original schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark, root,
+      (1L to 50L).map(k => (k, s"r$k")).toDF("k", "p"))
+    SnapshotStore.commitAppend(spark, root,
+      (51L to 80L).map(k => (k, s"r$k", k * 10)).toDF("k", "p", "extra"))
+    val latest = SnapshotStore.read(spark, root)
+    assert(latest.columns.toSet == Set("k", "p", "extra"))
+    val rows = latest.select("k", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows.size == 80)
+    assert((1L to 50L).forall(rows(_).isEmpty),
+      "pre-evolution rows must surface the added column as NULL")
+    assert((51L to 80L).forall(k => rows(k).contains(k * 10)),
+      "post-evolution rows must carry their committed values")
+    // time travel to v1 keeps the ORIGINAL schema — evolution is
+    // per-snapshot, never retroactive
+    val v1 = SnapshotStore.read(spark, root, asOf = Some(1))
+    assert(v1.columns.toSet == Set("k", "p"), v1.columns.mkString(","))
+    assert(v1.count() == 50)
+  }
+
 }
