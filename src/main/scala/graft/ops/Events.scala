@@ -50,6 +50,52 @@ object Events {
         count(col("p_us")).as("n_purchase_after_click"))
   }
 
+  /** J43: funnel conversion LATENCY — the time dimension J11's counts
+    * flatten away: among users who completed view → qualifying click,
+    * the distribution of the view→click gap (and click→purchase for
+    * full converters) as discrete quantiles over exact integer
+    * micros — "how long does conversion take", the second question
+    * every funnel owner asks. Gaps are exact BIGINT micro
+    * differences of per-user firsts (one agg per stage, J11's
+    * frames); quantiles are the D37 standard-rule percentile_disc on
+    * integers, so both engines select the identical element. Scale
+    * shape: per-user stage frames (user-cardinality), one ≤2-group
+    * exact-quantile agg over user-cardinality gap rows — at 100 TB
+    * the gap relation is |users|, not |events|, and D15's
+    * percentile_approx is the declared switch if even that is too
+    * wide. */
+  def eventsFunnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tus") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tus") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
+    val gaps =
+      c.join(v, Seq("user_id"))
+        .select(lit("view_to_click").as("stage"),
+          (col("c_us") - col("v_us")).as("gap_us"))
+        .unionByName(
+          p.join(c, Seq("user_id"))
+            .select(lit("click_to_purchase").as("stage"),
+              (col("p_us") - col("c_us")).as("gap_us")))
+    gaps.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+          .cast("long").as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)")
+          .cast("long").as("p90_us"),
+        max(col("gap_us")).as("max_us"))
+      .orderBy(col("stage"))
+  }
+
   /** J13: event-path transition matrix — per user, each consecutive
     * (event_type → next event_type) step in (ts, event_id) order,
     * counted corpus-wide, with each transition's share of its source

@@ -2924,6 +2924,43 @@ object OracleSql {
         |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
         |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click""".stripMargin,
 
+    // J43 funnel latency: same funnel CTEs as J11; gap quantiles via
+    // the D37 explicit cume_dist standard rule on exact BIGINT micros
+    "events_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+        |  GROUP BY e.user_id
+        |), gaps AS (
+        |  SELECT 'view_to_click' AS stage, c.c_us - v.v_us AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', p.p_us - c.c_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |), cd AS (
+        |  SELECT stage, gap_us,
+        |    cume_dist() OVER (PARTITION BY stage ORDER BY gap_us) AS cdv
+        |  FROM gaps
+        |)
+        |SELECT stage, COUNT(*) AS n_users,
+        |  CAST(MIN(CASE WHEN cdv >= 0.5 THEN gap_us END) AS BIGINT)
+        |    AS p50_us,
+        |  CAST(MIN(CASE WHEN cdv >= 0.9 THEN gap_us END) AS BIGINT)
+        |    AS p90_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_us
+        |FROM cd
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin,
+
     // cohort = first-activity epoch day; weekly offsets, distinct
     // active users — integer day arithmetic in both engines
     "retention_cohorts" ->
