@@ -701,6 +701,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-17 additions keep their scale shapes") {
+    // A42 retraction: the dirty-group extreme recompute joins the fact
+    // side against a BROADCAST dirty-key set (never a shuffle of the
+    // remaining rows onto a 5-row frame), and nothing plans a cartesian
+    val ia = plan("warehouse_incremental_agg_del")
+    assert(ia.contains("BroadcastHashJoin"),
+      s"dirty-key recompute must broadcast:\n$ia")
+    assert(!ia.contains("CartesianProduct"), ia)
+    // J43 latency: every stage filter reaches the parquet scan; the
+    // quantile agg runs over the user-cardinality gap relation with
+    // partial aggregation below the exchange
+    val fl = plan("events_funnel_latency")
+    assert(fl.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      "stage type filters must reach the scan")
+    assert(!fl.contains("CartesianProduct"), fl)
+    // A43 evolution: the snapshot read is scans + by-name union — no
+    // join, no shuffle beyond the final rollup
+    val sa = plan("warehouse_schema_add_col")
+    assert(!sa.contains("CartesianProduct"), sa)
+    assert(sa.contains("partial"),
+      "the tier rollup must partial-aggregate map-side")
+  }
+
   test("HITS half-iterations never re-shuffle the edge list (partition-once, both keys)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
