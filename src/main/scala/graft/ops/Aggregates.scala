@@ -1009,6 +1009,38 @@ object Aggregates {
     * is `percentile_approx` bounds (the D15 rung), which makes the
     * bounds pass a mergeable sketch aggregation. The clamp pass is
     * already scale-shaped (broadcast join, map-side partial agg). */
+  /** D39: median absolute deviation — the robust dispersion member of
+    * the D16/D37/D38 family (z-score flags outliers, winsorized mean
+    * absorbs them, MAD measures spread WITHOUT them): per return
+    * flag, MAD = median(|x − median(x)|) over integer cents, both
+    * medians the D37 discrete standard rule so every selected element
+    * is an actual data value and both engines agree exactly. The
+    * MAD/median ratio is the scale-free dispersion readout.
+    *
+    * Scale shape: two exact-quantile passes (group-reducer bound, the
+    * declared D13/D37 fixture trade; `percentile_approx` is the
+    * 100-TB switch), with the 3-row median frame BROADCAST onto the
+    * deviation pass — the fact side never shuffles for the join. */
+  def aggMedianAbsDev(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("epc"))
+    val med = li.groupBy(col("rf")).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY epc)")
+        .cast("long").as("median_cents"))
+    li.join(broadcast(med), Seq("rf"))
+      .select(col("rf"), col("median_cents"),
+        abs(col("epc") - col("median_cents")).as("dev"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        first(col("median_cents")).as("median_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .cast("long").as("mad_cents"))
+      .select(col("rf"), col("n"), col("median_cents"), col("mad_cents"),
+        dbl(dec(col("mad_cents")) / col("median_cents")).as("dispersion"))
+      .orderBy(col("rf"))
+  }
+
   def aggWinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),

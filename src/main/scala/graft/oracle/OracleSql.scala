@@ -2301,6 +2301,39 @@ object OracleSql {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // D39 MAD: both medians via the D37 explicit cume_dist standard
+    // rule on integer cents; dispersion is one exact-decimal division
+    // finalized to DOUBLE
+    "agg_median_abs_dev" ->
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS rf,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+         |  FROM lineitem
+         |), cd1 AS (
+         |  SELECT rf, epc,
+         |    cume_dist() OVER (PARTITION BY rf ORDER BY epc) AS c
+         |  FROM src
+         |), m AS (
+         |  SELECT rf,
+         |    CAST(MIN(CASE WHEN c >= 0.5 THEN epc END) AS BIGINT)
+         |      AS median_cents
+         |  FROM cd1 GROUP BY rf
+         |), dev AS (
+         |  SELECT s.rf, m.median_cents, abs(s.epc - m.median_cents) AS d
+         |  FROM src s JOIN m ON s.rf = m.rf
+         |), cd2 AS (
+         |  SELECT rf, median_cents, d,
+         |    cume_dist() OVER (PARTITION BY rf ORDER BY d) AS c
+         |  FROM dev
+         |)
+         |SELECT rf, COUNT(*) AS n, MIN(median_cents) AS median_cents,
+         |  CAST(MIN(CASE WHEN c >= 0.5 THEN d END) AS BIGINT) AS mad_cents,
+         |  ${dbl(s"${dec("CAST(MIN(CASE WHEN c >= 0.5 THEN d END) AS BIGINT)")} / MIN(median_cents)")}
+         |    AS dispersion
+         |FROM cd2
+         |GROUP BY rf
+         |ORDER BY rf""".stripMargin,
+
     // D38 winsorized mean: [p05, p95] DISCRETE clamp bounds from the
     // same explicit cume_dist standard rule as D37 (exact integer
     // cents → identical bound element in both engines), then the
