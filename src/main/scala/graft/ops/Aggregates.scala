@@ -1009,6 +1009,39 @@ object Aggregates {
     * is `percentile_approx` bounds (the D15 rung), which makes the
     * bounds pass a mergeable sketch aggregation. The clamp pass is
     * already scale-shaped (broadcast join, map-side partial agg). */
+  /** D40: trimmed mean — D38's sibling with the OTHER tail policy:
+    * winsorizing CLAMPS tail values to the [p05, p95] discrete
+    * bounds, trimming DROPS them; reporting both beside the raw mean
+    * separates "how heavy are the tails" (trim gap) from "how far out
+    * do they sit" (winsor gap). Bounds are the same D37 standard-rule
+    * discrete quantiles (actual data values → the BETWEEN filter is
+    * exact integer comparison in both engines); survivors re-average
+    * under the exact SUM(DECIMAL)/COUNT(*) contract. Same scale
+    * shape as D38: one exact-quantile bounds pass (group-reducer
+    * trade, D15 sketch switch declared), one broadcast-join filter
+    * pass with map-side partial agg. */
+  def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("epc"))
+    val bounds = li.groupBy(col("rf")).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY epc)")
+        .cast("long").as("lo_cents"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY epc)")
+        .cast("long").as("hi_cents"))
+    li.join(broadcast(bounds), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("epc").between(col("lo_cents"), col("hi_cents")),
+          1)).as("n_kept"),
+        dbl(sum(dec(col("epc"))) / count(lit(1))).as("mean_cents"),
+        dbl(sum(when(col("epc").between(col("lo_cents"), col("hi_cents")),
+            dec(col("epc"))))
+          / count(when(col("epc").between(col("lo_cents"),
+            col("hi_cents")), 1))).as("trim_mean_cents"))
+      .orderBy(col("rf"))
+  }
+
   /** D39: median absolute deviation — the robust dispersion member of
     * the D16/D37/D38 family (z-score flags outliers, winsorized mean
     * absorbs them, MAD measures spread WITHOUT them): per return

@@ -2334,6 +2334,36 @@ object OracleSql {
          |GROUP BY rf
          |ORDER BY rf""".stripMargin,
 
+    // D40 trimmed mean: same cume_dist bounds as D38, survivors
+    // DROPPED instead of clamped; both means under the contract
+    // SUM(DECIMAL)/COUNT division
+    "agg_trimmed_mean" ->
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS rf,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+         |  FROM lineitem
+         |), cd AS (
+         |  SELECT rf, epc,
+         |    cume_dist() OVER (PARTITION BY rf ORDER BY epc) AS c
+         |  FROM src
+         |), b AS (
+         |  SELECT rf,
+         |    CAST(MIN(CASE WHEN c >= 0.05 THEN epc END) AS BIGINT)
+         |      AS lo_cents,
+         |    CAST(MIN(CASE WHEN c >= 0.95 THEN epc END) AS BIGINT)
+         |      AS hi_cents
+         |  FROM cd GROUP BY rf
+         |)
+         |SELECT s.rf, COUNT(*) AS n,
+         |  CAST(COUNT(CASE WHEN s.epc BETWEEN b.lo_cents AND b.hi_cents
+         |    THEN 1 END) AS BIGINT) AS n_kept,
+         |  ${dbl(s"SUM(${dec("s.epc")}) / COUNT(*)")} AS mean_cents,
+         |  ${dbl(s"SUM(CASE WHEN s.epc BETWEEN b.lo_cents AND b.hi_cents THEN ${dec("s.epc")} END) / COUNT(CASE WHEN s.epc BETWEEN b.lo_cents AND b.hi_cents THEN 1 END)")}
+         |    AS trim_mean_cents
+         |FROM src s JOIN b ON s.rf = b.rf
+         |GROUP BY s.rf
+         |ORDER BY s.rf""".stripMargin,
+
     // D38 winsorized mean: [p05, p95] DISCRETE clamp bounds from the
     // same explicit cume_dist standard rule as D37 (exact integer
     // cents → identical bound element in both engines), then the
