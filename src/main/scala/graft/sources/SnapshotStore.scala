@@ -58,25 +58,33 @@ object SnapshotStore {
 
   /** One manifest line. Grammar (tab-separated; legacy manifests are
     * bare directory paths and parse as stat-less data entries):
-    *  - `<dir>`                          data dir, no stats
-    *  - `<dir>\t<col>\t<min>\t<max>`     data dir with a long zone map
-    *  - `dv\t<keyCol>\t<dir>`            deletion-vector sidecar
+    *  - `<dir>`                                  data dir, no stats
+    *  - `<dir>` + N×`\t<col>\t<min>\t<max>`      data dir with N long
+    *    zone maps (round 18: PER-COLUMN stats — a two-key ZORDER
+    *    rewrite records both keys' [min,max] per dir, so a predicate
+    *    on EITHER key can skip files; one-triple lines are the legacy
+    *    single-column form and parse unchanged)
+    *  - `dv\t<keyCol>\t<dir>`                    deletion-vector sidecar
     */
   private sealed trait Entry { def dir: String }
   private case class DataDir(dir: String,
-      stats: Option[(String, Long, Long)]) extends Entry
+      stats: Seq[(String, Long, Long)]) extends Entry
   private case class DeleteVector(keyCol: String, dir: String) extends Entry
 
   private def render(e: Entry): String = e match {
-    case DataDir(d, None) => d
-    case DataDir(d, Some((c, lo, hi))) => s"$d\t$c\t$lo\t$hi"
+    case DataDir(d, ss) =>
+      (d +: ss.flatMap { case (c, lo, hi) => Seq(c, lo.toString, hi.toString) })
+        .mkString("\t")
     case DeleteVector(k, d) => s"dv\t$k\t$d"
   }
 
   private def parse(line: String): Entry = line.split('\t') match {
     case Array("dv", k, d) => DeleteVector(k, d)
-    case Array(d, c, lo, hi) => DataDir(d, Some((c, lo.toLong, hi.toLong)))
-    case Array(d) => DataDir(d, None)
+    case Array(d) => DataDir(d, Nil)
+    case arr if arr.length % 3 == 1 =>
+      DataDir(arr.head, arr.tail.grouped(3).map {
+        case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
+      }.toSeq)
     case _ => throw new IllegalStateException(s"bad manifest line: $line")
   }
 
@@ -111,18 +119,23 @@ object SnapshotStore {
   }
 
   /** Zone-map computation for a just-written data dir: one narrow
-    * min/max scan of the single declared column over the files the
-    * commit itself produced (at scale this folds per-file from parquet
-    * footers; the committed batch is the only data touched either
-    * way). An empty batch records no stats — a stat-less entry is
-    * never pruned. */
-  private def zoneMapOf(spark: SparkSession, dataDir: String,
-      statsCol: String): Option[(String, Long, Long)] = {
+    * min/max scan of ALL declared columns over the files the commit
+    * itself produced — one aggregate pass regardless of column count
+    * (at scale this folds per-file from parquet footers; the committed
+    * batch is the only data touched either way). A column that is
+    * all-NULL in the batch records no stats — a stat-less column is
+    * never pruned on. */
+  private def zoneMapsOf(spark: SparkSession, dataDir: String,
+      statsCols: Seq[String]): Seq[(String, Long, Long)] = {
+    if (statsCols.isEmpty) return Nil
     import org.apache.spark.sql.functions.{max, min}
-    val r = spark.read.parquet(dataDir)
-      .agg(min(col(statsCol).cast("long")), max(col(statsCol).cast("long")))
-      .head()
-    if (r.isNullAt(0)) None else Some((statsCol, r.getLong(0), r.getLong(1)))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = spark.read.parquet(dataDir).agg(aggs.head, aggs.tail: _*).head()
+    statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(2 * i)) None
+      else Some((c, r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }
   }
 
   /** Write `lines` as manifest version `v` via the atomic temp-write +
@@ -149,7 +162,7 @@ object SnapshotStore {
     * version `prev.max + 1` whose content is `carry ++ the new dir`.
     * Returns the published version. */
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-      carryFrom: Option[Int], statsCol: Option[String]): Int = {
+      carryFrom: Option[Int], statsCols: Seq[String]): Int = {
     val existing = versions(spark, root)
     val v = existing.lastOption.getOrElse(0) + 1
     val dataDir =
@@ -157,7 +170,7 @@ object SnapshotStore {
     df.write.mode("error").parquet(dataDir)
     val carried =
       carryFrom.map(readManifestLines(spark, root, _)).getOrElse(Nil)
-    val entry = DataDir(dataDir, statsCol.flatMap(zoneMapOf(spark, dataDir, _)))
+    val entry = DataDir(dataDir, zoneMapsOf(spark, dataDir, statsCols))
     publishManifest(spark, root, v, carried :+ render(entry))
     v
   }
@@ -166,7 +179,14 @@ object SnapshotStore {
     * outstanding deletion vectors — the content is the new data). */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Int =
-    commit(spark, root, df, carryFrom = None, statsCol)
+    commit(spark, root, df, carryFrom = None, statsCol.toSeq)
+
+  /** Multi-column variant: the new data dir records a zone map per
+    * listed column, so later [[readPruned]] calls can skip on ANY of
+    * them. */
+  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String]): Int =
+    commit(spark, root, df, carryFrom = None, statsCols)
 
   /** Publish a snapshot that APPENDS to the latest version: the new
     * manifest carries the previous entry list forward — no existing
@@ -174,7 +194,13 @@ object SnapshotStore {
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Int =
     commit(spark, root, df, carryFrom = versions(spark, root).lastOption,
-      statsCol)
+      statsCol.toSeq)
+
+  /** Multi-column variant of [[commitAppend]]. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String]): Int =
+    commit(spark, root, df, carryFrom = versions(spark, root).lastOption,
+      statsCols)
 
   /** OPTIMIZE … CLUSTER/ZORDER BY as a snapshot commit: publish a
     * version whose content is the CURRENT content rewritten into
@@ -190,7 +216,19 @@ object SnapshotStore {
     * ONE write job via partitionBy on the bin id; the per-dir zone
     * maps are `bins` bounded 1-row aggregates. Returns the version. */
   def commitOverwriteClustered(spark: SparkSession, root: String,
-      clusterBy: Column, statsCol: String, bins: Int): Int = {
+      clusterBy: Column, statsCol: String, bins: Int): Int =
+    commitOverwriteClustered(spark, root, clusterBy, Seq(statsCol), bins)
+
+  /** Multi-column clustered rewrite (round 18): each range-clustered
+    * dir records a zone map for EVERY listed column, so after a
+    * two-key ZORDER rewrite a predicate on EITHER key skips
+    * non-overlapping dirs — the property the Morton interleave exists
+    * to buy (the reference discipline z-orders on two keys; recording
+    * stats on just one left the second key's selectivity on the
+    * table). Still ONE groupBy job for all dirs × all columns. */
+  def commitOverwriteClustered(spark: SparkSession, root: String,
+      clusterBy: Column, statsCols: Seq[String], bins: Int): Int = {
+    require(statsCols.nonEmpty, "clustered rewrite needs >= 1 stats column")
     import org.apache.spark.sql.functions.spark_partition_id
     val cur = read(spark, root)
     val existing = versions(spark, root)
@@ -201,26 +239,29 @@ object SnapshotStore {
       .sortWithinPartitions(clusterBy)
       .withColumn("__zbin", spark_partition_id())
       .write.mode("error").partitionBy("__zbin").parquet(base)
-    // ONE job computes every dir's zone map: reading the base dir
+    // ONE job computes every dir's zone maps: reading the base dir
     // surfaces __zbin as a partition column, so the per-dir min/max
     // is a bins-cardinality groupBy, not bins separate 1-row aggs
     import org.apache.spark.sql.functions.{max, min}
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c")))
     val zones = spark.read.parquet(base)
       .groupBy(col("__zbin"))
-      .agg(min(col(statsCol).cast("long")).as("mn"),
-        max(col(statsCol).cast("long")).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => (r.get(0).toString.toInt,
-        (r.isNullAt(1), r.getLong(1), r.getLong(2))))
+      .map { r =>
+        val ss = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i)) None
+          else Some((c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }
+        (r.get(0).toString.toInt, ss)
+      }
       .toMap
     // manifest entries use the same path grammar as every other
     // commit (base + literal child name — never the fs's URI form)
     val entries = zones.keys.toSeq.sorted.map { bin =>
-      val zm = zones(bin) match {
-        case (true, _, _) => None
-        case (_, mn, mx) => Some((statsCol, mn, mx))
-      }
-      DataDir(s"$base/__zbin=$bin", zm)
+      DataDir(s"$base/__zbin=$bin", zones(bin))
     }
     require(entries.nonEmpty,
       s"clustered rewrite produced no data under $base")
@@ -310,7 +351,7 @@ object SnapshotStore {
       val carried = readManifestLines(spark, root, existing.last)
       publishManifest(spark, root, v, carried ++
         Seq(render(DeleteVector(keyCol, dvDir)),
-          render(DataDir(dataDir, None))))
+          render(DataDir(dataDir, Nil))))
       v
     }
   }
@@ -606,9 +647,13 @@ object SnapshotStore {
       resolve(spark, root, asOf)).map(parse)
     val total = entries.count(_.isInstanceOf[DataDir])
     val kept = entries.filter {
-      case DataDir(_, Some((c, mn, mx))) if c == statsCol =>
-        mx >= lo && mn <= hi
-      case _ => true // stat-less data dirs and DVs always survive
+      // a dir survives unless it carries stats for THIS column proving
+      // no overlap; stats on other columns, stat-less dirs, and DVs
+      // always survive (soundness)
+      case DataDir(_, ss) =>
+        ss.find(_._1 == statsCol).forall { case (_, mn, mx) =>
+          mx >= lo && mn <= hi }
+      case _ => true
     }
     val opened = kept.count(_.isInstanceOf[DataDir])
     val df =

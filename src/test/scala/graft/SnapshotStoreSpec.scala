@@ -529,6 +529,44 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(after.df.filter(col("k").between(10, 40)).count() == 31L)
   }
 
+  test("two-key clustered rewrite prunes on EITHER recorded column " +
+      "(A44 multi-column zone maps)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mz_").toString
+    // k and w are independent, so a Morton interleave spreads both:
+    // a narrow band on either column must skip some rewritten dirs
+    val rows = (1L to 1024L).map(k => (k, (k * 2654435761L) % 1024L, s"r$k"))
+      .toDF("k", "w", "p")
+    SnapshotStore.commitOverwrite(spark, root,
+      rows.orderBy(rand(11)).repartition(2), statsCols = Seq("k", "w"))
+    val v = SnapshotStore.commitOverwriteClustered(spark, root,
+      graft.ops.Layout.mortonKey(col("k"), col("w")),
+      statsCols = Seq("k", "w"), bins = 8)
+    val onK = SnapshotStore.readPruned(spark, root, "k", 1L, 64L,
+      asOf = Some(v))
+    val onW = SnapshotStore.readPruned(spark, root, "w", 1L, 64L,
+      asOf = Some(v))
+    assert(onK.dirsOpened < onK.dirsTotal,
+      s"first-key band must skip dirs (${onK.dirsOpened}/${onK.dirsTotal})")
+    assert(onW.dirsOpened < onW.dirsTotal,
+      s"SECOND-key band must skip dirs (${onW.dirsOpened}/${onW.dirsTotal})"
+        + " — the round-17 gap: one-column stats could never prune here")
+    // value transparency on both keys
+    assert(onK.df.filter(col("k").between(1, 64)).count() == 64L)
+    assert(onW.df.filter(col("w").between(1, 64)).count() ==
+      rows.filter(col("w").between(1, 64)).count())
+    // a column with NO recorded stats never prunes (soundness)
+    val onP = SnapshotStore.readPruned(spark, root, "nosuch", 0L, 1L,
+      asOf = Some(v))
+    assert(onP.dirsOpened == onP.dirsTotal)
+    // legacy single-triple manifests still parse and prune: v1 was
+    // committed with the multi-col API but the single-col readPruned
+    // path must keep working against it
+    val legacy = SnapshotStore.readPruned(spark, root, "k", 2000L, 3000L,
+      asOf = Some(v))
+    assert(legacy.df.count() == 0L, "out-of-range band reads empty")
+  }
+
   test("checked append commits clean batches and rejects atomically (A40)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_ck_").toString
