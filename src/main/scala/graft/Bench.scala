@@ -77,12 +77,16 @@ object Bench {
           None
         }
       }
-      if (warmup) rep()
+      // warm-up is timed SEPARATELY: it absorbs one-time FixtureCache/
+      // index builds by design, so folding it into the contention
+      // denominator as "one median rep" made a cold quiet host read as
+      // contended (round-17 advice)
+      val warmSec = if (warmup) rep().getOrElse(0.0) else 0.0
       val times = (1 to Reps).flatMap(_ => rep())
       // any failed rep marks the query failed — a flaky query must not
       // report the median of its surviving runs as if healthy
       (name, if (times.length == Reps) median(times) else -1.0,
-        times.length == Reps, times)
+        times.length == Reps, times, warmSec)
     }
     // min-of-reps companion: for a deterministic batch suite the per-query
     // MIN is contention-immune (noise only ever inflates a rep, never
@@ -90,7 +94,7 @@ object Bench {
     // (r11 verdict #1: median-of-3 read 191 s under contention while the
     // quiet-window truth was 86 s).
     val totalMin = results.filter(_._3)
-      .map { case (_, _, _, ts) => ts.min }.sum
+      .map { case (_, _, _, ts, _) => ts.min }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // per-query map ordered by median ASCENDING: the driver records only
     // the TAIL of stdout, so whatever ends the map is what survives the
@@ -100,7 +104,7 @@ object Bench {
     // the truncated head every round (r8 verdict #3); failed queries
     // (-1) sort first because the tail-safe "failed" array re-lists them.
     val qs = results.sortBy(_._2)
-      .map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+      .map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
@@ -111,9 +115,9 @@ object Bench {
     // in the artifact. Leads the JSON so a truncated capture drops this
     // diagnostic first, never the headline scalars.
     val spread = results
-      .filter { case (_, _, ok, ts) =>
+      .filter { case (_, _, ok, ts, _) =>
         ok && ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 2.0 }
-      .map { case (k, _, _, ts) =>
+      .map { case (k, _, _, ts, _) =>
         // Locale.ROOT: a comma-decimal default locale would print
         // 1,357 and corrupt the JSON artifact
         "\"" + k + "\":" + ts.map(t =>
@@ -125,7 +129,7 @@ object Bench {
     // the binding total (round-6/7 verdict #4: the old head-first order
     // made every round's total unrecoverable).
     val bigLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","rep_outliers":$spread,"queries":$qs,"failed":$failed,"value":$total,"value_min":$totalMin,"reps":$Reps,"wall_sec":$wallSec}"""
-    val nOutliers = results.count { case (_, _, ok, ts) =>
+    val nOutliers = results.count { case (_, _, ok, ts, _) =>
       ok && ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 2.0 }
     // second, TINY line: the driver's tail capture truncates the big
     // line's head, leaving it unparseable (r9/r10 artifacts both show
@@ -138,10 +142,17 @@ object Bench {
     // captures ran at 3.4-4.1x, the contention fingerprint the verdict
     // had to reconstruct by hand. Reported in BOTH lines so the gate
     // can discount a noisy capture without re-deriving it.
+    // denominator = what a quiet host would actually spend: Σmedians ×
+    // Reps + the MEASURED warm-up total (the warm-up absorbs one-time
+    // FixtureCache/index builds — charging it as one median rep made a
+    // cold quiet host read spuriously contended; round-17 advice).
+    // warmupSec is also reported as its own field so a cold-cache round
+    // is distinguishable from a contended one in the artifact.
+    val warmupSec = results.map(_._5).sum
     val contentionRatio =
-      if (total > 0) wallSec / (total * (Reps + (if (warmup) 1 else 0)))
+      if (total > 0) wallSec / (total * Reps + warmupSec)
       else -1.0
-    val compactLine = s"""{"metric":"total_compact","unit":"sec","value":$total,"value_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"n_outliers":$nOutliers,"reps":$Reps,"warmup":${if (warmup) 1 else 0},"contention_ratio":${"%.3f".formatLocal(java.util.Locale.ROOT, contentionRatio)},"wall_sec":$wallSec}"""
+    val compactLine = s"""{"metric":"total_compact","unit":"sec","value":$total,"value_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"n_outliers":$nOutliers,"reps":$Reps,"warmup":${if (warmup) 1 else 0},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"contention_ratio":${"%.3f".formatLocal(java.util.Locale.ROOT, contentionRatio)},"wall_sec":$wallSec}"""
     // mirror the FULL artifact to a file the driver can stage — stdout
     // tail-capture has truncated the big line every round since r9, so
     // the file is the only loss-proof channel for the per-query map.

@@ -807,17 +807,35 @@ object StreamingOps {
   def runToCompletion(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_be_${beCounter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_be_ckpt_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_be_ckpt_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).option("checkpointLocation", ckpt).start()
+        .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+      // pin the bounded sink contents as their own materialized frame,
+      // then RELEASE the driver-resident sink table and the checkpoint
+      // tmp dir — repeated bench reps were accumulating one in-memory
+      // table + one tmp dir per rep (round-17 advice)
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(name)
+      deleteRecursively(ckpt)
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () } // best-effort cleanup
 
   /** J4_be: [[tumblingWithWatermark]] run to completion (complete
     * mode — every window emits; with the fixture as one batch nothing
@@ -830,11 +848,21 @@ object StreamingOps {
 
   /** J5_be: [[streamingDedup]] run to completion; fixture event_ids
     * are unique, so the deduped stream must carry exactly the corpus —
-    * presented as per-type counts (order-insensitive, sink-bounded). */
+    * presented as per-type counts. The aggregation runs IN-STREAM to
+    * (event_type, user) granularity (complete mode — a streaming agg
+    * can follow dropDuplicates), so the memory sink holds
+    * group-cardinality rows, never the deduped corpus (round-17
+    * advice; countDistinct is not streamable, so the distinct-user
+    * count folds from the per-pair rows batch-side). */
   def streamDedupBe(spark: SparkSession, sfDir: String): DataFrame =
-    runToCompletion(streamingDedup(eventsStream(spark, sfDir)), "append")
+    runToCompletion(
+        streamingDedup(eventsStream(spark, sfDir))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_pair")),
+        "complete")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .agg(sum(col("n_pair")).cast("long").as("n"),
+        count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
 
   /** J6_be: [[streamStaticJoin]] against a derived user-segment dim
