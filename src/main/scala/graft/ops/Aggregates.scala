@@ -559,7 +559,7 @@ object Aggregates {
       .select(expr("c DIV 500000").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val total = binned.agg(sum(col("n")).as("total"))
+    val total = broadcast(binned.agg(sum(col("n")).as("total")))
     binned.crossJoin(total)
       .select(col("bucket"),
         (col("bucket") * 5000L).as("lo_dollars"),
@@ -627,13 +627,13 @@ object Aggregates {
     // 1-row total) would otherwise re-execute the whole
     // percentile+bin subtree — the exact-percentile pass ran TWICE
     // (measured 4.0 s → ~2× once truncated)
-    val binned = c.crossJoin(qs)
+    val binned = c.crossJoin(broadcast(qs))
       .select(col("c"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
       .localCheckpoint(true)
-    val total = binned.agg(sum(col("n")).as("total"))
+    val total = broadcast(binned.agg(sum(col("n")).as("total")))
     binned.crossJoin(total)
       .select(col("bucket"), col("n"), col("min_cents"), col("max_cents"),
         dbl(dec(col("n")) / col("total")).as("share"))

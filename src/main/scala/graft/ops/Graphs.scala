@@ -411,7 +411,7 @@ object Graphs {
     val sums = degC.agg(sum(col("d") * col("d")).as("sum_d2"),
       count(lit(1)).as("n_communities"))
     edges.agg(count(lit(1)).as("m_edges"))
-      .crossJoin(eIn).crossJoin(sums)
+      .crossJoin(broadcast(eIn)).crossJoin(broadcast(sums))
       .select(col("n_communities"), col("m_edges"),
         col("e_in").as("n_internal_edges"),
         dbl(dec(lit(4L) * col("m_edges") * col("e_in") - col("sum_d2")) /
@@ -561,7 +561,7 @@ object Graphs {
           (col("d1") < col("d2") || (col("d1") === col("d2") && col("y1") < col("y2"))))
       .join(closer, col("y1") === col("cx") && col("y2") === col("cy"))
       .agg(count(lit(1)).as("n_triangles"))
-    stats.crossJoin(tri)
+    stats.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0, lit(null).cast("double"))
           .otherwise(dbl(dec(col("n_triangles") * 3) / col("n_wedges")))

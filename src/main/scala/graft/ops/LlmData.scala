@@ -1479,11 +1479,11 @@ object LlmData {
       .select(AnnLsh.cosine(col("bv").cast("array<double>"),
         col("cv").cast("array<double>")).as("score"))
     b.agg(count(lit(1)).as("n_benchmark"))
-      .crossJoin(c.agg(count(lit(1)).as("n_corpus")))
-      .crossJoin(scored.agg(count(lit(1)).as("n_pairs_checked"),
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_corpus"))))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_pairs_checked"),
         sum(when(col("score") >= tau, 1L).otherwise(0L))
           .as("n_contaminated"),
-        round(max(col("score")), 6).as("max_score")))
+        round(max(col("score")), 6).as("max_score"))))
   }
 
   /** K64: canonical-URL deduplication — the provenance-level dedup
@@ -1858,7 +1858,7 @@ object LlmData {
         AnnLsh.codes(t(spark, sfDir, "embeddings"), "vec_id", "embedding"),
         Seq("table_id", "code"), col("vec_id"), col("vec_id"))
       .agg(coalesce(sum(col("n_overflow")), lit(0L)).as("embedding_overflow"))
-    ngram.crossJoin(mh).crossJoin(emb)
+    ngram.crossJoin(broadcast(mh)).crossJoin(broadcast(emb))
   }
 
   /** K38: edit-distance near-dup detection — the Levenshtein-verified
@@ -2162,7 +2162,7 @@ object LlmData {
       target: Int = 100): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val total = broadcast(counts.agg(sum(col("n_docs")).as("n_total")))
     val quotas = counts.crossJoin(total)
       .select(col("lang"), col("n_docs"),
         greatest(lit(1L),
