@@ -479,21 +479,32 @@ class GraphsSpec extends SparkTestBase {
     assert(cached.nonEmpty)
   }
 
-  test("reliable-checkpoint switch: pagerank through a checkpoint dir is " +
-      "row-identical to the localCheckpoint path (r16 verdict #5)") {
-    def snap(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r =>
-        (r.getAs[Any]("node"), r.getAs[Long]("d"), r.getAs[Double]("rank")))
-        .toSet
-    val localOut = snap(Graphs.graphPagerank(spark, sfDir))
+  test("reliable-checkpoint switch: EVERY iterative op through a " +
+      "checkpoint dir is row-identical to the localCheckpoint path " +
+      "(r16 verdict #5, extended to the full family in r17 #5)") {
+    // all six iterative graph ops route their lineage cuts through
+    // Util.iterCheckpoint; the conf switch must change durability, not
+    // results. Row snapshots are compared as canonical string sets so
+    // one loop covers heterogeneous schemas.
+    val iterativeOps = Seq("graph_pagerank", "graph_hits",
+      "graph_label_prop", "graph_kcore", "graph_bfs", "graph_components")
+    def snap(name: String): Map[String, Set[String]] = Map(
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet)
+    val localOut = iterativeOps.map(snap).reduce(_ ++ _)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable-ckpt").toString
     try {
       spark.conf.set(graft.ops.Util.CheckpointDirConf, dir)
-      val reliableOut = snap(Graphs.graphPagerank(spark, sfDir))
-      assert(reliableOut == localOut,
-        "reliable and local checkpoint paths must produce identical ranks")
-      // the switch actually wrote through the filesystem
+      for (op <- iterativeOps) {
+        val reliableOut = snap(op)(op)
+        assert(reliableOut == localOut(op),
+          s"$op: reliable and local checkpoint paths must produce " +
+            "identical rows")
+      }
+      // the switch actually wrote through the filesystem (label-cached
+      // ops may serve their fixpoint from FixtureCache, but the
+      // per-query iterative ops checkpoint every round)
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, s"no checkpoint files under $dir — switch inert")
