@@ -792,6 +792,26 @@ object StreamingOps {
 
   private val beCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Conf key for the streaming state-store switch (the r17 verdict's
+    * RocksDB ask — same conf-gated discipline as the reliable-
+    * checkpoint switch, [[Util.CheckpointDirConf]]): unset → Spark's
+    * default HDFS-backed in-memory provider (right for bounded local
+    * runs); `rocksdb` → the RocksDB provider, whose state lives
+    * off-heap and spills to local disk — at 100 TB the state store is
+    * the streaming scale bottleneck (an in-memory provider caps state
+    * at executor heap; RocksDB caps it at executor DISK and restores
+    * incrementally from checkpoint deltas). Any other non-empty value
+    * is taken as a literal provider class name, so the gate is
+    * testably live (a bogus class must fail the query, not silently
+    * run the default). */
+  val StateStoreConf = "spark.graft.streaming.stateStore"
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderClassConf =
+    "spark.sql.streaming.stateStore.providerClass"
+
   /** Run a streaming frame to completion into a uniquely-named memory
     * sink and return the sink table. Memory sink is bounded here by
     * construction: every _be query either aggregates in-stream or
@@ -810,6 +830,14 @@ object StreamingOps {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_be_ckpt_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // state-store switch: applied around the bounded run and restored
+    // after, like the shuffle width (session-conf scoped, so the batch
+    // surface never sees it)
+    val prevProvider = spark.conf.getOption(ProviderClassConf)
+    spark.conf.getOption(StateStoreConf).filter(_.nonEmpty).foreach { v =>
+      spark.conf.set(ProviderClassConf,
+        if (v.equalsIgnoreCase("rocksdb")) RocksDbProvider else v)
+    }
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
@@ -821,6 +849,10 @@ object StreamingOps {
       spark.table(name).localCheckpoint(true)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderClassConf, p)
+        case None => spark.conf.unset(ProviderClassConf)
+      }
       spark.catalog.dropTempView(name)
       deleteRecursively(ckpt)
     }

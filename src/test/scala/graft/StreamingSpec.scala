@@ -1089,4 +1089,28 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("the five _be rungs are row-identical under the RocksDB state " +
+      "store, and the conf gate is live (r17 verdict #4)") {
+    val beOps = Seq("stream_watermark_late_be", "stream_dedup_be",
+      "stream_stream_static_join_be", "stream_stateful_custom_be",
+      "stream_stream_interval_join_be")
+    def snap(op: String): Set[String] =
+      SparkEntry.queries(op)(spark, sfDir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val base = beOps.map(op => op -> snap(op)).toMap
+    // liveness first: a bogus provider class routed through the same
+    // gate must FAIL a stateful run — proving the switch actually
+    // reaches the state-store machinery, so the equality below is a
+    // real RocksDB result, not a silently-defaulted one
+    spark.conf.set(graft.ops.StreamingOps.StateStoreConf, "no.such.Provider")
+    try {
+      intercept[Exception] { snap("stream_dedup_be") }
+      spark.conf.set(graft.ops.StreamingOps.StateStoreConf, "rocksdb")
+      for (op <- beOps)
+        assert(snap(op) == base(op),
+          s"$op: RocksDB state store must not change results")
+    } finally
+      spark.conf.unset(graft.ops.StreamingOps.StateStoreConf)
+  }
+
 }
