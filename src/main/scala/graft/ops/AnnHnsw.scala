@@ -128,12 +128,22 @@ object AnnHnsw {
     * members × beam × M per hop, the refine round
     * members × ReverseCap² — the verdict's scale contract. */
   def buildLayerByDescent(inserts: DataFrame, upperMembers: DataFrame,
-      upperAdj: DataFrame): DataFrame = {
+      upperAdj: DataFrame): DataFrame =
+    buildLayerByDescent(inserts, upperMembers, upperAdj, inserts)
+
+  /** Variant with an explicit vector universe: at FULL build time the
+    * inserted membership is a superset of every upper layer, so
+    * `inserts` doubles as the score-side vector table; at INCREMENTAL
+    * insert time ([[insertBatch]]) the descent reaches established
+    * nodes that are not in the batch, so candidate vectors resolve
+    * from `vecs` = base ∪ batch. */
+  def buildLayerByDescent(inserts: DataFrame, upperMembers: DataFrame,
+      upperAdj: DataFrame, vecs: DataFrame): DataFrame = {
     val entryDf = broadcast(
       upperMembers.agg(min(col("__id")).as("cand")))
     var pool = scorePairs(
       inserts.select(col("__id").as("id")).crossJoin(entryDf),
-      inserts).localCheckpoint(true)
+      vecs).localCheckpoint(true)
     var frontier = pool
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("cand"))
@@ -144,7 +154,7 @@ object AnnHnsw {
         .select(col("id"), col("dst").as("cand")).distinct()
         .join(pool.select(col("id"), col("cand")), Seq("id", "cand"),
           "left_anti")
-      pool = pool.unionByName(scorePairs(expand, inserts))
+      pool = pool.unionByName(scorePairs(expand, vecs))
         .localCheckpoint(true)
       frontier = pool.withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= InsertBeam).drop("rk")
@@ -178,7 +188,7 @@ object AnnHnsw {
         .select(col("x.id").as("id"), col("y.cand2").as("cand")).distinct()
         .join(scoredAll.select(col("id"), col("cand")), Seq("id", "cand"),
           "left_anti")
-      scoredAll = scoredAll.unionByName(scorePairs(cand2, inserts))
+      scoredAll = scoredAll.unionByName(scorePairs(cand2, vecs))
         .localCheckpoint(true)
       edges = bestM(scoredAll)
     }
@@ -186,10 +196,14 @@ object AnnHnsw {
   }
 
   /** Build-once hierarchical index: layered adjacency at
-    * `<dir>/layers` (layer, src, dst), global entry at `<dir>/entry`. */
+    * `<dir>/layers` (layer, src, dst), global entry at `<dir>/entry`.
+    * `tag` disambiguates caches built from a FILTERED view of the same
+    * source (the incremental rung's base-corpus index) — an empty tag
+    * keeps the established full-corpus cache key. */
   def ensureIndex(spark: SparkSession, df: DataFrame, idCol: String,
-      vecCol: String, sourceDir: String): String =
-    FixtureCache.ensure(spark, s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v4",
+      vecCol: String, sourceDir: String, tag: String = ""): String =
+    FixtureCache.ensure(spark,
+      s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v4$tag",
       sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
       val model = AnnIvf.codebook(df, vecCol, AnnIvf.FitSampleFraction)
       val assigned = model.transform(df.withColumn("fv",
@@ -223,6 +237,95 @@ object AnnHnsw {
       assigned.filter(col("lvl") >= MaxLevel)
         .agg(min(col(idCol)).as("entry"))
         .write.mode("overwrite").parquet(s"$tmp/entry")
+    }
+
+  /** INCREMENTAL index maintenance (round-17 verdict #8) — insert a
+    * batch into an existing layered index instead of rebuilding, the
+    * composition of K52's incremental-ingest discipline with the
+    * insert-by-descent machinery. Per layer, top-down:
+    *
+    *  - '''top layer''': REBUILT over the combined membership with the
+    *    same bounded bucketing as the full build — the top holds 1/256
+    *    of the corpus, so the rebuild is metadata-priced while keeping
+    *    the root graph globally mixed (an insert-only top would slowly
+    *    lose long-range edges).
+    *  - '''middle + base layers''': each new node finds its M
+    *    neighbors by DESCENDING the already-updated layer above
+    *    ([[buildLayerByDescent]] with the vector universe = base ∪
+    *    batch) — exactly the paper's insert recursion, volume ≤
+    *    batch × M × probes, independent of the base corpus size.
+    *  - '''reverse adoption''': established nodes that a new node
+    *    selected re-rank their adjacency over {current edges ∪ the
+    *    reversed new edges} and keep top-M — the paper's neighbor
+    *    back-link with the shrink step, bounded by affected × M.
+    *    Untouched nodes' adjacency rows carry over verbatim.
+    *
+    * Determinism law (pinned in `AnnNswSpec`): inserting an EMPTY
+    * batch reproduces the base index bit-for-bit (top rebuild is
+    * deterministic over identical membership; every other layer
+    * carries over). Recall floor vs full rebuild in
+    * `GroundTruthSpec`. Returns (layers, entry) frames shaped exactly
+    * like the committed index. */
+  def insertBatch(spark: SparkSession, baseLayers: DataFrame,
+      base: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val newN = batch.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .localCheckpoint(true)
+    val all = base.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .unionByName(newN).localCheckpoint(true)
+    def memAll(l: Int) = all.filter(levelOf(col("__id")) >= l)
+    def memNew(l: Int) = newN.filter(levelOf(col("__id")) >= l)
+
+    var layers = buildTopLayer(memAll(MaxLevel))
+      .withColumn("layer", lit(MaxLevel)).localCheckpoint(true)
+    var upperAdj = layers.select(col("src"), col("dst"))
+    for (l <- (MaxLevel - 1) to 0 by -1) {
+      val oldAdjL = baseLayers.filter(col("layer") === l)
+        .select(col("src"), col("dst"))
+      // restrict to the inserted srcs: the NN-refine symmetrization
+      // inside the descent also scores reversed (established → new)
+      // rows, which at FULL build time are the layer's own members but
+      // here would collide with keptOld/adopted below
+      val newEdges =
+        buildLayerByDescent(memNew(l), memAll(l + 1), upperAdj, all)
+          .join(memNew(l).select(col("__id").as("src")), Seq("src"),
+            "left_semi")
+      // reverse adoption — only ESTABLISHED nodes re-rank (a new
+      // node's own adjacency is already the descent's best-M)
+      val rev = newEdges.select(col("dst").as("id"), col("src").as("cand"))
+        .join(newN.select(col("__id").as("id")), Seq("id"), "left_anti")
+      val affected = rev.select(col("id")).distinct().localCheckpoint(true)
+      val oldOfAffected = oldAdjL
+        .join(affected.select(col("id").as("src")), Seq("src"))
+        .select(col("src").as("id"), col("dst").as("cand"))
+      val adopted = topM(scorePairs(
+        rev.unionByName(oldOfAffected).distinct(), all))
+      val keptOld = oldAdjL
+        .join(affected.select(col("id").as("src")), Seq("src"), "left_anti")
+      val adjL = newEdges.unionByName(adopted).unionByName(keptOld)
+        .localCheckpoint(true)
+      layers = layers.unionByName(adjL.withColumn("layer", lit(l)))
+      upperAdj = adjL
+    }
+    (layers, memAll(MaxLevel).agg(min(col("__id")).as("entry")))
+  }
+
+  /** Build-once committed form of the incremental rung: the BASE index
+    * (corpus minus the batch) is built by the normal offline path,
+    * then [[insertBatch]] folds the batch in; the result commits under
+    * its own content-keyed cache with the same layers/entry layout, so
+    * every probe API works on it unchanged. */
+  def ensureInsertedIndex(spark: SparkSession, base: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      sourceDir: String): String =
+    FixtureCache.ensure(spark, s"hnsw_incr_m${AnnNsw.M}_l${MaxLevel}_v1",
+      sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
+      val baseDir =
+        ensureIndex(spark, base, idCol, vecCol, sourceDir, tag = "_incrbase")
+      val (layers, entry) = insertBatch(spark,
+        spark.read.parquet(s"$baseDir/layers"), base, batch, idCol, vecCol)
+      layers.write.mode("overwrite").parquet(s"$tmp/layers")
+      entry.write.mode("overwrite").parquet(s"$tmp/entry")
     }
 
   /** SET-ORIENTED multi-query hierarchical search — the BATCH-probe

@@ -1601,6 +1601,28 @@ object LlmData {
       queries, 5)
   }
 
+  /** K89: INCREMENTAL HNSW maintenance (round-17 verdict #8) — the
+    * production ingest shape for a vector index: a 10% batch (the K52
+    * `id % 10 == 0` split) is INSERTED into the committed base-corpus
+    * index ([[AnnHnsw.insertBatch]] via
+    * [[AnnHnsw.ensureInsertedIndex]]) instead of rebuilding — insert
+    * cost scales with the batch, not the corpus (at 100 TB a daily
+    * re-crawl batch must never re-pay the full index build). The
+    * probe is K87's batch descent over the inserted index. Registered
+    * rows-only (seeded k-means cells at the layer-0 kernel);
+    * empty-batch-identity + determinism laws in `AnnNswSpec`,
+    * insert-vs-rebuild recall floors in `GroundTruthSpec`. */
+  def simHnswIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    val isNew = col("vec_id") % 10 === 0
+    val dir = AnnHnsw.ensureInsertedIndex(spark, df.filter(!isNew),
+      df.filter(isNew), "vec_id", "embedding", s"$sfDir/embeddings")
+    val queries = df.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    AnnHnsw.searchTopKBatch(spark, dir, df, "vec_id", "embedding",
+      queries, 5)
+  }
+
   /** Embedding-space near-duplicate detection via sign-LSH buckets +
     * exact-cosine verification. The registered query reports the top-10
     * candidate pairs by cosine ([[AnnLsh.topNearDupPairs]]) — the

@@ -139,6 +139,66 @@ class AnnNswSpec extends SparkTestBase {
     assert(batch.values.forall(_.length == 5))
   }
 
+  test("HNSW incremental insert: empty batch reproduces the base index " +
+      "bit-for-bit; inserts are deterministic, bounded, and every new " +
+      "node is wired in (K89)") {
+    import graft.ops.{AnnHnsw, AnnNsw}
+    val vs = randomVecs(600, 71)
+    val pairs = vs.zipWithIndex.map { case (v, i) => i.toLong -> v }
+    val df = vecsDf(pairs)
+    val isNew = col("vec_id") % 10 === 7 // level-0-only batch ids
+    val base = df.filter(!isNew)
+    val batch = df.filter(isNew)
+    val dir = AnnHnsw.ensureIndex(spark, base, "vec_id", "embedding",
+      tmpSource(base))
+    val baseLayers = spark.read.parquet(s"$dir/layers")
+    def snap(l: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      l.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // law 1: EMPTY batch is the identity — the top rebuild is
+    // deterministic over identical membership and every other layer
+    // carries over verbatim
+    val (idLayers, idEntry) = AnnHnsw.insertBatch(spark, baseLayers,
+      base, batch.limit(0), "vec_id", "embedding")
+    assert(snap(idLayers) == snap(baseLayers),
+      "empty-batch insert must reproduce the base index exactly")
+    assert(idEntry.head().getLong(0) ==
+      spark.read.parquet(s"$dir/entry").head().getLong(0))
+    // law 2: determinism — the same insert twice yields the same index
+    val (ins1, e1) = AnnHnsw.insertBatch(spark, baseLayers, base, batch,
+      "vec_id", "embedding")
+    val (ins2, _) = AnnHnsw.insertBatch(spark, baseLayers, base, batch,
+      "vec_id", "embedding")
+    val s1 = snap(ins1)
+    assert(s1 == snap(ins2), "insertBatch must be deterministic")
+    // law 3: every new node has layer-0 out-edges (wired in), degree
+    // bounds hold everywhere, and layer membership respects levels
+    val newIds = batch.collect().map(_.getLong(0)).toSet
+    val srcs0 = ins1.filter(col("layer") === 0)
+      .select(col("src")).collect().map(_.getLong(0)).toSet
+    assert(newIds.subsetOf(srcs0),
+      s"unwired new nodes: ${newIds -- srcs0}")
+    val maxDeg = ins1.groupBy(col("layer"), col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= AnnNsw.M)
+    def lvl(id: Long): Int =
+      if (id % 256 == 0) 2 else if (id % 16 == 0) 1 else 0
+    ins1.collect().foreach { r =>
+      val (src, dst, l) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(lvl(src) >= l && lvl(dst) >= l,
+        s"layer $l edge ($src,$dst) touches a lower-level node")
+    }
+    // law 4: untouched established nodes keep their adjacency verbatim
+    val base0 = snap(baseLayers)
+    val adopters = base0.collect { case (s, d, l)
+      if !s1.contains((s, d, l)) => s }
+    // any base edge that disappeared must belong to a node that
+    // adopted a new neighbor (re-ranked top-M), never collateral
+    for (a <- adopters)
+      assert(s1.exists { case (s, d, _) => s == a && newIds.contains(d) },
+        s"node $a lost an edge without adopting any new neighbor")
+    assert(e1.head().getLong(0) == 0L)
+  }
+
   test("HNSW: a planted scaled copy of the query is hit #1 and the " +
       "search is deterministic (K79)") {
     import graft.ops.AnnHnsw

@@ -394,6 +394,29 @@ class GroundTruthSpec extends SparkTestBase {
     }
   }
 
+  test("K89 sim_hnsw_incremental: inserted-index recall@5 tracks the " +
+      "full rebuild (insert-equals-rebuild floor)") {
+    // the incremental index (base = 90% of the corpus, 10% batch
+    // inserted by descent) must answer the SAME probe set with recall
+    // close to the fully rebuilt index — if insertion under-wires the
+    // batch, recall collapses on queries whose true neighbors are new
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      def topSets(rows: Array[org.apache.spark.sql.Row]) =
+        rows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val incr = topSets(LlmData.simHnswIncremental(spark, dir).collect())
+      val full = topSets(LlmData.simHnswBatchTopk(spark, dir).collect())
+      assert(incr.keySet == full.keySet)
+      val overlaps = full.map { case (q, f) =>
+        incr(q).count(f.contains).toDouble / f.size }
+      val mean = overlaps.sum / overlaps.size
+      info(s"K89 $dir mean insert-vs-rebuild overlap@5 = $mean " +
+        s"over ${overlaps.size} queries")
+      assert(mean >= 0.5,
+        s"K89 $dir insert-vs-rebuild overlap $mean below the 0.5 floor")
+    }
+  }
+
   test("K79 sim_hnsw_topk: recall@5 vs the oracle-checked exact sim_topk") {
     // deterministic like K67 (measured 1.0 / 0.6 — identical to the
     // flat NSW probe on these isotropic fixtures, which is the honest

@@ -25,6 +25,7 @@ class QueriesSmokeSpec extends SparkTestBase {
       "dedup_simhash", "dedup_embedding", "dedup_semantic",
       "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
       "sim_nsw_topk", "sim_hnsw_topk", "sim_hnsw_batch_topk",
+      "sim_hnsw_incremental",
       "contamination_embedding"))
   }
 
