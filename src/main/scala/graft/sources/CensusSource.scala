@@ -278,12 +278,23 @@ class CensusScanBuilder(fullSchema: StructType, path: String, policy: FetchPolic
 case class CensusPartition(states: Seq[String],
     catchAll: Boolean = false) extends InputPartition
 
+/** Single-state partition used in KEYED planning mode (see
+  * [[CensusScan.outputPartitioning]]): reports its state as the
+  * partition key, so Spark's key-grouped machinery can place
+  * state-clustered operators directly on the scan output. */
+case class CensusStatePartition(state: String) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(state)))
+}
+
 class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     policy: FetchPolicy = FetchPolicy.Default,
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Seq[String], Int)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** Reported statistics (`SupportsReportStatistics`) — without them a
     * DSv2 relation costs `defaultSizeInBytes` (effectively infinite)
@@ -392,8 +403,53 @@ class CensusScan(required: StructType, pushed: Array[Filter], path: String,
     * an out-of-domain state is servable. It is planned only when it can
     * match: on unfiltered scans, and when a pushed predicate names an
     * out-of-domain state. */
+  /** KEYED planning decision (round-17 verdict #9): when Spark's v2
+    * bucketing is on, the scan carries a STATIC in-domain geo
+    * predicate (so no catch-all partition is needed — the catch-all
+    * holds many distinct out-of-domain states and cannot honestly
+    * report one partition key), and `state` survives the projection,
+    * partitions are planned ONE PER STATE, each reporting its state as
+    * the partition key ([[CensusStatePartition]]) — Spark then treats
+    * the scan as key-grouped on `state`, and a state-clustered
+    * operator downstream (the A26 DECLINED aggregate path, state-keyed
+    * joins) runs directly on the scan output with NO post-scan
+    * exchange. Based on the STATIC pushdown only: runtime narrowing
+    * arrives after the partitioning has been reported, and changing
+    * the planned partition set under a reported key grouping is the
+    * one DSv2 inconsistency Spark cannot repair. For a real HTTP
+    * deployment per-state partitions mean per-state GETs (3× the
+    * reference's 3-state chunk count) — the conf gate is that trade's
+    * dial. */
+  private def keyedStates: Option[Seq[String]] = {
+    val enabled = org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    val domain = CensusSource.stateFips.toSet
+    if (!enabled || !fileHeader.contains("state") ||
+        !required.fieldNames.contains("state")) None
+    else wantedStates match {
+      case Some(w) if w.nonEmpty && w.forall(domain.contains) =>
+        Some(w.toSeq.sorted)
+      case _ => None
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedStates match {
+      case Some(ks) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity("state")), ks.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(planInputPartitions().length)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    if (!fileHeader.contains("state"))
+    if (keyedStates.isDefined)
+      keyedStates.get.map(CensusStatePartition(_): InputPartition).toArray
+    else if (!fileHeader.contains("state"))
       Array(CensusPartition(Seq.empty))
     else {
       val domain = CensusSource.stateFips.toSet
@@ -521,11 +577,15 @@ class CensusAggScan(pushed: Array[Filter], path: String,
 class CensusAggReaderFactory(path: String,
     wantedStates: Option[Set[String]], stateNotNull: Boolean,
     policy: FetchPolicy, nAggs: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CensusPartition]
-    new CensusAggPartitionReader(path, p.states.toSet, p.catchAll,
-      wantedStates, stateNotNull, policy, nAggs)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: CensusStatePartition =>
+        new CensusAggPartitionReader(path, Set(p.state), catchAll = false,
+          wantedStates, stateNotNull, policy, nAggs)
+      case p: CensusPartition =>
+        new CensusAggPartitionReader(path, p.states.toSet, p.catchAll,
+          wantedStates, stateNotNull, policy, nAggs)
+    }
 }
 
 /** Folds one partition's (already filter-pushed) rows to final
@@ -570,11 +630,17 @@ class CensusReaderFactory(path: String, requiredCols: Seq[String],
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Seq[String], Int)] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CensusPartition]
-    new CensusPartitionReader(path, requiredCols, p.states.toSet, p.catchAll,
-      wantedStates, stateNotNull, policy, pushedLimit, pushedTopN)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: CensusStatePartition =>
+        new CensusPartitionReader(path, requiredCols, Set(p.state),
+          catchAll = false, wantedStates, stateNotNull, policy,
+          pushedLimit, pushedTopN)
+      case p: CensusPartition =>
+        new CensusPartitionReader(path, requiredCols, p.states.toSet,
+          p.catchAll, wantedStates, stateNotNull, policy,
+          pushedLimit, pushedTopN)
+    }
 }
 
 /** Reads the source's data rows for one state chunk (or the catch-all

@@ -492,6 +492,46 @@ class CensusSourceSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("keyed output partitioning: a DECLINED state aggregate over a " +
+      "state-filtered scan plans no post-scan exchange (r17 verdict #9)") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def census = spark.read.format("graft.sources.CensusSource")
+        .option("path", graft.sources.CensusFixture.path)
+        .option("expect", graft.sources.CensusFixture.Expect.mkString(","))
+        .load()
+      // distinct aggregation is not pushable -> Spark plans a real
+      // aggregate; with the scan reporting KeyGroupedPartitioning on
+      // state, the state-clustered aggregate needs NO exchange
+      val df = census.filter(col("state").isin("01", "02", "04"))
+        .groupBy("state").agg(countDistinct(col("tract")).as("n_tracts"))
+      val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("01" -> 2L, "02" -> 2L, "04" -> 2L))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Aggregate"), s"decline path must aggregate:\n$p")
+      assert(!p.contains("Exchange"),
+        s"state-keyed scan output must satisfy the aggregate's " +
+          s"clustering — no exchange:\n$p")
+      // without the v2-bucketing conf the same query keeps its
+      // exchange (the gate is the conf, chunk planning is unchanged)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val p2 = census.filter(col("state").isin("01", "02", "04"))
+        .groupBy("state").agg(countDistinct(col("tract")).as("n_tracts"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Exchange"),
+        s"conf-off path should shuffle as before:\n$p2")
+      // an UNFILTERED scan needs the catch-all partition and must
+      // decline keyed planning (it cannot report one key per
+      // partition honestly) — results stay correct
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val full = census.groupBy("state").count()
+      assert(full.collect().length == CensusSource.stateFips.size,
+        "unfiltered keyed-declined scan must still see every state")
+    } finally
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("A26: an unsupported grouping declines the pushdown and plans normally") {
     val df = spark.read.format("graft.sources.CensusSource")
       .option("path", graft.sources.CensusFixture.path)
