@@ -1797,8 +1797,29 @@ object LlmData {
     * (prefix filtering) — same bucket machinery, more bands, noted
     * rather than built because the candidate generator is shared with
     * the oracle. Threshold: max(c_ab, c_ba) ≥ 0.5, a superset of the
-    * K6 pair set (C ≥ J always). */
-  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    * K6 pair set (C ≥ J always).
+    *
+    * Amortization: served through the build-once `containment_v1`
+    * [[FixtureCache]] like every other consumer of the verified pair
+    * machinery (K6/K19/K22/K34/K36 ride `pairs_v1`) — the containment
+    * relation is a derived corpus artifact a production pipeline
+    * materializes once per crawl, and it is DENSE on a recrawl-shaped
+    * corpus: the sf10 fixture decade generates 31.2M capped candidate
+    * pairs (the first scale where the 256 bucket cap binds — raw pair
+    * volume 126M), whose verification melt is ~3×10⁹ rows; recomputing
+    * that per consumer read is exactly what the cache discipline
+    * exists to prevent. Row identity between the cached and inline
+    * relations is pinned in `MaterializedPairsSpec`; the oracle
+    * recomputes the relation from scratch in SQL, so correctness
+    * semantics are untouched. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    ensureContainment(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The K41 relation inline, without presentation order — the build
+    * side of [[ensureContainment]] and the reference side of the
+    * cache-equivalence law in `MaterializedPairsSpec`. */
+  private[graft] def containmentInline(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val rows = MinHash.shingleRows(t(spark, sfDir, "documents"), "doc_id", "text")
     val buckets = rows.groupBy(col("doc_id")).agg(min(col("shingle")).as("bucket"))
     val cand = Buckets.members(buckets,
@@ -1814,7 +1835,21 @@ object LlmData {
         col("c_ab"), col("c_ba"),
         when(col("c_ab") >= col("c_ba"), col("doc_a")).otherwise(col("doc_b"))
           .as("contained_doc"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Build-once containment-relation cache — [[ensurePairs]]'s
+    * discipline applied to K41 (content-keyed on the documents
+    * parquet, atomic staging-rename commit, one committed cache per
+    * live fixture). The `v1` component versions the containment
+    * semantics: bump it when the candidate generator or threshold
+    * changes so a stale cache is never served. */
+  def ensureContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FixtureCache.ensure(spark, "containment_v1", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { tmp =>
+      containmentInline(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+    spark.read.parquet(s"$dir/pairs")
   }
 
   /** K22: the end-to-end dedup pipeline probe — pairs → connected

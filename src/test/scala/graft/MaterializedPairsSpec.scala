@@ -50,6 +50,13 @@ class MaterializedPairsSpec extends SparkTestBase {
     assert(shared == rows(SparkEntry.queries("dedup_end_to_end")(spark, sfDir)))
   }
 
+  test("dedup_containment serves the cache row-identically to the inline relation") {
+    val cached = rows(SparkEntry.queries("dedup_containment")(spark, sfDir))
+    val inline = rows(LlmData.containmentInline(spark, sfDir)
+      .orderBy("doc_a", "doc_b"))
+    assert(cached == inline)
+  }
+
   test("ensurePairs serves the marker-committed per-fixture cache") {
     val got = rows(LlmData.ensurePairs(spark, sfDir).orderBy("doc_a", "doc_b"))
     // the cache content IS the pipeline output: identical to a fresh
