@@ -1127,4 +1127,67 @@ object Aggregates {
         dbl(sum(dec(col("wepc"))) / count(lit(1))).as("winsor_mean_cents"))
       .orderBy(col("rf"))
   }
+
+  /** D41: SPEARMAN rank correlation (quantity vs price per return
+    * flag) — the rank-based monotone-association measure, computed in
+    * the SCALABLE exact form: naive Spearman ranks every ROW per group
+    * (a per-group global sort — at 100 TB one reducer per reporting
+    * group sorts a trillion rows), but tie-averaged ranks are a
+    * function of the VALUE alone, so the engine builds one rank map
+    * per variable at DISTINCT-VALUE cardinality (groupBy value → a
+    * cumulative-count window over per-group distinct values — 50 rows
+    * per group for quantity, price-cardinality for price) and joins
+    * the maps back. Doubled ranks `2·minrank + ties − 1` (= twice the
+    * tie-averaged rank) stay INTEGER — scaling both variables by 2
+    * leaves the correlation invariant, so no fractional rank ever
+    * enters the moment sums; the moments are exact DECIMAL(38) and ρ
+    * is ONE closed-form double (the D20/D28 discipline — the shape
+    * re-associates identically under any partitioning). The quantity
+    * map is broadcast (bounded value domain); the price map joins on
+    * the shuffle key the moment aggregation wants anyway. */
+  def aggSpearman(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanCore(t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        cents(col("l_quantity")).as("x"),
+        cents(col("l_extendedprice")).as("y")))
+
+  /** The Spearman core over an arbitrary (rf, x, y) frame — separated
+    * so `AggregatesSpec` can pin ρ(x,x)=1, ρ(x,−x)=−1, the monotone-
+    * transform invariance (ranks see order, not magnitude), and
+    * repartition-determinism on constructed inputs. */
+  private[graft] def spearmanCore(li: DataFrame): DataFrame = {
+    // rank map for one variable: per (rf, value) count, then doubled
+    // tie-averaged rank = 2·(rows strictly below) + count + 1
+    def rankMap(v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("rf")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      li.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("cnt"))
+        .select(col("rf"), col(v),
+          (lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L))
+            + col("cnt") + lit(1L)).as(out))
+    }
+    val big = DecimalType(38, 0)
+    val rx = col("rx").cast(big)
+    val ry = col("ry").cast(big)
+    li.join(broadcast(rankMap("x", "rx")), Seq("rf", "x"))
+      .join(rankMap("y", "ry"), Seq("rf", "y"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        sum(rx).cast("double").as("sx"),
+        sum(ry).cast("double").as("sy"),
+        sum(rx * ry).cast("double").as("sxy"),
+        sum(rx * rx).cast("double").as("sx2"),
+        sum(ry * ry).cast("double").as("sy2"))
+      .select(col("rf"), col("n"),
+        // zero variance in either variable (all-tied group) ⇒ ρ is
+        // undefined: NULL, never a fabricated 0 and never an ANSI
+        // divide-by-zero kill
+        when((col("n") * col("sx2") - col("sx") * col("sx")) > 0 &&
+             (col("n") * col("sy2") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+              * (col("n") * col("sy2") - col("sy") * col("sy"))), 6))
+          .as("spearman_rho"))
+      .orderBy(col("rf"))
+  }
 }

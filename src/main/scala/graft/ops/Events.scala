@@ -671,4 +671,52 @@ object Events {
           col("n_users_total").cast("double"), 6).as("pct_at_least"))
       .orderBy(col("active_days"))
   }
+
+  /** J44: CUSUM change-point detection over the daily event-volume
+    * series per event type — "which day did the level shift" as exact
+    * integer arithmetic. The classic CUSUM tracks Σ(cᵢ − mean); mean
+    * is fractional, so the engine scales by the day count instead:
+    * devₜ = days·cₜ − total (integer, zero-sum over the series) and
+    * CUSUMₜ = running Σ dev — the argmax |CUSUM| day is the change
+    * point, identical to the fractional form (positive scaling
+    * preserves the argmax) and hash-stable across engines because no
+    * float division ever happens. Shape at 100 TB: the raw scan
+    * collapses to (type, day) cardinality in ONE map-side-combined
+    * pass; the running-sum window partitions by type over the DAY
+    * GRID (~365 rows per type per year — bounded state, the J-family
+    * discipline), never over raw events; tie-break on the earliest
+    * day makes the argmax deterministic. */
+  def eventsChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointCore(t(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The CUSUM core over an arbitrary (event_type, day, cnt) daily
+    * series — separated so `EventsSpec` can pin the planted-shift law
+    * (a synthetic series with a known level change must flag the
+    * shift day) and the zero-sum law (Σdev = 0 ⇒ the CUSUM returns
+    * to 0 at the series end) on constructed inputs. */
+  private[graft] def changepointCore(daily: DataFrame): DataFrame = {
+    val sized = daily
+      .withColumn("days",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = sized
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("days"), col("total"),
+        sum(col("days") * col("cnt") - col("total")).over(wRun)
+          .as("cusum"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    cusum
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("cnt").as("day_count"), col("days"), col("total"),
+        col("cusum").as("cusum_at_change"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -315,7 +315,7 @@ object Fns {
     * binary-collation strings (the canonical form is the binary MIN —
     * deterministic in both engines); the oracle mirrors with
     * `GROUP BY lower()`, equivalent on this ASCII domain. */
-  /** H17: higher-order array lambdas — transform / filter / aggregate
+  /** H19: higher-order array lambdas — transform / filter / aggregate
     * / exists / forall over the tokenized part name, the SQL-surface
     * battery for the lambda functions (every output scalar and
     * integer-exact, so cross-engine parity is exact). CAVEAT baked

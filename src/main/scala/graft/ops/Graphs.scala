@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Util._
@@ -788,5 +789,61 @@ object Graphs {
         col("h").as("score"))
     topAuth.unionAll(topHub)
       .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** L14: directed-graph RECIPROCITY + dyad census — over the
+    * part-succession graph (within each order, an edge from every
+    * line's part to the NEXT line's part in linenumber order: the
+    * "bought together, in sequence" digraph), what fraction of
+    * directed edges has its reverse also present? Classic digraph
+    * health metric (Garlaschelli-Loffredo r), with the dyad census
+    * (mutual / asymmetric pairs) that explains it. Exact integers +
+    * one exact-decimal ratio.
+    *
+    * Scale shape: the edge derivation is ONE window pass (lead over
+    * linenumber, partitioned by order — lineitem's natural key, one
+    * shuffle) then distinct at edge cardinality; reciprocity is a
+    * LEFT SEMI self-join of the distinct edge list against its own
+    * reversal on the (src,dst) hash key — edge-cardinality exchanges,
+    * no fan-out, no per-node state, so a trillion-edge census is the
+    * same three exchanges. Never the naive "group neighbors per node
+    * and intersect" (hub-degree quadratic). */
+  def graphReciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    // (orderkey, linenumber) is NOT unique in the fixture — the lead
+    // order must be fully tie-broken or the edge set is
+    // engine-ambiguous; adding partkey makes ties interchangeable
+    // (equal src ⇒ identical dst assignment under any tie order)
+    val wNext = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("src"))
+    val edges = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wNext))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    reciprocityCensus(edges)
+  }
+
+  /** The reciprocity/dyad census over an arbitrary DISTINCT
+    * (src, dst) edge list — separated so `GraphsSpec` can pin the
+    * exact dyad counts on constructed digraphs (a known mutual pair,
+    * a pure one-way path, a fully symmetric graph ⇒ reciprocity 1). */
+  private[graft] def reciprocityCensus(edges: DataFrame): DataFrame = {
+    val reciprocated = edges.as("e").join(
+      edges.select(col("dst").as("src"), col("src").as("dst")).as("r"),
+      Seq("src", "dst"), "left_semi")
+    val nodes = edges.select(explode(array(col("src"), col("dst")))
+      .as("node")).distinct()
+    val eAgg = edges.agg(count(lit(1)).as("n_edges"))
+    val rAgg = reciprocated.agg(count(lit(1)).as("n_reciprocated"))
+    val nAgg = nodes.agg(count(lit(1)).as("n_nodes"))
+    eAgg.crossJoin(broadcast(rAgg)).crossJoin(broadcast(nAgg))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_reciprocated"),
+        (col("n_reciprocated") / lit(2)).cast("long").as("n_mutual_pairs"),
+        (col("n_edges") - col("n_reciprocated")).as("n_asymmetric"),
+        dbl(dec(col("n_reciprocated")) / col("n_edges"))
+          .as("reciprocity"))
   }
 }

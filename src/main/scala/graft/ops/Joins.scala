@@ -727,4 +727,50 @@ object Joins {
       t(spark, sfDir, tbl).createOrReplaceTempView(tbl))
     spark.sql(graft.oracle.OracleSql.all("sql_tpch_q22"))
   }
+
+  /** C46: BLOOM-PREFILTERED semi-join — fact rows whose part belongs
+    * to a filtered dimension subset (`p_size = 1`, ~2% of parts),
+    * with a [[graft.functions.BloomMightContainLong]] probe of the
+    * subset's keys applied to the fact stream BEFORE the exact
+    * semi-join. The band this exists for at 100 TB: a dimension
+    * subset too big to broadcast forces the exact semi-join to
+    * shuffle the FULL fact table; a 1%-fpp Bloom of the subset keys
+    * is ~10× smaller than its hash relation, ships once per task as
+    * an expression reference, and prunes the fact stream to
+    * candidates before the exchange. Bloom filters have no false
+    * negatives, so the exact join after the filter returns the
+    * IDENTICAL row set (pinned in `JoinsSpec` against the
+    * unfiltered form) — the probe only cuts the bytes that move; the
+    * codegen'd expression rides inside the scan's WholeStageCodegen
+    * span. Output is the per-flag aggregate so the checked result is
+    * reporting-cardinality. */
+  def joinBloomSemi(spark: SparkSession, sfDir: String): DataFrame =
+    joinBloomSemiCore(spark, sfDir, bloomPrefilter = true)
+
+  /** The C46 core with the prefilter switchable, so the spec can pin
+    * bloom-on ≡ bloom-off row identity (the no-false-negatives law). */
+  private[graft] def joinBloomSemiCore(spark: SparkSession, sfDir: String,
+      bloomPrefilter: Boolean): DataFrame = {
+    val dim = t(spark, sfDir, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"))
+    val li = t(spark, sfDir, "lineitem")
+    val probe =
+      if (!bloomPrefilter) li
+      else {
+        // the builder needs a capacity; the subset count is a
+        // dimension-side action (dim-cardinality, never fact-scale)
+        val n = math.max(dim.count(), 1L)
+        val bloom = dim.stat.bloomFilter("l_partkey", n, 0.01)
+        li.filter(graft.functions.BloomMightContainLong(
+          col("l_partkey"), bloom))
+      }
+    probe.join(dim, Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .withColumnRenamed("l_returnflag", "rf")
+      .orderBy(col("rf"))
+  }
 }

@@ -2800,4 +2800,41 @@ object LlmData {
           col("n_slots").cast("double"), 6).as("efficiency"))
       .orderBy(col("ctx"))
   }
+
+  /** K90: CODE-vs-PROSE detection — the corpus-routing screen a
+    * training pipeline runs to split source code from natural text
+    * (code goes to a code-tokenizer lane with different dedup and
+    * quality rules; prose-trained filters mis-score code and vice
+    * versa). Heuristic = density of code-punctuation
+    * (`{}()[];=<>|&`), the signal used by published corpus pipelines
+    * before any learned classifier. The fixture corpus is pure
+    * word-salad prose, so both engines deterministically append the
+    * same code fragment to every 7th document (the [[textCharset]]
+    * injection pattern — a pure function of doc_id), making the
+    * detector's positive path hash-checked rather than vacuously
+    * zero; every 11th document gets a LIGHT markup suffix that must
+    * stay BELOW the threshold (the false-positive guard, also
+    * checked).
+    *
+    * Counts are length-differences of a global regex strip over an
+    * explicit character class (Java ∩ RE2 subset — identical
+    * automata both engines); one narrow codegen'd projection, no
+    * shuffle before the output sort. */
+  def textCodeDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = t(spark, sfDir, "documents")
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" int f(x){return a[i]<=y&&b!=0;}")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" (see note <1>)")).otherwise(lit(""))))
+    val n = length(col("t2"))
+    val codeChars =
+      n - length(regexp_replace(col("t2"), "[{}()\\[\\];=<>|&]", ""))
+    injected.select(col("doc_id"),
+        n.cast("long").as("n_chars"),
+        codeChars.cast("long").as("n_code_chars"),
+        when(n > 0, dbl(dec(codeChars) / n)).as("code_char_ratio"),
+        (codeChars >= 10).as("is_code"))
+      .orderBy(col("doc_id"))
+  }
 }

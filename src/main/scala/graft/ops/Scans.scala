@@ -1074,6 +1074,44 @@ object Scans {
       .orderBy(col("tier"))
   }
 
+  /** A45: RESTORE — roll the table back to an earlier snapshot as a
+    * NEW commit (Delta `RESTORE`, Iceberg `rollback`): the A18
+    * three-commit history, then version 1's content is re-committed
+    * as version 4. The restore is FORWARD history, not erasure — the
+    * bad versions 2 and 3 stay time-travel-readable for audit (the
+    * difference between RESTORE and a vacuum), and the restored
+    * snapshot is verifiably bit-equal to its source. At 100 TB the
+    * restore commit is METADATA-ONLY in spirit: the engine re-reads
+    * v1 and rewrites it here (the simple store has no manifest
+    * re-pointing), but the read path never touches v2/v3 data, and
+    * the check the row carries — v4 ≡ v1 on count and exact-cents
+    * sum — is the invariant a manifest-repointing implementation
+    * must also satisfy. */
+  def warehouseRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_restore_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    // RESTORE to v1: re-commit the v1 snapshot as v4
+    SnapshotStore.commitOverwrite(spark, root,
+      SnapshotStore.read(spark, root, asOf = Some(1)))
+    (1 to 4).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents_sum"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("acctbal_cents_sum"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
   /** A17: MERGE with a DELETE arm
     * ([[graft.census.Warehouse.mergeWithDeletes]]) — the full CDC load
     * over the A6 customer dimension: every 10th customer updates

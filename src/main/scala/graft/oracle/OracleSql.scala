@@ -4115,7 +4115,7 @@ object OracleSql {
         |FROM weekly JOIN wau ON weekly.week = wau.week
         |ORDER BY weekly.week""".stripMargin,
 
-    // H17 lambda battery: list_transform/list_filter/list_aggregate —
+    // H19 lambda battery: list_transform/list_filter/list_aggregate —
     // every scalar integer-exact
     "fn_lambda" ->
       """WITH p AS (
@@ -5758,6 +5758,183 @@ object OracleSql {
          |  CAST(GREATEST(1, FLOOR(height * scale)) AS INTEGER) AS rs_height,
          |  format
          |FROM s
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // A45 restore: v1..v3 are the A18 history; v4 re-commits v1's
+    // content (RESTORE is forward history) — the oracle recomputes all
+    // four states from the base table, v4 ≡ v1 by construction
+    "warehouse_restore" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), v3 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |)
+        |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT 4, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v1
+        |ORDER BY version""".stripMargin,
+
+    // C46 bloom-prefiltered semi-join: the bloom has no false
+    // negatives and the exact semi-join removes false positives, so
+    // the oracle is the PLAIN semi-join — hash equality proves the
+    // prefilter changed nothing but the bytes moved
+    "join_bloom_semi" ->
+      """SELECT l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY l_returnflag
+        |ORDER BY rf""".stripMargin,
+
+    // D41 Spearman: identical distinct-value rank maps (doubled
+    // tie-averaged ranks stay integer), exact 128-bit moment sums
+    // (HUGEINT here ≡ the engine's DECIMAL(38) in range), one
+    // closed-form double per group
+    "agg_spearman" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem
+        |), xc AS (
+        |  SELECT rf, x, COUNT(*) AS cnt FROM li GROUP BY rf, x
+        |), xr AS (
+        |  SELECT rf, x,
+        |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY rf ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rx
+        |  FROM xc
+        |), yc AS (
+        |  SELECT rf, y, COUNT(*) AS cnt FROM li GROUP BY rf, y
+        |), yr AS (
+        |  SELECT rf, y,
+        |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY rf ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS ry
+        |  FROM yc
+        |), j AS (
+        |  SELECT li.rf, rx, ry FROM li
+        |  JOIN xr ON li.rf = xr.rf AND li.x = xr.x
+        |  JOIN yr ON li.rf = yr.rf AND li.y = yr.y
+        |), m AS (
+        |  SELECT rf, COUNT(*) AS n,
+        |    CAST(SUM(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS DOUBLE)
+        |      AS sx2,
+        |    CAST(SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS DOUBLE)
+        |      AS sy2
+        |  FROM j GROUP BY rf
+        |)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy)
+        |      / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6)
+        |  END AS spearman_rho
+        |FROM m ORDER BY rf""".stripMargin,
+
+    // J44 CUSUM change point: devₜ = days·cₜ − total keeps the series
+    // integer (zero-sum per type); argmax |CUSUM| with earliest-day
+    // tie-break is deterministic in both engines
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), sized AS (
+        |  SELECT event_type, day, cnt,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS days,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM daily
+        |), cs AS (
+        |  SELECT event_type, day, cnt, days, total,
+        |    SUM(days * cnt - total) OVER (PARTITION BY event_type
+        |      ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM sized
+        |), pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rk
+        |  FROM cs
+        |)
+        |SELECT event_type, day AS change_day,
+        |  CAST(cnt AS BIGINT) AS day_count,
+        |  CAST(days AS BIGINT) AS days,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST(cusum AS BIGINT) AS cusum_at_change
+        |FROM pick WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // L14 reciprocity over the part-succession digraph: identical
+    // lead-window edge derivation, EXISTS for the reciprocal probe
+    "graph_reciprocity" ->
+      s"""WITH seq AS (
+         |  SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem
+         |), edges AS (
+         |  SELECT DISTINCT src, dst FROM seq
+         |  WHERE dst IS NOT NULL AND src <> dst
+         |), recip AS (
+         |  SELECT COUNT(*) AS n_reciprocated FROM edges e
+         |  WHERE EXISTS (SELECT 1 FROM edges r
+         |    WHERE r.src = e.dst AND r.dst = e.src)
+         |), nn AS (
+         |  SELECT COUNT(*) AS n_nodes FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION SELECT dst FROM edges)
+         |), ee AS (
+         |  SELECT COUNT(*) AS n_edges FROM edges
+         |)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_reciprocated AS BIGINT) AS n_reciprocated,
+         |  CAST(n_reciprocated // 2 AS BIGINT) AS n_mutual_pairs,
+         |  CAST(n_edges - n_reciprocated AS BIGINT) AS n_asymmetric,
+         |  ${dbl(s"${dec("n_reciprocated")} / n_edges")} AS reciprocity
+         |FROM nn, ee, recip""".stripMargin,
+
+    // K90 code detection: identical deterministic injection (pure
+    // function of doc_id), identical strip-class automaton
+    "text_code_detect" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' int f(x){return a[i]<=y&&b!=0;}' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' (see note <1>)' ELSE '' END AS t2
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, length(t2) AS n_chars,
+        |    length(t2) - length(regexp_replace(t2,
+        |      '[{}()\[\];=<>|&]', '', 'g')) AS n_code_chars
+        |  FROM injected
+        |)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_code_chars AS BIGINT) AS n_code_chars,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(CAST(CAST(n_code_chars AS DECIMAL(18,4)) / n_chars
+        |      AS DECIMAL(38,6)) AS DOUBLE) END AS code_char_ratio,
+        |  n_code_chars >= 10 AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

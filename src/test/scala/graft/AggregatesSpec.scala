@@ -442,4 +442,48 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  // ---- D41 Spearman rank correlation ----
+
+  private def rho(rows: Seq[(String, Long, Long)]): Map[String, Double] = {
+    import spark.implicits._
+    ops.Aggregates.spearmanCore(
+        rows.toDF("rf", "x", "y").repartition(3))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+  }
+
+  test("D41: ρ(x,x) = 1 and ρ(x,−x) = −1, exactly") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val self = rho(xs.map(v => ("a", v, v)))
+    val anti = rho(xs.map(v => ("a", v, -v)))
+    assert(self("a") == 1.0)
+    assert(anti("a") == -1.0)
+  }
+
+  test("D41: monotone transform of either variable leaves ρ unchanged") {
+    val pairs = Seq((3L, 7L), (1L, 2L), (4L, 9L), (1L, 2L), (5L, 1L),
+      (9L, 4L), (2L, 8L), (6L, 3L))
+    val base = rho(pairs.map { case (x, y) => ("a", x, y) })
+    val scaled = rho(pairs.map { case (x, y) => ("a", x * 100L, y * 7L + 3L) })
+    assert(base("a") == scaled("a"),
+      "ranks see order, not magnitude — ρ must be transform-invariant")
+  }
+
+  test("D41: ties get averaged ranks (all-equal x ⇒ degenerate NULL ρ)") {
+    import spark.implicits._
+    val out = ops.Aggregates.spearmanCore(
+      Seq(("a", 5L, 1L), ("a", 5L, 2L), ("a", 5L, 3L))
+        .toDF("rf", "x", "y"))
+      .collect()
+    // zero x-variance ⇒ the denominator is 0 ⇒ NULL (never a crash
+    // and never a fabricated 0)
+    assert(out.length == 1 && out.head.isNullAt(2))
+  }
+
+  test("D41: the fixture query is deterministic under repartitioning") {
+    val a = ops.Aggregates.aggSpearman(spark, sfDir).collect().toSeq
+    val b = ops.Aggregates.aggSpearman(spark, sfDir).collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
 }

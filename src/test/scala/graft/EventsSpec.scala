@@ -233,4 +233,42 @@ class EventsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 7L, 4L), (2L, 3L, 1L), (3L, 1L, 1L)))
   }
 
+  // ---- J44 CUSUM change point ----
+
+  test("J44: a planted level shift is flagged on the shift boundary") {
+    import spark.implicits._
+    // 10 days at level 10, then 10 days at level 30: |CUSUM| of
+    // dev = days·cnt − total peaks exactly on the last low day
+    val daily = (1 to 20).map { d =>
+      ("shift", java.sql.Date.valueOf(f"2024-01-$d%02d"),
+        if (d <= 10) 10L else 30L)
+    }.toDF("event_type", "day", "cnt").repartition(3)
+    val out = Events.changepointCore(daily).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toString == "2024-01-10",
+      s"change day was ${r.getDate(1)}")
+    assert(r.getLong(3) == 20L && r.getLong(4) == 400L)
+    // CUSUM at the peak: 10 days × (20·10 − 400) = −2000
+    assert(r.getLong(5) == -2000L)
+  }
+
+  test("J44: CUSUM is zero-sum — a constant series never exceeds 0") {
+    import spark.implicits._
+    val daily = (1 to 15).map(d =>
+      ("flat", java.sql.Date.valueOf(f"2024-02-$d%02d"), 7L))
+      .toDF("event_type", "day", "cnt")
+    val r = Events.changepointCore(daily).collect().head
+    assert(r.getLong(5) == 0L, "constant series ⇒ dev = 0 everywhere")
+    // deterministic tie-break: earliest day wins when all CUSUMs tie
+    assert(r.getDate(1).toString == "2024-02-01")
+  }
+
+  test("J44: the fixture query yields one row per event type") {
+    val out = Events.eventsChangepoint(spark, sfDir).collect()
+    val types = out.map(_.getString(0)).toSeq
+    assert(types == types.distinct.sorted)
+    assert(out.forall(_.getLong(3) > 0L))
+  }
+
 }

@@ -515,4 +515,39 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  // ---- L14 reciprocity / dyad census ----
+
+  test("L14: known dyad census — one mutual pair, two one-way edges") {
+    import spark.implicits._
+    // 1⇄2 mutual; 2→3 and 3→4 one-way
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst").repartition(3)
+    val r = Graphs.reciprocityCensus(edges).collect().head
+    assert(r.getLong(0) == 4L)              // nodes
+    assert(r.getLong(1) == 4L)              // edges
+    assert(r.getLong(2) == 2L)              // reciprocated directed edges
+    assert(r.getLong(3) == 1L)              // mutual pairs
+    assert(r.getLong(4) == 2L)              // asymmetric
+    assert(r.getDouble(5) == 0.5)
+  }
+
+  test("L14: a fully symmetric digraph has reciprocity exactly 1") {
+    import spark.implicits._
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val edges = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val r = Graphs.reciprocityCensus(edges).collect().head
+    assert(r.getDouble(5) == 1.0)
+    assert(r.getLong(4) == 0L, "no asymmetric edges in a symmetric graph")
+  }
+
+  test("L14: the fixture census is internally consistent") {
+    val r = Graphs.graphReciprocity(spark, sfDir).collect().head
+    val (e, recip, mutual, asym) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(recip % 2 == 0, "reciprocated edges pair up")
+    assert(mutual == recip / 2)
+    assert(asym == e - recip)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
 }

@@ -724,4 +724,24 @@ class LlmDataSpec extends SparkTestBase {
     }
   }
 
+  // ---- K90 code-vs-prose detection ----
+
+  test("K90: injected code docs flag, markup-only docs stay below threshold") {
+    val rows = ops.LlmData.textCodeDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val codeChars = r.getLong(2)
+      val isCode = r.getBoolean(4)
+      if (id % 7 == 0)
+        assert(isCode, s"doc $id carries the injected code fragment")
+      else if (id % 11 == 0)
+        assert(!isCode && codeChars > 0 && codeChars < 10,
+          s"doc $id: light markup must stay below the threshold")
+      else
+        assert(codeChars == 0L,
+          s"doc $id: the fixture prose has no code punctuation")
+    }
+  }
+
 }

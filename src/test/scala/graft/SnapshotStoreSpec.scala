@@ -640,4 +640,28 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(v1.count() == 50)
   }
 
+  // ---- A45 restore ----
+
+  test("A45: restore re-commits the target snapshot; history stays readable") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("snapshot_restore_spec_").toString
+    val base = (1 to 40).map(i => (i.toLong, s"r$i")).toDF("k", "p")
+    SnapshotStore.commitOverwrite(spark, root, base.filter(col("k") <= 10))
+    SnapshotStore.commitAppend(spark, root,
+      base.filter(col("k") > 10 && col("k") <= 20))
+    SnapshotStore.commitOverwrite(spark, root, base.filter(col("k") > 30))
+    // RESTORE to v1 as a NEW commit
+    SnapshotStore.commitOverwrite(spark, root,
+      SnapshotStore.read(spark, root, asOf = Some(1)))
+    def rows(v: Int): Set[(Long, String)] =
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(4) == rows(1), "the restored snapshot is bit-equal to v1")
+    assert(rows(4) != rows(3), "restore actually changed HEAD")
+    // forward history, not erasure: the bad versions stay readable
+    assert(rows(2).size == 20 && rows(3).size == 10)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
 }
