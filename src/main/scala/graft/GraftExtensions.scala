@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNGrams, CosineSim, HyperplaneCodes, MinHashSig, RollingHash, SimHashFp, ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg}
+import graft.functions.{CharNGrams, CosineSim, HyperplaneCodes, KllQuantile, KllSketchAgg, MinHashSig, RollingHash, SimHashFp, ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg}
 
 /** Session-extensions installer: makes the engine's custom expressions
   * available to every session created with
@@ -124,6 +124,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ThetaSetEstimate(a, b, op.toString)
         case _ => throw new IllegalArgumentException(
           "theta_set_estimate(a, b, op:'union'|'intersect'|'a_not_b' literal)")
+      }))
+    // KLL mergeable quantile sketches (round 18): sketch each
+    // partition once, persist the blob, answer any later quantile
+    // over any partition union by merging blobs — `SELECT
+    // kll_quantile(kll_sketch_agg(price), 0.5) FROM ...`
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => KllSketchAgg(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k,
+            org.apache.spark.sql.types.IntegerType)) =>
+          KllSketchAgg(c, k.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg(col[, k:int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s, p) => KllQuantile(s, p)
+        case _ => throw new IllegalArgumentException(
+          "kll_quantile(sketch, rank:double)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_codes"),

@@ -1190,4 +1190,34 @@ object Aggregates {
           .as("spearman_rho"))
       .orderBy(col("rf"))
   }
+
+  /** D42: MERGEABLE quantile sketches — per-flag KLL summaries of
+    * price cents with p50/p90/p99 estimates read back from the blobs
+    * ([[graft.functions.KllSketchAgg]], a native
+    * TypedImperativeAggregate). What D15's built-in percentile_approx
+    * cannot do: the KLL blob is a first-class VALUE — sketch each
+    * ingest partition once, persist the few-KB blob (the D25
+    * discipline), answer any later quantile over any partition union
+    * by merging blobs, never rescanning. Registered rows-only like
+    * every sketch rung (KLL compaction consumes random bits, so the
+    * summary is run-dependent within its error contract); the ±2ε
+    * rank-error law vs the exact order statistic is pinned in
+    * `AggregatesSpec`. */
+  def aggSketchKll(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.{KllQuantile, KllSketchAgg}
+    def q(sketch: Column, p: Double): Column =
+      column(KllQuantile(expression(sketch), expression(lit(p))))
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n"),
+        column(KllSketchAgg(
+          expression(cents(col("l_extendedprice")).cast("double")))
+          .toAggregateExpression()).as("sk"))
+      .select(col("rf"), col("n"),
+        round(q(col("sk"), 0.5), 1).as("p50_cents"),
+        round(q(col("sk"), 0.9), 1).as("p90_cents"),
+        round(q(col("sk"), 0.99), 1).as("p99_cents"))
+      .orderBy(col("rf"))
+  }
 }

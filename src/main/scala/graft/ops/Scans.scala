@@ -646,6 +646,67 @@ object Scans {
     byCust.unionAll(byPrice).orderBy(col("band"))
   }
 
+  /** A46: PARTITION-SPEC / STATS EVOLUTION (r18) — the Iceberg
+    * partition-evolution contract re-expressed on the snapshot store:
+    * early commits record zone maps on the ORIGINAL layout key
+    * (`o_orderkey` ranges — the "partitioned by order id" era), a
+    * later append records stats on a NEW key (`o_custkey`) without
+    * rewriting anything that came before. The read path needs no
+    * spec registry: pruning is per-SEGMENT against whatever column
+    * that segment recorded — an old-key predicate still skips
+    * old-era dirs after the evolution, a new-key predicate skips
+    * new-era dirs, and a segment with no stats for the queried
+    * column is ALWAYS opened (soundness — the same law A44 pins).
+    * That is exactly how a 100 TB table survives a partition-spec
+    * change: no rewrite wave, no flag day, old data prunes by the
+    * old spec and new data by the new one. The checked output is
+    * value-transparent (band aggregates the oracle recomputes from
+    * raw orders); the dirs-opened arithmetic is pinned in
+    * `SnapshotStoreSpec`. */
+  def warehousePartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "part_evolution_")
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .localCheckpoint(true)
+    // one dim-cardinality action sizes the era splits (the C46
+    // bloom-capacity discipline: never a fact-scale action)
+    val k = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    // era 1 (original spec): two orderkey-range segments, stats on
+    // the ORIGINAL key
+    SnapshotStore.commitOverwrite(spark, root,
+      o.filter(col("o_orderkey") < k / 3).repartition(1),
+      statsCols = Seq("o_orderkey"))
+    SnapshotStore.commitAppend(spark, root,
+      o.filter(col("o_orderkey") >= k / 3 && col("o_orderkey") < 2 * k / 3)
+        .repartition(1),
+      statsCols = Seq("o_orderkey"))
+    // evolution: the new era records stats on the NEW key only
+    SnapshotStore.commitAppend(spark, root,
+      o.filter(col("o_orderkey") >= 2 * k / 3).repartition(1),
+      statsCols = Seq("o_custkey"))
+    def band(name: String, pr: SnapshotStore.PrunedRead,
+        pred: org.apache.spark.sql.Column): DataFrame =
+      pr.df.filter(pred)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("cents_sum"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(lit(name).as("band"), col("n_orders"), col("cents_sum"),
+          col("n_cust"))
+    // old-key band inside era-1a: era-1b prunes, the stat-less-for-
+    // orderkey new era opens (soundness)
+    val byOrder = band("orderkey_first_sixth",
+      SnapshotStore.readPruned(spark, root, "o_orderkey", 0L, k / 6),
+      col("o_orderkey").between(0L, k / 6))
+    // new-key band: the evolved segment prunes by ITS spec; the two
+    // old-era segments have no custkey stats and always open
+    val byCust = band("custkey_10_60",
+      SnapshotStore.readPruned(spark, root, "o_custkey", 10L, 60L),
+      col("o_custkey").between(10L, 60L))
+    byOrder.unionAll(byCust).orderBy(col("band"))
+  }
+
   /** A40: CHECK-constraint enforcement at commit — the Delta/Iceberg
     * `ADD CONSTRAINT CHECK` contract on the snapshot store: a clean
     * base lands, a second CLEAN batch passes its checked append, and

@@ -5788,6 +5788,30 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v1
         |ORDER BY version""".stripMargin,
 
+    // A46 partition-spec evolution: the store is value-transparent —
+    // the oracle recomputes both band aggregates from raw orders with
+    // the same floor-division era arithmetic
+    "warehouse_partition_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), k AS (
+        |  SELECT MAX(o_orderkey) + 1 AS k FROM o
+        |)
+        |SELECT 'custkey_10_60' AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price_cents) AS BIGINT) AS cents_sum,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM o WHERE o_custkey BETWEEN 10 AND 60
+        |UNION ALL
+        |SELECT 'orderkey_first_sixth',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(price_cents) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |FROM o, k WHERE o_orderkey BETWEEN 0 AND k // 6
+        |ORDER BY band""".stripMargin,
+
     // C46 bloom-prefiltered semi-join: the bloom has no false
     // negatives and the exact semi-join removes false positives, so
     // the oracle is the PLAIN semi-join — hash equality proves the

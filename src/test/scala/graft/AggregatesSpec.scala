@@ -486,4 +486,52 @@ class AggregatesSpec extends SparkTestBase {
     assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  // ---- D42 KLL mergeable quantile sketch ----
+
+  test("D42: every KLL quantile estimate sits within the rank-error contract") {
+    // exact per-flag sorted cents as the ground truth
+    val exact = graft.ops.Util.t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        graft.ops.Util.cents(col("l_extendedprice")).as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (rf, rs) => rf -> rs.map(_.getLong(1)).sorted }
+    val out = ops.Aggregates.aggSketchKll(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out; (p, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+      val vs = exact(r.getString(0))
+      val est = r.getDouble(i)
+      // normalized rank of the estimate vs the requested rank: k=200
+      // guarantees ~1.65% (99% two-sided); 4% = a generous 2+ epsilon
+      // band that still catches a broken merge outright
+      val rank = vs.count(_ <= est).toDouble / vs.length
+      assert(math.abs(rank - p) <= 0.04,
+        s"rf=${r.getString(0)} p=$p est=$est rank=$rank")
+    }
+  }
+
+  test("D42: the sketch merges across partitionings within the same contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.{KllQuantile, KllSketchAgg}
+    val n = 20000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(13)
+    val est = df
+      .agg(column(KllSketchAgg(expression(col("v")))
+        .toAggregateExpression()).as("sk"))
+      .select(column(KllQuantile(expression(col("sk")),
+        expression(lit(0.5)))).as("p50"))
+      .collect().head.getDouble(0)
+    assert(math.abs(est / n - 0.5) <= 0.04, s"p50 of 1..$n was $est")
+  }
+
+  test("D42: the SQL surface (kll_sketch_agg / kll_quantile) is registered") {
+    graft.ops.Util.t(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("kll_li")
+    val est = spark.sql(
+      """SELECT kll_quantile(
+        |  kll_sketch_agg(CAST(l_quantity AS DOUBLE)), 0.5d) AS p50
+        |FROM kll_li""".stripMargin).collect().head.getDouble(0)
+    assert(est >= 1.0 && est <= 50.0)
+  }
+
 }

@@ -816,4 +816,48 @@ class PlanAuditSpec extends SparkTestBase {
       "trimmed mean must not recompute bounds")
   }
 
+  test("join_bloom_semi evaluates the bloom probe before the exact join") {
+    val p = plan("join_bloom_semi")
+    // the codegen'd probe sits in a Filter on the fact side — the
+    // pre-exchange prune that is the point of C46
+    assert(p.contains("bloommightcontainlong"),
+      s"bloom probe missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("agg_spearman builds rank maps at distinct-value cardinality, never a row sort") {
+    val p = plan("agg_spearman")
+    // the only Sorts allowed are inside the two rank-map windows and
+    // the final reporting orderBy — no global sort of the fact rows
+    // (the naive per-group row-rank formulation would show a Window
+    // whose partition is rf alone over the raw fact relation; the
+    // rank maps instead window over groupBy(value) aggregates)
+    assert(p.contains("Window"), p)
+    val aggBeforeWindow = p.linesIterator.exists(_.contains("HashAggregate"))
+    assert(aggBeforeWindow, "rank maps must aggregate to distinct values first")
+  }
+
+  test("events_changepoint windows share one event_type exchange") {
+    val p = plan("events_changepoint")
+    // all three windows (sizing, running CUSUM, argmax pick) partition
+    // by event_type — Spark must plan them over ONE hash exchange on
+    // that key alone, so the day-grid relation shuffles exactly once
+    // (the (event_type, day) exchange below it is the groupBy's own)
+    val typeOnly = """Exchange hashpartitioning\(event_type#\d+, \d+\)""".r
+    val typeExchanges = p.linesIterator.count(l =>
+      typeOnly.findFirstIn(l).isDefined)
+    assert(typeExchanges == 1,
+      s"expected one event_type-only exchange, saw $typeExchanges:\n$p")
+  }
+
+  test("graph_reciprocity joins edge-cardinality relations with no fan-out") {
+    val p = plan("graph_reciprocity")
+    // the reciprocal probe is a semi-join of distinct edges against
+    // their reversal — never a per-node neighbor-set intersection
+    assert(p.contains("LeftSemi"), p)
+    // the only nested-loop joins are the two single-row normalizer
+    // broadcasts of the census pattern
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
 }

@@ -20,7 +20,7 @@ class QueriesSmokeSpec extends SparkTestBase {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("agg_approx_distinct", "agg_approx_percentile",
       "agg_heavy_hitters", "agg_sketch_union", "agg_sketch_theta",
-      "agg_sketch_persist",
+      "agg_sketch_persist", "agg_sketch_kll",
       "dedup_minhash",
       "dedup_simhash", "dedup_embedding", "dedup_semantic",
       "sim_ann_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",

@@ -664,4 +664,40 @@ class SnapshotStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- A46 partition-spec / stats evolution ----
+
+  test("A46: per-segment pruning survives a stats-spec change; stat-less dirs always open") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("snapshot_evolution_spec_").toString
+    val df = (0L until 300L).map(i => (i, i % 50, s"r$i"))
+      .toDF("k", "g", "p")
+    // era 1: two k-range segments, stats on the ORIGINAL key
+    SnapshotStore.commitOverwrite(spark, root,
+      df.filter(col("k") < 100).repartition(1), statsCols = Seq("k"))
+    SnapshotStore.commitAppend(spark, root,
+      df.filter(col("k") >= 100 && col("k") < 200).repartition(1),
+      statsCols = Seq("k"))
+    // evolution: the new era records stats on the NEW key only
+    SnapshotStore.commitAppend(spark, root,
+      df.filter(col("k") >= 200).repartition(1), statsCols = Seq("g"))
+    // old-key band inside era-1a: era-1b prunes by its k stats, the
+    // new era has NO k stats and must open (soundness)
+    val byK = SnapshotStore.readPruned(spark, root, "k", 0L, 50L)
+    assert(byK.dirsTotal == 3 && byK.dirsOpened == 2,
+      s"k-band opened ${byK.dirsOpened}/${byK.dirsTotal}")
+    assert(byK.df.filter(col("k") <= 50).count() == 51)
+    // new-key band OUTSIDE the evolved segment's g range: the two
+    // stat-less-for-g old dirs open, the evolved dir skips
+    val byG = SnapshotStore.readPruned(spark, root, "g", 60L, 99L)
+    assert(byG.dirsTotal == 3 && byG.dirsOpened == 2,
+      s"g-band opened ${byG.dirsOpened}/${byG.dirsTotal}")
+    assert(byG.df.filter(col("g").between(60, 99)).count() == 0)
+    // pruned reads stay content-correct against the full read
+    val full = SnapshotStore.read(spark, root)
+      .filter(col("k") <= 50).count()
+    assert(full == 51)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
 }
