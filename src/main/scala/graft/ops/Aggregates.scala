@@ -1220,4 +1220,41 @@ object Aggregates {
         round(q(col("sk"), 0.99), 1).as("p99_cents"))
       .orderBy(col("rf"))
   }
+
+  /** D43: categorical Shannon entropy per group — "how concentrated
+    * is the priority mix within each order status", the
+    * distribution-balance signal (corpus-mix monitoring, skew alarms,
+    * feature-diversity audits) as H = ln(n) − (Σ c·ln c)/n over
+    * category counts c, reported in bits and normalized by ln(k)
+    * (H/H_max ∈ [0,1] — 1 = uniform mix, → 0 = one category
+    * dominates). The K33 float-sum discipline: each c·ln(c) term is
+    * rounded to 9 dp and summed as EXACT DECIMAL (associative under
+    * any partitioning — a raw double sum hash-flaps), then one IEEE
+    * expression per statistic. Two map-side-combined passes, group ×
+    * category cardinality state — the same plan at any row count. */
+  def aggGroupEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    groupEntropyCore(t(spark, sfDir, "orders")
+      .select(col("o_orderstatus").as("s"),
+        col("o_orderpriority").as("pri")))
+
+  /** The entropy core over an arbitrary (s, pri) frame — separated so
+    * `AggregatesSpec` can pin the uniform-mix (norm = 1), single-
+    * category (H = 0, norm NULL), and repartition-determinism laws on
+    * constructed inputs. */
+  private[graft] def groupEntropyCore(rows: DataFrame): DataFrame = {
+    val counts = rows
+      .groupBy(col("s"), col("pri"))
+      .agg(count(lit(1)).as("c"))
+    val nats = log(col("n")) - col("scl").cast("double") / col("n")
+    counts.groupBy(col("s"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(round(col("c") * log(col("c")), 9)
+          .cast(DecimalType(28, 9))).as("scl"))
+      .select(col("s"), col("n"), col("k"),
+        round(nats / log(lit(2.0d)), 6).as("entropy_bits"),
+        when(col("k") > 1,
+          round(nats / log(col("k").cast("double")), 6))
+          .as("entropy_norm"))
+      .orderBy(col("s"))
+  }
 }

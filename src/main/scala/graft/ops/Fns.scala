@@ -506,4 +506,33 @@ object Fns {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
+
+  /** H20: EDIT-DISTANCE battery — the fuzzy-matching scalar surface
+    * (entity resolution, typo-tolerant lookup, the K38 dedup kernel
+    * as a reporting function) over deterministic same-row pairs, so
+    * both engines score identical inputs: `levenshtein(name,
+    * reverse(name))` (palindromic distance), `levenshtein(name,
+    * upper(name))` (= alphabetic char count — a known closed form
+    * both engines must hit), and the THRESHOLDED 3-arg form against
+    * the brand string (Spark returns −1 beyond the cap — the banded
+    * early-exit DP that keeps a 100 TB fuzzy probe from paying full
+    * O(len²) on obvious non-matches; the oracle spells the same
+    * semantics as a CASE). Aggregated per brand in one
+    * map-side-combined pass — scalar battery, reporting-cardinality
+    * output. */
+  def fnEditDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .select(col("p_brand"), col("p_name"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).as("lv_rev"),
+        levenshtein(col("p_name"), upper(col("p_name"))).as("lv_up"),
+        levenshtein(col("p_name"), col("p_brand"), 10).as("lv_brand_10"))
+    p.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lv_rev")).as("sum_lv_rev"),
+        max(col("lv_rev")).cast("long").as("max_lv_rev"),
+        sum(col("lv_up")).as("sum_lv_up"),
+        sum(when(col("lv_brand_10") >= 0, 1L).otherwise(0L))
+          .as("n_within_10"))
+      .orderBy(col("p_brand"))
+  }
 }

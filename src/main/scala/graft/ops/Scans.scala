@@ -646,6 +646,44 @@ object Scans {
     byCust.unionAll(byPrice).orderBy(col("band"))
   }
 
+  /** A47: COMMIT HISTORY as a first-class relation (r18) — Iceberg's
+    * `table$history` / Delta's `DESCRIBE HISTORY` over the snapshot
+    * store: the A18 three-commit lineage plus an equality-delete
+    * commit, then ONE frame joining each version's manifest
+    * composition ([[graft.sources.SnapshotStore.history]] — data
+    * segments, outstanding delete vectors; metadata-cardinality,
+    * never a data read) with its row count and exact-cents balance.
+    * The operator's read of every historical version is the audit
+    * posture ("what did each commit do to the table"); at 100 TB the
+    * history frame itself costs O(versions) manifest lines — the
+    * per-version counts here are the verification layer the oracle
+    * rebuilds from raw customer. */
+  def warehouseHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = freshSinkDir(spark, "snapshot_history_")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 10 === 0))
+    SnapshotStore.commitAppend(spark, root,
+      cust.filter(col("c_custkey") % 10 === 5))
+    SnapshotStore.commitOverwrite(spark, root,
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0d).as("c_acctbal")))
+    SnapshotStore.commitDelete(spark, root, "c_custkey",
+      col("c_custkey") % 200 === 0)
+    val counts = (1 to 4).map { v =>
+      SnapshotStore.read(spark, root, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("bal_cents"))
+    }.reduce(_.union(_))
+    SnapshotStore.history(spark, root)
+      .join(counts, Seq("version"))
+      .orderBy(col("version"))
+  }
+
   /** A46: PARTITION-SPEC / STATS EVOLUTION (r18) — the Iceberg
     * partition-evolution contract re-expressed on the snapshot store:
     * early commits record zone maps on the ORIGINAL layout key

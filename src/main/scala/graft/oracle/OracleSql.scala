@@ -5788,6 +5788,81 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v1
         |ORDER BY version""".stripMargin,
 
+    // A47 commit history: manifest composition is determined by the
+    // recipe (1 seg / 2 segs / 1 seg / 1 seg + 1 DV); row counts and
+    // balances recomputed from raw customer, v4 minus the deleted keys
+    "warehouse_history" ->
+      """WITH v1 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |), v2 AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 10 = 5
+        |), v3 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |), v4 AS (
+        |  SELECT c_acctbal + 1000 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0 AND c_custkey % 200 <> 0
+        |)
+        |SELECT 1 AS version, 1 AS n_segments, 0 AS n_delete_vectors,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents FROM v1
+        |UNION ALL
+        |SELECT 2, 2, 0, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM v2
+        |UNION ALL
+        |SELECT 3, 1, 0, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM v3
+        |UNION ALL
+        |SELECT 4, 1, 1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM v4
+        |ORDER BY version""".stripMargin,
+
+    // D43 categorical entropy: the K33 term-round + exact-decimal-sum
+    // discipline over (status, priority) counts
+    "agg_group_entropy" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS pri,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), a AS (
+        |  SELECT s, SUM(c) AS n, COUNT(*) AS k,
+        |    SUM(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS scl
+        |  FROM c GROUP BY s
+        |)
+        |SELECT s, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round((ln(n) - CAST(scl AS DOUBLE) / n) / ln(2), 6)
+        |    AS entropy_bits,
+        |  CASE WHEN k > 1 THEN
+        |    round((ln(n) - CAST(scl AS DOUBLE) / n) / ln(k), 6)
+        |  END AS entropy_norm
+        |FROM a ORDER BY s""".stripMargin,
+
+    // H20 edit-distance battery: deterministic same-row pairs; the
+    // thresholded 3-arg form spelled as the equivalent CASE
+    "fn_editdist" ->
+      """WITH p AS (
+        |  SELECT p_brand,
+        |    levenshtein(p_name, reverse(p_name)) AS lv_rev,
+        |    levenshtein(p_name, upper(p_name)) AS lv_up,
+        |    CASE WHEN levenshtein(p_name, p_brand) > 10 THEN -1
+        |         ELSE levenshtein(p_name, p_brand) END AS lv_brand_10
+        |  FROM part
+        |)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(lv_rev) AS BIGINT) AS sum_lv_rev,
+        |  CAST(MAX(lv_rev) AS BIGINT) AS max_lv_rev,
+        |  CAST(SUM(lv_up) AS BIGINT) AS sum_lv_up,
+        |  CAST(SUM(CASE WHEN lv_brand_10 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within_10
+        |FROM p GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
     // A46 partition-spec evolution: the store is value-transparent —
     // the oracle recomputes both band aggregates from raw orders with
     // the same floor-division era arithmetic

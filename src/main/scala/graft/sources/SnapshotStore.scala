@@ -94,6 +94,23 @@ object SnapshotStore {
   private def manifestPath(root: String, v: Int) =
     new Path(s"$root/$ManifestDir/v$v.list")
 
+  /** Table HISTORY as a queryable relation — the Iceberg
+    * `table$history` / Delta `DESCRIBE HISTORY` analog: one row per
+    * published version with its manifest composition (data segments,
+    * outstanding equality-delete vectors). Metadata-cardinality by
+    * construction: reads only the manifest text lines, never a data
+    * file — O(versions) tiny reads at ANY table size, which is what
+    * lets an operator audit a 100 TB table's commit history from the
+    * driver in milliseconds. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val es = readManifestLines(spark, root, v).map(parse)
+      (v, es.count(_.isInstanceOf[DataDir]),
+        es.count(_.isInstanceOf[DeleteVector]))
+    }.toDF("version", "n_segments", "n_delete_vectors")
+  }
+
   /** Published versions, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
     val f = fs(spark, root)

@@ -524,6 +524,41 @@ class AggregatesSpec extends SparkTestBase {
     assert(math.abs(est / n - 0.5) <= 0.04, s"p50 of 1..$n was $est")
   }
 
+  // ---- D43 categorical group entropy ----
+
+  test("D43: uniform mix normalizes to 1, a single category to 0/NULL") {
+    import spark.implicits._
+    val rows =
+      (1 to 40).map(i => ("uniform", s"p${i % 4}")) ++
+      (1 to 40).map(_ => ("single", "only")) ++
+      ((1 to 30).map(_ => ("skewed", "dominant")) ++
+        (1 to 2).map(i => ("skewed", s"rare$i")))
+    val out = ops.Aggregates.groupEntropyCore(
+        rows.toDF("s", "pri").repartition(5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val (uk, ubits, unorm) = out("uniform")
+    assert(uk == 4L && unorm.contains(1.0),
+      s"4-way uniform must normalize to exactly 1, got $unorm")
+    assert(ubits.exists(b => math.abs(b - 2.0) < 1e-9),
+      "4-way uniform is exactly 2 bits")
+    val (sk1, sbits, snorm) = out("single")
+    assert(sk1 == 1L && sbits.exists(b => math.abs(b) < 1e-9)
+        && snorm.isEmpty,
+      "one category: zero entropy, undefined normalization")
+    val (_, kbits, knorm) = out("skewed")
+    assert(kbits.exists(_ > 0.0) && knorm.exists(n => n > 0.0 && n < 1.0))
+  }
+
+  test("D43: the fixture query is deterministic and in range") {
+    val a = ops.Aggregates.aggGroupEntropy(spark, sfDir).collect().toSeq
+    val b = ops.Aggregates.aggGroupEntropy(spark, sfDir).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    a.filter(!_.isNullAt(4)).foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("D42: the SQL surface (kll_sketch_agg / kll_quantile) is registered") {
     graft.ops.Util.t(spark, sfDir, "lineitem")
       .createOrReplaceTempView("kll_li")

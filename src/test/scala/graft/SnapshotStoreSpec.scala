@@ -664,6 +664,29 @@ class SnapshotStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- A47 commit history ----
+
+  test("A47: history reports each version's manifest composition from metadata alone") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("snapshot_history_spec_").toString
+    val df = (1L to 60L).map(i => (i, s"r$i")).toDF("k", "p")
+    SnapshotStore.commitOverwrite(spark, root, df.filter(col("k") <= 20))
+    SnapshotStore.commitAppend(spark, root,
+      df.filter(col("k") > 20 && col("k") <= 40))
+    SnapshotStore.commitDelete(spark, root, "k", col("k") % 2 === 0)
+    SnapshotStore.commitOverwrite(spark, root, df.filter(col("k") > 40))
+    val h = SnapshotStore.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    assert(h == Seq((1, 1, 0), (2, 2, 0), (3, 2, 1), (4, 1, 0)),
+      s"history was $h")
+    // overwrite drops the outstanding DV (content replaced) — v4's
+    // read proves the composition the history row claims
+    assert(SnapshotStore.read(spark, root).count() == 20)
+    assert(SnapshotStore.read(spark, root, asOf = Some(3)).count() == 20)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- A46 partition-spec / stats evolution ----
 
   test("A46: per-segment pruning survives a stats-spec change; stat-less dirs always open") {
