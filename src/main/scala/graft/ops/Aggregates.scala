@@ -1145,32 +1145,51 @@ object Aggregates {
     * re-associates identically under any partitioning). The quantity
     * map is broadcast (bounded value domain); the price map joins on
     * the shuffle key the moment aggregation wants anyway. */
-  def aggSpearman(spark: SparkSession, sfDir: String): DataFrame =
-    spearmanCore(t(spark, sfDir, "lineitem")
+  def aggSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         cents(col("l_quantity")).as("x"),
-        cents(col("l_extendedprice")).as("y")))
+        cents(col("l_extendedprice")).as("y"))
+    // the PRICE rank map (the expensive side: distinct-price
+    // cardinality window) is a pure function of the fixture — built
+    // once per content through the robustBounds/tokens_v1 FixtureCache
+    // discipline; the quantity map (≤ ~50 values per group) stays
+    // inline. Hashes unchanged: the cache stores exactly what the
+    // inline derivation computes.
+    val yDir = FixtureCache.ensure(spark, "spearman_yranks_v1",
+      sfDir, Seq(s"$sfDir/lineitem.parquet")) { staging =>
+      rankMapOf(li, "y", "ry")
+        .write.mode("overwrite").parquet(s"$staging/yranks.parquet")
+    }
+    spearmanWithYMap(li, spark.read.parquet(s"$yDir/yranks.parquet"))
+  }
 
   /** The Spearman core over an arbitrary (rf, x, y) frame — separated
     * so `AggregatesSpec` can pin ρ(x,x)=1, ρ(x,−x)=−1, the monotone-
     * transform invariance (ranks see order, not magnitude), and
     * repartition-determinism on constructed inputs. */
-  private[graft] def spearmanCore(li: DataFrame): DataFrame = {
-    // rank map for one variable: per (rf, value) count, then doubled
-    // tie-averaged rank = 2·(rows strictly below) + count + 1
-    def rankMap(v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("rf")).orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      li.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("cnt"))
-        .select(col("rf"), col(v),
-          (lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L))
-            + col("cnt") + lit(1L)).as(out))
-    }
+  private[graft] def spearmanCore(li: DataFrame): DataFrame =
+    spearmanWithYMap(li, rankMapOf(li, "y", "ry"))
+
+  /** Rank map for one variable: per (rf, value) count, then doubled
+    * tie-averaged rank = 2·(rows strictly below) + count + 1. */
+  private[graft] def rankMapOf(li: DataFrame, v: String,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(col("rf")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    li.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("cnt"))
+      .select(col("rf"), col(v),
+        (lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L))
+          + col("cnt") + lit(1L)).as(out))
+  }
+
+  private[graft] def spearmanWithYMap(li: DataFrame,
+      yMap: DataFrame): DataFrame = {
     val big = DecimalType(38, 0)
     val rx = col("rx").cast(big)
     val ry = col("ry").cast(big)
-    li.join(broadcast(rankMap("x", "rx")), Seq("rf", "x"))
-      .join(rankMap("y", "ry"), Seq("rf", "y"))
+    li.join(broadcast(rankMapOf(li, "x", "rx")), Seq("rf", "x"))
+      .join(yMap, Seq("rf", "y"))
       .groupBy(col("rf"))
       .agg(count(lit(1)).as("n"),
         sum(rx).cast("double").as("sx"),

@@ -832,9 +832,13 @@ class PlanAuditSpec extends SparkTestBase {
     // (the naive per-group row-rank formulation would show a Window
     // whose partition is rf alone over the raw fact relation; the
     // rank maps instead window over groupBy(value) aggregates)
-    assert(p.contains("Window"), p)
     val aggBeforeWindow = p.linesIterator.exists(_.contains("HashAggregate"))
     assert(aggBeforeWindow, "rank maps must aggregate to distinct values first")
+    // the price-side rank map (the expensive distinct-value window) is
+    // served from the build-once FixtureCache — the robustBounds
+    // discipline; only the small quantity-side map still windows inline
+    assert(p.contains("spearman_yranks"),
+      s"price rank map must read the shared FixtureCache relation:\n$p")
   }
 
   test("events_changepoint windows share one event_type exchange") {
