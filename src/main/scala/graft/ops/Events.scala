@@ -672,6 +672,43 @@ object Events {
       .orderBy(col("active_days"))
   }
 
+  /** J45: TOP USER PATHS — the most common early event sequences
+    * ("what do users actually do first"), the full-path complement of
+    * J13's pairwise transition matrix: each user's FIRST 8 events in
+    * fully tie-broken (timestamp, event_id) order concatenate into a
+    * path string (`view>click>purchase>…`), counted and top-20'd by
+    * user support. The 8-event cap is the state bound — per-user work
+    * and path-string length are O(cap) regardless of a power user's
+    * event volume (an uncapped listagg melts on the heaviest user at
+    * 100 TB); the rank window partitions on user_id (event-table
+    * natural key, one shuffle), the path aggregate is
+    * user-cardinality, and the top-20 plans TakeOrderedAndProject —
+    * never a global sort. Ordering inside the aggregate is fully
+    * tie-broken, the D29 listagg discipline. */
+  def eventsTopPaths(spark: SparkSession, sfDir: String): DataFrame =
+    topPathsCore(t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id")))
+
+  /** The path core over an arbitrary (user_id, event_type, tus,
+    * event_id) frame — separated so `EventsSpec` can pin planted-path
+    * counts and the 8-event cap on constructed inputs. */
+  private[graft] def topPathsCore(ev: DataFrame): DataFrame = {
+    val ranked = ev
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))))
+      .filter(col("rk") <= 8)
+    val paths = ranked.groupBy(col("user_id"))
+      .agg(expr(
+        "listagg(event_type, '>') WITHIN GROUP (ORDER BY tus, event_id)")
+        .as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   /** J44: CUSUM change-point detection over the daily event-volume
     * series per event type — "which day did the level shift" as exact
     * integer arithmetic. The classic CUSUM tracks Σ(cᵢ − mean); mean

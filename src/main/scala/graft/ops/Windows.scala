@@ -332,4 +332,73 @@ object Windows {
         max(col("run_len")).as("longest_up_run"))
       .orderBy(col("user_id"))
   }
+
+  /** E15: exact LORENZ / PARETO concentration curve per group — "how
+    * many top orders carry half the revenue, and what share does the
+    * top decile hold" per priority, computed at VALUE-DOMAIN
+    * cardinality (the D31-KS / D41-rank-map discipline): the naive
+    * form windows a running sum over every ROW per group (one
+    * reducer sorts the group at 100 TB); instead rows collapse to
+    * per-(group, price) counts first, the cumulative sweep runs over
+    * DISTINCT price rows (domain-bounded), and both report points
+    * are recovered EXACTLY inside the boundary value's tie block
+    * with integer arithmetic — ⌈·⌉ via (a + b − 1) DIV b, shares as
+    * one exact-decimal division. All integers until the final
+    * doubles, so the curve is engine- and partition-order-exact. */
+  def winCumulativeShare(spark: SparkSession, sfDir: String): DataFrame =
+    cumulativeShareCore(t(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("tc")))
+
+  /** The Lorenz core over an arbitrary (pri, tc) frame — separated so
+    * `WindowsSpec` can pin the boundary-tie-block arithmetic on
+    * constructed inputs (hand-checked crossing counts and shares). */
+  private[graft] def cumulativeShareCore(rows: DataFrame): DataFrame = {
+    val vals = rows
+      .groupBy(col("pri"), col("tc"))
+      .agg(count(lit(1)).as("cnt"))
+    val wDesc = Window.partitionBy(col("pri")).orderBy(col("tc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("pri"))
+    val swept = vals
+      .select(col("pri"), col("tc"), col("cnt"),
+        sum(col("cnt")).over(wDesc).as("cum_n"),
+        sum(col("cnt") * col("tc")).over(wDesc).as("cum_cents"),
+        sum(col("cnt")).over(wTot).as("n"),
+        sum(col("cnt") * col("tc")).over(wTot).as("total_cents"))
+      .withColumn("prev_n", col("cum_n") - col("cnt"))
+      .withColumn("prev_cents", col("cum_cents") - col("cnt") * col("tc"))
+    // the first (richest-first) value row where the running cents
+    // reach HALF the total: the exact order count is completed inside
+    // that row's tie block — ⌈(total − 2·prev) / 2·tc⌉ more orders
+    val half = swept.filter(col("cum_cents") * 2 >= col("total_cents"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pri")).orderBy(col("tc").desc)))
+      .filter(col("rk") === 1)
+      .select(col("pri"),
+        // integer ceil-division — Spark `/` on longs is DOUBLE
+        // division, so the DIV operator keeps this exact
+        (col("prev_n") + expr(
+          "(total_cents - 2 * prev_cents + 2 * tc - 1) DIV (2 * tc)"))
+          .as("n_to_half"))
+    // top-decile share: k = ⌈n/10⌉ orders; the boundary row's tie
+    // block contributes (k − prev_n)·tc exactly
+    val decile = swept
+      .withColumn("k", expr("(n + 9) DIV 10"))
+      .filter(col("cum_n") >= col("k"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pri")).orderBy(col("tc").desc)))
+      .filter(col("rk") === 1)
+      .select(col("pri"), col("n"), col("total_cents"), col("k"),
+        (col("prev_cents") + (col("k") - col("prev_n")) * col("tc"))
+          .as("top_decile_cents"))
+    decile.join(half, Seq("pri"))
+      .select(col("pri"), col("n"), col("total_cents"),
+        col("k").as("n_top_decile"),
+        dbl(dec(col("top_decile_cents")) / col("total_cents"))
+          .as("top_decile_share"),
+        col("n_to_half"),
+        dbl(dec(col("n_to_half")) / col("n")).as("frac_to_half"))
+      .orderBy(col("pri"))
+  }
 }

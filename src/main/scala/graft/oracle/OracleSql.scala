@@ -5788,6 +5788,71 @@ object OracleSql {
         |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) FROM v1
         |ORDER BY version""".stripMargin,
 
+    // E15 exact Lorenz curve at value-domain cardinality: identical
+    // per-(pri, cents) collapse + descending cumulative sweep; both
+    // report points recovered inside the boundary tie block with
+    // integer ceil-division
+    "win_cumulative_share" ->
+      s"""WITH vals AS (
+         |  SELECT o_orderpriority AS pri,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc,
+         |    COUNT(*) AS cnt
+         |  FROM orders GROUP BY 1, 2
+         |), swept AS (
+         |  SELECT pri, tc, cnt,
+         |    SUM(cnt) OVER (PARTITION BY pri ORDER BY tc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |    SUM(cnt * tc) OVER (PARTITION BY pri ORDER BY tc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         |    SUM(cnt) OVER (PARTITION BY pri) AS n,
+         |    SUM(cnt * tc) OVER (PARTITION BY pri) AS total_cents
+         |  FROM vals
+         |), sp AS (
+         |  SELECT *, cum_n - cnt AS prev_n,
+         |    cum_cents - cnt * tc AS prev_cents
+         |  FROM swept
+         |), half AS (
+         |  SELECT pri,
+         |    prev_n + (total_cents - 2 * prev_cents + 2 * tc - 1)
+         |      // (2 * tc) AS n_to_half,
+         |    row_number() OVER (PARTITION BY pri ORDER BY tc DESC) AS rk
+         |  FROM sp WHERE cum_cents * 2 >= total_cents
+         |), decile AS (
+         |  SELECT pri, n, total_cents, (n + 9) // 10 AS k,
+         |    prev_cents + ((n + 9) // 10 - prev_n) * tc
+         |      AS top_decile_cents,
+         |    row_number() OVER (PARTITION BY pri ORDER BY tc DESC) AS rk
+         |  FROM sp WHERE cum_n >= (n + 9) // 10
+         |)
+         |SELECT d.pri, CAST(d.n AS BIGINT) AS n,
+         |  CAST(d.total_cents AS BIGINT) AS total_cents,
+         |  CAST(d.k AS BIGINT) AS n_top_decile,
+         |  ${dbl(s"${dec("d.top_decile_cents")} / d.total_cents")}
+         |    AS top_decile_share,
+         |  CAST(h.n_to_half AS BIGINT) AS n_to_half,
+         |  ${dbl(s"${dec("h.n_to_half")} / d.n")} AS frac_to_half
+         |FROM decile d JOIN half h ON d.pri = h.pri
+         |WHERE d.rk = 1 AND h.rk = 1
+         |ORDER BY d.pri""".stripMargin,
+
+    // J45 top user paths: identical rank-capped listagg with the
+    // fully tie-broken inner order (the D29 discipline)
+    "events_top_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+        |  FROM ranked WHERE rk <= 8 GROUP BY user_id
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin,
+
     // A47 commit history: manifest composition is determined by the
     // recipe (1 seg / 2 segs / 1 seg / 1 seg + 1 DV); row counts and
     // balances recomputed from raw customer, v4 minus the deleted keys

@@ -264,6 +264,28 @@ class EventsSpec extends SparkTestBase {
     assert(r.getDate(1).toString == "2024-02-01")
   }
 
+  // ---- J45 top user paths ----
+
+  test("J45: planted paths count by user support; the 8-event cap binds") {
+    import spark.implicits._
+    // 3 users walk view>click>buy, 2 users walk view>view; one power
+    // user emits 12 alternating events — only the first 8 may count
+    val rows =
+      (1 to 3).flatMap(u => Seq(
+        (u.toLong, "view", 1L, u * 100L), (u.toLong, "click", 2L, u * 100L + 1),
+        (u.toLong, "buy", 3L, u * 100L + 2))) ++
+      (4 to 5).flatMap(u => Seq(
+        (u.toLong, "view", 1L, u * 100L), (u.toLong, "view", 2L, u * 100L + 1))) ++
+      (1 to 12).map(i => (9L, if (i % 2 == 1) "a" else "b", i.toLong, 900L + i))
+    val out = ops.Events.topPathsCore(
+        rows.toDF("user_id", "event_type", "tus", "event_id").repartition(3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("view>click>buy") == 3L)
+    assert(out("view>view") == 2L)
+    assert(out("a>b>a>b>a>b>a>b") == 1L, s"cap must stop at 8: $out")
+    assert(!out.keys.exists(_.count(_ == '>') > 7), "no path exceeds 8 events")
+  }
+
   test("J44: the fixture query yields one row per event type") {
     val out = Events.eventsChangepoint(spark, sfDir).collect()
     val types = out.map(_.getString(0)).toSeq
