@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType}
 
 /** KLL quantile sketch (Apache DataSketches; Karnin-Lang-Liberty,
   * FOCS'16) — the MERGEABLE quantile summary that closes the sketch
@@ -49,9 +49,11 @@ case class KllSketchAgg(
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null) child.dataType match {
-      case DoubleType  => buffer.update(v.asInstanceOf[Double])
-      case LongType    => buffer.update(v.asInstanceOf[Long].toDouble)
-      case IntegerType => buffer.update(v.asInstanceOf[Int].toDouble)
+      case DoubleType     => buffer.update(v.asInstanceOf[Double])
+      case FloatType      => buffer.update(v.asInstanceOf[Float].toDouble)
+      case LongType       => buffer.update(v.asInstanceOf[Long].toDouble)
+      case IntegerType    => buffer.update(v.asInstanceOf[Int].toDouble)
+      case _: DecimalType => buffer.update(v.asInstanceOf[Decimal].toDouble)
       case dt => throw new UnsupportedOperationException(
         s"kll_sketch_agg: unsupported input type $dt")
     }
@@ -71,11 +73,11 @@ case class KllSketchAgg(
   override def serialize(buffer: KllDoublesSketch): Array[Byte] =
     buffer.toByteArray
 
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
-    val s = createAggregationBuffer()
-    s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
-    s
-  }
+  // heapify already yields an updatable heap sketch of the same k —
+  // merging it into a fresh buffer would pay a second O(k·log n)
+  // compaction per blob on the shuffle-merge path for nothing
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -99,9 +101,12 @@ object KllSketchAgg {
   * blob. Operates on the handful of grouped blobs AFTER aggregation
   * (single-digit-row frames) — `CodegenFallback` by design, the
   * [[ThetaEstimate]] discipline. NULL on an empty sketch (a group
-  * with only NULL inputs), never a throw. */
+  * with only NULL inputs), never a throw. `ImplicitCastInputTypes`
+  * so the SQL-surface literal `0.5` (parsed DECIMAL(1,1)) coerces —
+  * `ExpectsInputTypes` alone only CHECKS and would reject the
+  * documented usage. */
 case class KllQuantile(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def inputTypes = Seq(BinaryType, DoubleType)
   override protected def nullSafeEval(bytes: Any, rank: Any): Any = {

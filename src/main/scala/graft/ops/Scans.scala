@@ -708,8 +708,10 @@ object Scans {
       .select(col("o_orderkey"), col("o_custkey"),
         cents(col("o_totalprice")).as("price_cents"))
       .localCheckpoint(true)
-    // one dim-cardinality action sizes the era splits (the C46
-    // bloom-capacity discipline: never a fact-scale action)
+    // one aggregate action sizes the era splits — a single
+    // map-side-combined MAX pass whose driver result is one long (in
+    // production the split points come from the table's own metadata,
+    // not a scan; here the checkpointed frame makes the pass cheap)
     val k = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     // era 1 (original spec): two orderkey-range segments, stats on
     // the ORIGINAL key

@@ -559,14 +559,18 @@ class AggregatesSpec extends SparkTestBase {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
-  test("D42: the SQL surface (kll_sketch_agg / kll_quantile) is registered") {
+  test("D42: the SQL surface accepts plain literals and DECIMAL inputs") {
     graft.ops.Util.t(spark, sfDir, "lineitem")
       .createOrReplaceTempView("kll_li")
+    // the documented usage: a bare 0.5 literal (parsed DECIMAL(1,1) —
+    // must implicitly coerce) over a DECIMAL-cast money column (must
+    // sketch without an execution-time type error)
     val est = spark.sql(
       """SELECT kll_quantile(
-        |  kll_sketch_agg(CAST(l_quantity AS DOUBLE)), 0.5d) AS p50
+        |  kll_sketch_agg(CAST(l_extendedprice AS DECIMAL(18,4))), 0.5)
+        |  AS p50
         |FROM kll_li""".stripMargin).collect().head.getDouble(0)
-    assert(est >= 1.0 && est <= 50.0)
+    assert(est > 0.0)
   }
 
 }
