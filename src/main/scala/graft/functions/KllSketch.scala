@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType}
 
 /** KLL quantile sketch (Apache DataSketches; Karnin-Lang-Liberty,
   * FOCS'16) — the MERGEABLE quantile summary that closes the sketch
@@ -43,20 +44,32 @@ case class KllSketchAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
 
+  // analysis-time contract: a STRING child fails with a clean
+  // AnalysisException at resolution, never a per-row throw mid-job.
+  // (ExpectsInputTypes can't express "any numeric" here: the
+  // NumericType COMPANION and AbstractDataType are private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg requires a numeric child, got ${dt.catalogString}")
+  }
+
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
+  // the type dispatch resolved ONCE at plan time, not re-matched per row
+  private lazy val toDouble: Any => Double = child.dataType match {
+    case DoubleType     => v => v.asInstanceOf[Double]
+    case FloatType      => v => v.asInstanceOf[Float].toDouble
+    case LongType       => v => v.asInstanceOf[Long].toDouble
+    case IntegerType    => v => v.asInstanceOf[Int].toDouble
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+    case dt             => v => v.asInstanceOf[Number].doubleValue()
+  }
+
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case DoubleType     => buffer.update(v.asInstanceOf[Double])
-      case FloatType      => buffer.update(v.asInstanceOf[Float].toDouble)
-      case LongType       => buffer.update(v.asInstanceOf[Long].toDouble)
-      case IntegerType    => buffer.update(v.asInstanceOf[Int].toDouble)
-      case _: DecimalType => buffer.update(v.asInstanceOf[Decimal].toDouble)
-      case dt => throw new UnsupportedOperationException(
-        s"kll_sketch_agg: unsupported input type $dt")
-    }
+    if (v != null) buffer.update(toDouble(v))
     buffer
   }
 

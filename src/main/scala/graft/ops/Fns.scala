@@ -302,19 +302,6 @@ object Fns {
         col("proto"))
       .orderBy(col("o_orderkey"))
 
-  /** H13: the Spark 4 COLLATION surface — case-insensitive grouping
-    * as a TYPE property (`collate(s, 'UTF8_LCASE')`), not an
-    * expression rewrite: synthesized case variants of `p_brand` (raw/
-    * UPPER/lower) collapse into one group when the grouping key
-    * carries the UTF8_LCASE collation, while the binary distinct
-    * count inside each group still sees every written form. At scale
-    * the distinction matters because collation rides the type through
-    * every operator — joins, aggregations, and shuffles hash the
-    * COLLATION KEY (no `lower()` wrapper to forget on one side of a
-    * join, the classic silent-mismatch bug). Output columns are plain
-    * binary-collation strings (the canonical form is the binary MIN —
-    * deterministic in both engines); the oracle mirrors with
-    * `GROUP BY lower()`, equivalent on this ASCII domain. */
   /** H19: higher-order array lambdas — transform / filter / aggregate
     * / exists / forall over the tokenized part name, the SQL-surface
     * battery for the lambda functions (every output scalar and
@@ -338,6 +325,19 @@ object Fns {
         forall(col("toks"), t => length(t) >= 3).as("all_min3"))
       .orderBy(col("p_partkey"))
 
+  /** H13: the Spark 4 COLLATION surface — case-insensitive grouping
+    * as a TYPE property (`collate(s, 'UTF8_LCASE')`), not an
+    * expression rewrite: synthesized case variants of `p_brand` (raw/
+    * UPPER/lower) collapse into one group when the grouping key
+    * carries the UTF8_LCASE collation, while the binary distinct
+    * count inside each group still sees every written form. At scale
+    * the distinction matters because collation rides the type through
+    * every operator — joins, aggregations, and shuffles hash the
+    * COLLATION KEY (no `lower()` wrapper to forget on one side of a
+    * join, the classic silent-mismatch bug). Output columns are plain
+    * binary-collation strings (the canonical form is the binary MIN —
+    * deterministic in both engines); the oracle mirrors with
+    * `GROUP BY lower()`, equivalent on this ASCII domain. */
   def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
     val b = t(spark, sfDir, "part").select(col("p_brand").as("b"))
     val variants = b

@@ -841,9 +841,14 @@ object Graphs {
     eAgg.crossJoin(broadcast(rAgg)).crossJoin(broadcast(nAgg))
       .select(col("n_nodes"), col("n_edges"),
         col("n_reciprocated"),
-        (col("n_reciprocated") / lit(2)).cast("long").as("n_mutual_pairs"),
+        // integer DIV end-to-end (n_reciprocated is even by
+        // construction) — no float round-trip, matches the oracle's //
+        expr("n_reciprocated DIV 2").as("n_mutual_pairs"),
         (col("n_edges") - col("n_reciprocated")).as("n_asymmetric"),
-        dbl(dec(col("n_reciprocated")) / col("n_edges"))
+        // empty-edge guard: ANSI double division by zero throws;
+        // a degenerate input (all self-loops) yields NULL reciprocity
+        when(col("n_edges") > 0,
+          dbl(dec(col("n_reciprocated")) / col("n_edges")))
           .as("reciprocity"))
   }
 }

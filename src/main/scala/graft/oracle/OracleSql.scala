@@ -1395,6 +1395,20 @@ object OracleSql {
         |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
+    // the oracle states the question in its natural (quadratic) form;
+    // the engine answers it from running windows without pair fan-out
+    "join_theta_agg" ->
+      """SELECT n_name,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(s_acctbal - c_acctbal) AS min_gap,
+        |  max(s_acctbal - c_acctbal) AS max_gap
+        |FROM supplier
+        |JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
     "join_range_interval" ->
       """SELECT e1.event_id AS view_id, e2.event_id AS click_id,
         |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
