@@ -51,6 +51,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // PINNED metrics for the rows-only queries (round-18 verdict #8):
+    // the no-oracle entries' binding contracts — recall floors, sketch
+    // error bounds, ground-truth parity — re-derived against this
+    // fixture and emitted machine-checkably next to the dumps, so the
+    // correctness artifact carries the pinned check, not just a row
+    // count. SPARK_GRAFT_SKIP_PINNED=1 skips (subset dev loops).
+    val skipPinned = sys.env.get("SPARK_GRAFT_SKIP_PINNED").exists(_ != "0")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val wanted = only.fold(rowsOnly)(rowsOnly.intersect)
+    if (!skipPinned && wanted.nonEmpty) {
+      val pins = ops.Pinned.all(spark, sfDir)
+        .filter(p => wanted.contains(p.query))
+      val pj = pins.groupBy(_.query).toSeq.sortBy(_._1).map {
+        case (name, ps) =>
+          s"${q(name)}: [" + ps.map(p =>
+            s"""{"metric":${q(p.metric)},"value":${p.value},""" +
+              s""""bound":${p.bound},"op":${q(p.op)},"pass":${p.pass}}""")
+            .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/pinned.json"), pj)
+      val nFail = pins.count(!_.pass)
+      System.err.println(
+        s"[verify] pinned: ${pins.size} checks, $nFail fail")
+    }
     spark.stop()
   }
 }

@@ -203,7 +203,7 @@ object AnnHnsw {
   def ensureIndex(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, sourceDir: String, tag: String = ""): String =
     FixtureCache.ensure(spark,
-      s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v4$tag",
+      s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v5$tag",
       sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
       val model = AnnIvf.codebook(df, vecCol, AnnIvf.FitSampleFraction)
       val assigned = model.transform(df.withColumn("fv",
@@ -233,11 +233,25 @@ object AnnHnsw {
           .localCheckpoint(true)
         layers = layers.unionByName(upperAdj.withColumn("layer", lit(l)))
       }
-      layers.write.mode("overwrite").parquet(s"$tmp/layers")
+      writeLayers(layers, s"$tmp/layers")
       assigned.filter(col("lvl") >= MaxLevel)
         .agg(min(col(idCol)).as("entry"))
         .write.mode("overwrite").parquet(s"$tmp/entry")
     }
+
+  /** Commit the layered adjacency partitioned by (layer, src-bucket)
+    * (r18 verdict #2): a beam-search hop filters `layer = l AND src IN
+    * (beam)`, so `partitionBy(layer, bkt)` turns every hop into a
+    * read of ONE layer directory's beam buckets — directory pruning
+    * instead of a full index scan per hop. The unpartitioned form read
+    * the whole file hops × probes times; at a 100-TB index that is the
+    * difference between a point lookup and a table scan. */
+  private def writeLayers(layers: DataFrame, path: String): Unit =
+    layers
+      .withColumn("bkt",
+        pmod(col("src"), lit(AnnNsw.ProbeBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("layer", "bkt")
+      .parquet(path)
 
   /** INCREMENTAL index maintenance (round-17 verdict #8) — insert a
     * batch into an existing layered index instead of rebuilding, the
@@ -318,13 +332,17 @@ object AnnHnsw {
   def ensureInsertedIndex(spark: SparkSession, base: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String,
       sourceDir: String): String =
-    FixtureCache.ensure(spark, s"hnsw_incr_m${AnnNsw.M}_l${MaxLevel}_v1",
+    FixtureCache.ensure(spark, s"hnsw_incr_m${AnnNsw.M}_l${MaxLevel}_v2",
       sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
       val baseDir =
         ensureIndex(spark, base, idCol, vecCol, sourceDir, tag = "_incrbase")
+      // drop the layout's bkt partition column — insertBatch works on
+      // the logical (layer, src, dst) relation
       val (layers, entry) = insertBatch(spark,
-        spark.read.parquet(s"$baseDir/layers"), base, batch, idCol, vecCol)
-      layers.write.mode("overwrite").parquet(s"$tmp/layers")
+        spark.read.parquet(s"$baseDir/layers")
+          .select(col("layer"), col("src"), col("dst")),
+        base, batch, idCol, vecCol)
+      writeLayers(layers, s"$tmp/layers")
       entry.write.mode("overwrite").parquet(s"$tmp/entry")
     }
 
@@ -409,7 +427,11 @@ object AnnHnsw {
 
     def expand(layer: Int, beam: Seq[Long],
         scored: Map[Long, Double]): Seq[Long] =
-      layers.filter(col("layer") === layer && col("src").isin(beam: _*))
+      // layer + bucket literals prune to one layer directory's beam
+      // buckets before the row-level src filter (see writeLayers)
+      layers.filter(col("layer") === layer
+          && col("bkt").isin(beam.map(AnnNsw.bucketOf).distinct: _*)
+          && col("src").isin(beam: _*))
         .select(col("dst")).distinct()
         .collect().map(_.getLong(0)).toSeq
         .filterNot(scored.contains)

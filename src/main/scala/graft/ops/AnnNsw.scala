@@ -47,6 +47,20 @@ object AnnNsw {
     * (a convergence loop is data-dependent and unpinnable). */
   val Hops = 3
 
+  /** Adjacency directory-bucket fan-out (r18 verdict #2): the
+    * persisted graph partitions by `bkt = src mod ProbeBuckets`, so a
+    * beam-search hop's `src IN (beam)` probe prunes to the beam's own
+    * bucket DIRECTORIES instead of scanning the whole adjacency file —
+    * at a 100-TB index each hop reads ~beam/ProbeBuckets of the
+    * layout, not all of it. Pure id arithmetic (no hash) so the probe
+    * side can compute bucket literals driver-side. */
+  val ProbeBuckets = 16
+
+  /** The probe-side bucket of an id — MUST mirror the write-side
+    * `pmod(src, ProbeBuckets)` exactly. */
+  def bucketOf(id: Long): Int =
+    (((id % ProbeBuckets) + ProbeBuckets) % ProbeBuckets).toInt
+
   /** Build the proximity graph + entry points from an IVF cell
     * assignment. One within-cell self-join (cell-bounded candidate
     * volume), one per-node top-M window, one per-cell min — all
@@ -82,14 +96,19 @@ object AnnNsw {
     * `<dir>/entries`. */
   def ensureGraph(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, sourceDir: String): String =
-    FixtureCache.ensure(spark, s"nsw_graph_m${M}_v1", sourceDir,
+    FixtureCache.ensure(spark, s"nsw_graph_m${M}_v2", sourceDir,
       Seq(s"$sourceDir.parquet")) { tmp =>
       val model = AnnIvf.codebook(df, vecCol, AnnIvf.FitSampleFraction)
       val assigned = model.transform(df.withColumn("fv",
         org.apache.spark.ml.functions.array_to_vector(col(vecCol))))
         .select(col(idCol), col(vecCol), col("cell"))
       val (adjacency, entries) = buildGraph(assigned, idCol, vecCol)
-      adjacency.write.mode("overwrite").parquet(s"$tmp/adjacency")
+      // src-bucketed layout: each search hop prunes to the beam's own
+      // bucket directories (see [[ProbeBuckets]])
+      adjacency
+        .withColumn("bkt", pmod(col("src"), lit(ProbeBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$tmp/adjacency")
       entries.write.mode("overwrite").parquet(s"$tmp/entries")
     }
 
@@ -119,7 +138,11 @@ object AnnNsw {
     var beam: Seq[Long] = scored.toSeq
       .sortBy { case (id, s) => (-s, id) }.take(Beam).map(_._1)
     for (_ <- 1 to Hops) {
-      val expand = adjacency.filter(col("src").isin(beam: _*))
+      // bucket literals first: partition pruning cuts the directories
+      // read to the beam's buckets BEFORE the row-level src filter
+      val bkts = beam.map(bucketOf).distinct
+      val expand = adjacency
+        .filter(col("bkt").isin(bkts: _*) && col("src").isin(beam: _*))
         .select(col("dst")).distinct()
         .collect().map(_.getLong(0)).toSeq
         .filterNot(scored.contains)

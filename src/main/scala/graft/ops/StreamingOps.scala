@@ -812,6 +812,15 @@ object StreamingOps {
   private val ProviderClassConf =
     "spark.sql.streaming.stateStore.providerClass"
 
+  /** State-operator metrics of the last [[runToCompletion]] run — the
+    * observability seam for the r18 verdict's state-store pin: the
+    * spec reads state rows / memory / RocksDB custom metrics off the
+    * finished query's progress instead of trusting the conf took.
+    * (operator name, rows in state, memory bytes, custom metric
+    * keys). */
+  @volatile var lastStateMetrics: Seq[(String, Long, Long, Set[String])] =
+    Nil
+
   /** Run a streaming frame to completion into a uniquely-named memory
     * sink and return the sink table. Memory sink is bounded here by
     * construction: every _be query either aggregates in-stream or
@@ -834,14 +843,37 @@ object StreamingOps {
     // after, like the shuffle width (session-conf scoped, so the batch
     // surface never sees it)
     val prevProvider = spark.conf.getOption(ProviderClassConf)
-    spark.conf.getOption(StateStoreConf).filter(_.nonEmpty).foreach { v =>
-      spark.conf.set(ProviderClassConf,
-        if (v.equalsIgnoreCase("rocksdb")) RocksDbProvider else v)
-    }
+    // RocksDB is the DEFAULT provider for the registered J-family runs
+    // (r18 verdict #5): at 100 TB the state store is the streaming
+    // scale bottleneck, and the default HDFS-backed provider caps
+    // state at executor heap — the registered queries should exercise
+    // the provider production would run. The conf still overrides:
+    // `default`/`hdfs` restores Spark's built-in provider, any other
+    // value is a literal provider class (bogus class must FAIL the
+    // run — the liveness law in StreamingSpec).
+    spark.conf.getOption(StateStoreConf).filter(_.nonEmpty)
+      .orElse(Some("rocksdb")).foreach {
+        case v if v.equalsIgnoreCase("rocksdb") =>
+          spark.conf.set(ProviderClassConf, RocksDbProvider)
+        case v if v.equalsIgnoreCase("default")
+            || v.equalsIgnoreCase("hdfs") => () // Spark's built-in
+        case v => spark.conf.set(ProviderClassConf, v)
+      }
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // state metrics off the last progress that carried state
+        // operators (the final empty batch often reports none)
+        lastStateMetrics = q.recentProgress.reverseIterator
+          .find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.toSeq.map { so =>
+            import scala.jdk.CollectionConverters._
+            (so.operatorName, so.numRowsTotal, so.memoryUsedBytes,
+              so.customMetrics.keySet.asScala.toSet)
+          }).getOrElse(Nil)
+      } finally q.stop()
       // pin the bounded sink contents as their own materialized frame,
       // then RELEASE the driver-resident sink table and the checkpoint
       // tmp dir — repeated bench reps were accumulating one in-memory

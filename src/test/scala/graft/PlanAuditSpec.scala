@@ -123,6 +123,45 @@ class PlanAuditSpec extends SparkTestBase {
         s"cell directories, read ${scan.metrics("numPartitions").value}")
   }
 
+  test("HNSW beam-hop probe prunes to one layer directory's beam buckets") {
+    import graft.ops.{AnnHnsw, AnnNsw}
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Util.t(spark, sfDir, "embeddings")
+    val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
+      s"$sfDir/embeddings")
+    // the exact per-hop read shape of AnnHnsw.searchTopK.expand:
+    // layer + bkt are PARTITION columns of the committed index, so the
+    // hop must read only layer=0's beam-bucket directories — the r18
+    // verdict's "every hop scans the whole layer file" regression
+    val beam = Seq(1L, 2L, 17L)
+    val probe = spark.read.parquet(s"$dir/layers")
+      .filter(col("layer") === 0
+        && col("bkt").isin(beam.map(AnnNsw.bucketOf).distinct: _*)
+        && col("src").isin(beam: _*))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("layer")
+      && p.contains("bkt"),
+      s"layer/bkt must prune at the directory level:\n$p")
+    probe.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val scan = nodes(probe.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val read = scan.metrics("numPartitions").value
+    val total = spark.read.parquet(s"$dir/layers")
+      .select(col("layer"), col("bkt")).distinct().count()
+    val expected = beam.map(AnnNsw.bucketOf).distinct.size
+    assert(read <= expected,
+      s"hop must read <= $expected beam-bucket dirs of $total, read $read")
+  }
+
   test("sim_ivfpq_topk probe prunes to the probed cell partitions of the lists table") {
     val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

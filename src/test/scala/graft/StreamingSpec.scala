@@ -1089,6 +1089,81 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("the registered _be rungs run on RocksDB BY DEFAULT with live " +
+      "state metrics (r18 verdict #5)") {
+    // no conf set: the registered J-family queries must exercise the
+    // provider production runs — proven off the finished query's own
+    // progress (rocksdb* custom metrics exist only when the RocksDB
+    // provider actually served the state), never off the conf value
+    assert(spark.conf.getOption(graft.ops.StreamingOps.StateStoreConf)
+      .isEmpty)
+    val statefulBe = Seq("stream_watermark_late_be", "stream_dedup_be",
+      "stream_stateful_custom_be", "stream_stream_interval_join_be")
+    for (op <- statefulBe) {
+      SparkEntry.queries(op)(spark, sfDir).collect()
+      val ms = graft.ops.StreamingOps.lastStateMetrics
+      assert(ms.nonEmpty, s"$op: no state-operator metrics captured")
+      for ((name, rows, mem, custom) <- ms) {
+        assert(rows > 0L, s"$op/$name: state must hold rows (got $rows)")
+        assert(mem > 0L, s"$op/$name: state memory unreported")
+        assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+          s"$op/$name: no rocksdb custom metrics — default provider " +
+            s"did not take (keys: ${custom.take(5)})")
+      }
+    }
+    // `default` restores Spark's built-in provider through the same
+    // gate — its progress has no rocksdb metrics
+    spark.conf.set(graft.ops.StreamingOps.StateStoreConf, "default")
+    try {
+      SparkEntry.queries("stream_dedup_be")(spark, sfDir).collect()
+      val custom = graft.ops.StreamingOps.lastStateMetrics
+        .flatMap(_._4)
+      assert(custom.nonEmpty &&
+        !custom.exists(_.toLowerCase.contains("rocksdb")),
+        "the default-provider escape hatch must bypass RocksDB")
+    } finally
+      spark.conf.unset(graft.ops.StreamingOps.StateStoreConf)
+  }
+
+  test("watermarked dedup state is BOUNDED across epochs under RocksDB " +
+      "(r18 verdict #5: state rows must evict, not accumulate)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.streamingDedupWithinWatermark(in.toDF())
+        .writeStream.format("memory").queryName("bounded_state")
+        .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+        .start()
+      def stateRows: Long = q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      withQuery(q) {
+        val perEpoch = 200
+        def epoch(hour: Int, base: Long): Unit = {
+          in.addData((0 until perEpoch).map(i =>
+            Ev(base + i, ts(f"2024-01-01 $hour%02d:00:00"), i, "view")): _*)
+          q.processAllAvailable()
+        }
+        epoch(1, 1000); val s1 = stateRows
+        // each later epoch advances the watermark a full hour — far
+        // past the 10-minute dedup delay — so epoch N's arrival must
+        // EVICT epoch N-1's keys, and total state stays ~one epoch
+        epoch(3, 2000); val s2 = stateRows
+        epoch(5, 3000); val s3 = stateRows
+        assert(s1 > 0L, "dedup state must be populated")
+        val bound = perEpoch + perEpoch / 2
+        assert(s2 <= bound && s3 <= bound,
+          s"state must stay ~one epoch after watermark eviction " +
+            s"(epochs held $s1/$s2/$s3 rows vs bound $bound) — " +
+            "unbounded growth here is the 100-TB streaming OOM")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("the five _be rungs are row-identical under the RocksDB state " +
       "store, and the conf gate is live (r17 verdict #4)") {
     val beOps = Seq("stream_watermark_late_be", "stream_dedup_be",

@@ -131,8 +131,29 @@ def main():
         else:
             print(f"PASS {name} ({len(odf)} rows)")
             n_pass += 1
+    # pinned metrics for the rows-only queries (emitted by graft.Verify
+    # since round 19): machine-checkable recall floors / error bounds /
+    # ground-truth parity — a failed pin fails the local gate like an
+    # oracle mismatch would.
+    n_pin_pass = n_pin_fail = 0
+    pinned_path = Path(out_dir) / "pinned.json"
+    if pinned_path.exists():
+        pinned = json.loads(pinned_path.read_text())
+        for name, pins in sorted(pinned.items()):
+            if only and name not in only:
+                continue
+            for p in pins:
+                ok = p["pass"]
+                tag = "PIN-PASS" if ok else "PIN-FAIL"
+                print(f"{tag} {name}: {p['metric']} = {p['value']:.6g} "
+                      f"{p['op']} {p['bound']:.6g}")
+                if ok:
+                    n_pin_pass += 1
+                else:
+                    n_pin_fail += 1
+        print(f"== pinned: {n_pin_pass} pass, {n_pin_fail} fail ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or n_pin_fail) else 0)
 
 
 if __name__ == "__main__":
