@@ -28,11 +28,23 @@ import org.apache.spark.sql.functions._
   *  - `embeddings`: copy i perturbs the last coordinate by i·2⁻¹⁰ so
   *    vectors are distinct but the space's geometry is unchanged.
   *
-  * Usage: `sbt "runMain graft.GenScale <srcDir> <outDir> <factor>"`.
+  * ADVERSARIAL-SHAPE MODE (round-18 verdict #7): a trailing `zipf`
+  * arg plants ONE MEGA-KEY owning ~1% of rows in each fact relation
+  * (lineitem's supplier+part keys, events' user, orders' customer) —
+  * the skew the salted-join/bucket-cap/degree-orientation plans are
+  * designed for but which the TPC-H-uniform fixture never exercises.
+  * Row selection is a deterministic hash of the row's own keys, so
+  * the skewed fixture is reproducible; key 0 is the mega-key (it
+  * exists at every scale). The uniform fixtures are untouched — the
+  * oracle gate runs only against them. Salted-vs-naive superiority on
+  * this shape is pinned in `SkewSpec`.
+  *
+  * Usage: `sbt "runMain graft.GenScale <srcDir> <outDir> <factor> [zipf]"`.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS) = (args(0), args(1), args(2))
+    val zipf = args.length > 3 && args(3).equalsIgnoreCase("zipf")
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
@@ -57,6 +69,9 @@ object GenScale {
       (0 until factor).map { i =>
         shift(i).foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
       }.reduce(_ unionByName _)
+
+    def mega(df: DataFrame, keyCol: String, idCols: Seq[String]): DataFrame =
+      if (!zipf) df else megaKey(df, keyCol, idCols)
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -91,16 +106,21 @@ object GenScale {
       "s_suppkey" -> (col("s_suppkey") + i * nS))), "supplier")
     write(replicate(part)(i => Seq(
       "p_partkey" -> (col("p_partkey") + i * nP))), "part")
-    write(replicate(ords)(i => Seq(
+    write(mega(replicate(ords)(i => Seq(
       "o_orderkey" -> (col("o_orderkey") + i * nO),
-      "o_custkey" -> (col("o_custkey") + i * nC))), "orders")
-    write(replicate(li)(i => Seq(
+      "o_custkey" -> (col("o_custkey") + i * nC))),
+      "o_custkey", Seq("o_orderkey")), "orders")
+    write(mega(mega(replicate(li)(i => Seq(
       "l_orderkey" -> (col("l_orderkey") + i * nO),
       "l_partkey" -> (col("l_partkey") + i * nP),
-      "l_suppkey" -> (col("l_suppkey") + i * nS))), "lineitem")
-    write(replicate(ev)(i => Seq(
+      "l_suppkey" -> (col("l_suppkey") + i * nS))),
+      "l_suppkey", Seq("l_orderkey", "l_linenumber")),
+      "l_partkey", Seq("l_orderkey", "l_linenumber", "l_suppkey")),
+      "lineitem")
+    write(mega(replicate(ev)(i => Seq(
       "event_id" -> (col("event_id") + i * nE),
-      "user_id" -> (col("user_id") + i * nU))), "events")
+      "user_id" -> (col("user_id") + i * nU))),
+      "user_id", Seq("event_id")), "events")
     // documents: shift the key, rotate the text i words (word stats
     // preserved; copies stay detectable near-dups — see scaladoc)
     write(replicate(docs)(i => Seq(
@@ -120,4 +140,15 @@ object GenScale {
 
     spark.stop()
   }
+
+  /** The zipf transform: route ~1% of rows (chosen by a deterministic
+    * hash of `idCols` — reproducible, independent of the key being
+    * skewed) to mega-key 0 on `keyCol`. Factored out so `SkewSpec`
+    * can pin the planted density. */
+  def megaKey(df: DataFrame, keyCol: String,
+      idCols: Seq[String]): DataFrame =
+    df.withColumn(keyCol,
+      when(pmod(xxhash64(idCols.map(col): _*), lit(100)) === 0,
+        lit(0L).cast(df.schema(keyCol).dataType))
+        .otherwise(col(keyCol)))
 }
