@@ -49,9 +49,29 @@ object Pinned {
   private def leMetric(q: String, m: String, v: Double, b: Double) =
     Pin(q, m, v, b, "<=", v <= b)
 
+  /** Row cap above which the QUADRATIC brute-force truth sets
+    * (all-pairs jaccard/hamming/cosine) are not computed — the same
+    * scale seam as `GroundTruthSpec`, which runs those checks at
+    * sf0.001/sf0.01 only (sf0.01 ≈ 12.5M pairs; sf0.1 would be 200M
+    * pair ARRAYS, a verify-time scale bug). The driver's verify scale
+    * is sf0.01, so the full pin set always runs there; above the cap
+    * the affected pins are skipped with a stderr note and the cheap
+    * (linear / top-k) pins still run. */
+  val TruthPairRowCap = 10000L
+
   /** All pins for one fixture dir. Each entry is wrapped so one failed
     * computation reports as a failed pin, never an aborted verify. */
   def all(spark: SparkSession, sfDir: String): Seq[Pin] = {
+    val nDocs = Util.t(spark, sfDir, "documents").count()
+    val nVecs = Util.t(spark, sfDir, "embeddings").count()
+    def quad(name: String, n: Long)(f: () => Seq[Pin]): () => Seq[Pin] =
+      if (n <= TruthPairRowCap) f
+      else () => {
+        System.err.println(s"[pinned] $name: quadratic truth skipped " +
+          s"($n rows > cap $TruthPairRowCap); see GroundTruthSpec at " +
+          "sf0.001/sf0.01")
+        Nil
+      }
     val checks: Seq[(String, () => Seq[Pin])] = Seq(
       "sim_ann_topk" -> (() => annRecall(spark, sfDir, "sim_ann_topk",
         LlmData.simAnnTopk, floor(sfDir, 0.4, 0.6))),
@@ -64,13 +84,20 @@ object Pinned {
       "sim_pq_topk" -> (() => annRecall(spark, sfDir, "sim_pq_topk",
         LlmData.simPqTopk, 0.4)),
       "sim_ivfpq_topk" -> (() => ivfPqStructural(spark, sfDir)),
-      "sim_hnsw_batch_topk" -> (() => hnswBatchRecall(spark, sfDir)),
+      "sim_hnsw_batch_topk" -> quad("sim_hnsw_batch_topk", nVecs / 5)(
+        () => hnswBatchRecall(spark, sfDir)),
       "sim_hnsw_incremental" -> (() => hnswIncrOverlap(spark, sfDir)),
-      "dedup_minhash" -> (() => minhashTruth(spark, sfDir)),
-      "dedup_simhash" -> (() => simhashTruth(spark, sfDir)),
-      "dedup_embedding" -> (() => embeddingExactness(spark, sfDir)),
+      "dedup_minhash" -> quad("dedup_minhash", nDocs)(
+        () => minhashTruth(spark, sfDir)),
+      "dedup_simhash" -> quad("dedup_simhash", nDocs)(
+        () => simhashTruth(spark, sfDir)),
+      "dedup_embedding" -> quad("dedup_embedding", nVecs)(
+        () => embeddingExactness(spark, sfDir)),
       "dedup_semantic" -> (() => semanticTauLaw(spark, sfDir)),
-      "contamination_embedding" -> (() => contaminationSoundness(spark, sfDir)),
+      // bench×corpus truth is (n/97)·n cosines — linear-ish in n but
+      // guarded one notch higher than the all-pairs cap
+      "contamination_embedding" -> quad("contamination_embedding",
+        nVecs / 5)(() => contaminationSoundness(spark, sfDir)),
       "agg_approx_distinct" -> (() => approxDistinctError(spark, sfDir)),
       "agg_approx_percentile" -> (() => approxPercentileRank(spark, sfDir)),
       "agg_heavy_hitters" -> (() => cmsBounds(spark, sfDir)),
