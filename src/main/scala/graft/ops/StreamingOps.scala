@@ -777,13 +777,28 @@ object StreamingOps {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$sfDir/events.parquet"
-    val dir = FixtureCache.ensure(spark, "events_stream_dir_v1", sfDir,
+    val dir = FixtureCache.ensure(spark, "events_stream_dir_v2", sfDir,
       Seq(src)) { staging =>
       val conf = spark.sessionState.newHadoopConf()
       val from = new org.apache.hadoop.fs.Path(src)
-      val to = new org.apache.hadoop.fs.Path(s"$staging/events.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf), from,
-        to.getFileSystem(conf), to, false, conf)
+      val fs = from.getFileSystem(conf)
+      // stage LEAF parquet files FLAT into the directory: the driver
+      // fixture is a single file, but GenScale-derived fixtures
+      // (sf1/sf10/zipf) are Spark directory-style parquet — a
+      // recursive dir copy would nest them one level down where the
+      // NON-recursive file streaming source matches zero files
+      // (found by the r19 zipf gate: all five _be rungs read 0 rows)
+      val leaves: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(from).isDirectory)
+          fs.listStatus(from).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(from)
+      for ((leaf, i) <- leaves.zipWithIndex) {
+        val to = new org.apache.hadoop.fs.Path(
+          s"$staging/events_$i.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(fs, leaf,
+          to.getFileSystem(conf), to, false, conf)
+      }
     }
     val schema = spark.read.parquet(src).schema
     normalizeFixture(

@@ -87,7 +87,11 @@ def main():
     for tbl in TABLES:
         p = Path(sf_dir) / f"{tbl}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+            # driver fixtures are single files; GenScale-derived ones
+            # (sf1/sf10/zipf) are Spark directory-style parquet
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
