@@ -28,7 +28,85 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** FORK mode (round-19): `SPARK_GRAFT_BENCH_FORK=1` runs every query
+    * in its OWN JVM — one subprocess per query, same classpath and
+    * --add-opens/-Xmx flags as this process, all other SPARK_GRAFT_*
+    * env inherited. This is the process-per-query isolation the
+    * decade-rung adjudications kept reaching for: a 48-query suite in
+    * one JVM accumulates heap aging (FixtureCache builds, allocator
+    * fragmentation) that swings single-rep numbers both ways, and no
+    * in-process protocol fully removes it. Cost: one session start-up
+    * (~20 s) per query, so this is the sf>=1 rung tool, not the sf0.1
+    * suite default. The merged artifact matches the normal shape with
+    * an extra `"fork":1` field. */
+  private def forkMain(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx")
+        || a.startsWith("-Xms") || a.startsWith("-D"))
+    val cp = System.getProperty("java.class.path")
+    val wall0 = System.nanoTime()
+    val results = names.map { name =>
+      val out = java.nio.file.Files.createTempFile("graft_fork_", ".json")
+      val log = java.nio.file.Files.createTempFile("graft_fork_", ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log.toFile)
+      val exit = pb.start().waitFor()
+      // child artifact: line 1 carries queries{}, line 2 warmup_sec
+      val line = scala.util.Try(
+        java.nio.file.Files.readAllLines(out).asScala.mkString(" "))
+        .getOrElse("")
+      val sec = (s""""$name":(-?[0-9.]+)""".r).findFirstMatchIn(line)
+        .map(_.group(1).toDouble).filter(_ => exit == 0)
+      val warm = (""""warmup_sec":([0-9.]+)""".r).findFirstMatchIn(line)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+      java.nio.file.Files.deleteIfExists(out)
+      if (sec.isEmpty)
+        System.err.println(s"[bench] fork $name FAILED (exit $exit, " +
+          s"log $log)")
+      else java.nio.file.Files.deleteIfExists(log)
+      (name, sec, warm)
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ok = results.collect { case (n, Some(s), _) => (n, s) }
+    val failed = results.collect { case (n, None, _) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val warmupSec = results.map(_._3).sum
+    val qs = (ok.sortBy(_._2) ++ results.collect {
+        case (n, None, _) => (n, -1.0) }.sortBy(_._1))
+      .sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(DefaultReps).max(1)
+    val bigLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","fork":1,"rep_outliers":{},"queries":$qs,"failed":$failed,"value":$total,"value_min":$total,"reps":$reps,"wall_sec":$wallSec}"""
+    val compactLine = s"""{"metric":"total_compact","unit":"sec","fork":1,"value":$total,"value_min":$total,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"n_outliers":0,"reps":$reps,"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"wall_sec":$wallSec}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try { w.println(bigLine); w.println(compactLine) } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mirror write failed: ${e.getMessage}") }
+    println(bigLine)
+    println(compactLine)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").exists(_ != "0"))
+      return forkMain()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_BENCH_REPS=1 restores single-run timing if a harness
