@@ -67,32 +67,52 @@ object Bench {
       val line = scala.util.Try(
         java.nio.file.Files.readAllLines(out).asScala.mkString(" "))
         .getOrElse("")
-      val sec = (s""""$name":(-?[0-9.]+)""".r).findFirstMatchIn(line)
-        .map(_.group(1).toDouble).filter(_ => exit == 0)
-      val warm = (""""warmup_sec":([0-9.]+)""".r).findFirstMatchIn(line)
+      // A child that catches a per-rep exception still exits 0 but
+      // reports "<name>":-1.0 and lists the query in its own "failed"
+      // array — exit code alone is NOT a pass signal (r19 advice,
+      // high: the old `.filter(_ => exit == 0)` let a child-reported
+      // failure land in `ok` and subtract 1.0 s from `value`). The
+      // number regex also accepts scientific notation: Scala renders
+      // doubles < 1e-3 as e.g. 4.9E-4, and a mantissa-only capture
+      // would have reported 4.9 s for a sub-millisecond query.
+      val num = """(-?[0-9]+(?:\.[0-9]+)?(?:[Ee][-+]?[0-9]+)?)"""
+      val childFailed = (""""failed":\[([^\]]*)\]""".r)
+        .findFirstMatchIn(line).exists(_.group(1).trim.nonEmpty)
+      val sec = (s""""${java.util.regex.Pattern.quote(name)}":$num""".r)
+        .findFirstMatchIn(line).map(_.group(1).toDouble)
+        .filter(v => exit == 0 && v >= 0 && !childFailed)
+      // child's value_min = min over its reps (single query), so the
+      // parent's sum of these matches normal mode's Σ per-query minima
+      // — the old value_min=value made cross-mode value_min
+      // comparisons apples-to-oranges (r19 advice).
+      val secMin = (s""""value_min":$num""".r).findFirstMatchIn(line)
+        .map(_.group(1).toDouble).filter(v => sec.isDefined && v >= 0)
+        .orElse(sec)
+      val warm = (s""""warmup_sec":$num""".r).findFirstMatchIn(line)
         .map(_.group(1).toDouble).getOrElse(0.0)
       java.nio.file.Files.deleteIfExists(out)
       if (sec.isEmpty)
         System.err.println(s"[bench] fork $name FAILED (exit $exit, " +
-          s"log $log)")
+          s"childFailed $childFailed, log $log)")
       else java.nio.file.Files.deleteIfExists(log)
-      (name, sec, warm)
+      (name, sec, warm, secMin)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val ok = results.collect { case (n, Some(s), _) => (n, s) }
-    val failed = results.collect { case (n, None, _) => "\"" + n + "\"" }
+    val ok = results.collect { case (n, Some(s), _, _) => (n, s) }
+    val failed = results.collect { case (n, None, _, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    val totalMin = results.collect { case (_, Some(_), _, Some(m)) => m }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val warmupSec = results.map(_._3).sum
     val qs = (ok.sortBy(_._2) ++ results.collect {
-        case (n, None, _) => (n, -1.0) }.sortBy(_._1))
+        case (n, None, _, _) => (n, -1.0) }.sortBy(_._1))
       .sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
       .getOrElse(DefaultReps).max(1)
-    val bigLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","fork":1,"rep_outliers":{},"queries":$qs,"failed":$failed,"value":$total,"value_min":$total,"reps":$reps,"wall_sec":$wallSec}"""
-    val compactLine = s"""{"metric":"total_compact","unit":"sec","fork":1,"value":$total,"value_min":$total,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"n_outliers":0,"reps":$reps,"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"wall_sec":$wallSec}"""
+    val bigLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","fork":1,"rep_outliers":{},"queries":$qs,"failed":$failed,"value":$total,"value_min":$totalMin,"reps":$reps,"wall_sec":$wallSec}"""
+    val compactLine = s"""{"metric":"total_compact","unit":"sec","fork":1,"value":$total,"value_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"n_outliers":0,"reps":$reps,"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"wall_sec":$wallSec}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
     try {

@@ -60,8 +60,15 @@ object Verify {
     val skipPinned = sys.env.get("SPARK_GRAFT_SKIP_PINNED").exists(_ != "0")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val wanted = only.fold(rowsOnly)(rowsOnly.intersect)
+    // stale-artifact guard (r19 advice): when pins DON'T run, any
+    // pinned.json left in outDir is from an earlier fixture/build — a
+    // subset re-run must not let check.py gate on it.
+    if (skipPinned || wanted.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/pinned.json"))
     if (!skipPinned && wanted.nonEmpty) {
-      val pins = ops.Pinned.all(spark, sfDir)
+      // wanted is passed INTO Pinned.all so only the requested
+      // queries' pin thunks execute (the subset fast path).
+      val pins = ops.Pinned.all(spark, sfDir, Some(wanted))
         .filter(p => wanted.contains(p.query))
       val pj = pins.groupBy(_.query).toSeq.sortBy(_._1).map {
         case (name, ps) =>
