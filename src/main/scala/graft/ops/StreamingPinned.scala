@@ -1,0 +1,719 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Top-level feed rows so Spark derives Encoders without an outer
+  * scope (the `StreamingSpec` Ev/EvV/EvTV discipline, main-side). */
+case class SEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String)
+case class SEvTV(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+/** One streaming-equivalence record for the driver artifact: the
+  * component ran TO COMPLETION as a real streaming query (or
+  * foreachBatch writer protocol) over fixture-derived multi-batch
+  * input, and its output was compared against the named BATCH twin on
+  * the same rows. `rows` is the compared streamed row count, `matches`
+  * is the machine verdict. */
+case class StreamCheck(component: String, impl: String, twin: String,
+  rows: Long, matches: Boolean, note: String)
+
+/** r19 verdict #4 (the round-20 ask): the 22 streaming/source-
+  * capability rows of SURVEY §2.2 (J4–J40 + A32) were pinned only
+  * inside `sbt test` — invisible to the driver artifact. This object
+  * re-runs each component's batch-equivalence law in a Verify-callable
+  * form and returns machine-checkable records that `graft.Verify`
+  * writes as `streaming.json` (gated by `tools/check.py` alongside
+  * pinned.json).
+  *
+  * Every check REUSES the production operator in `StreamingOps` (never
+  * a reimplementation) and compares against the same batch twin the
+  * corresponding ScalaTest pin uses — specs stay the development gate;
+  * this is the driver-visible mirror. Feeds are fixture-derived
+  * (earliest-N events in (ts, event_id) order, chunked into
+  * micro-batches — chunking a globally sorted feed preserves the
+  * per-user in-order delivery the stateful enrichment contract
+  * assumes) except where the law needs a controlled shape (J25 state
+  * expiry, J26/J28 file pacing, J15/J24/J30 CDC ledgers). */
+object StreamingPinned {
+
+  private def tmpCheckpoint(): String =
+    java.nio.file.Files.createTempDirectory("graft_spin_ckpt_").toString
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def withQuery[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  /** The fixture feed: earliest `n` events in fully tie-broken
+    * (ts, event_id) order. Chunked delivery of this order preserves
+    * per-user in-order arrival across micro-batches. */
+  private def feed(spark: SparkSession, sfDir: String, n: Int): Seq[SEvTV] =
+    Util.t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).limit(n)
+      .collect().map(r => SEvTV(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+
+  private def asEv(rows: Seq[SEvTV]): Seq[SEv] =
+    rows.map(r => SEv(r.event_id, r.ts, r.user_id, r.event_type))
+
+  private def chunk3[A](rows: Seq[A]): Seq[Seq[A]] = {
+    val k = math.max(1, rows.length / 3)
+    rows.grouped(k).toSeq
+  }
+
+  private def rowKey(r: Row): String =
+    r.toSeq.map(String.valueOf).mkString("|")
+
+  private def setEq(streamed: DataFrame, batch: DataFrame): (Long, Boolean) = {
+    val s = streamed.collect().map(rowKey).toSeq
+    val b = batch.collect().map(rowKey).toSeq
+    (s.length.toLong,
+      s.length == b.length && s.sorted.sameElements(b.sorted))
+  }
+
+  /** All 22 records. Each check is isolated: a thrown computation
+    * reports as a failed record, never an aborted verify. The shuffle
+    * width is narrowed around the battery (one state store per
+    * partition per stateful op per micro-batch — the bounded-run
+    * discipline `runToCompletion` documents). */
+  def all(spark: SparkSession, sfDir: String): Seq[StreamCheck] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try allChecks(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def allChecks(spark: SparkSession, sfDir: String): Seq[StreamCheck] = {
+    val checks: Seq[(String, () => StreamCheck)] = Seq(
+      "J4" -> (() => beCheck(spark, sfDir, "J4",
+        "StreamingOps.tumblingWithWatermark", "stream_watermark_late_be",
+        StreamingOps.streamWatermarkLateBe,
+        s => Util.t(s, sfDir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("n")))),
+      "J5" -> (() => beCheck(spark, sfDir, "J5",
+        "StreamingOps.streamingDedup", "stream_dedup_be",
+        StreamingOps.streamDedupBe,
+        s => Util.t(s, sfDir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users")))),
+      "J6" -> (() => beCheck(spark, sfDir, "J6",
+        "StreamingOps.streamStaticJoin", "stream_stream_static_join_be",
+        StreamingOps.streamStaticJoinBe,
+        s => Util.t(s, sfDir, "events")
+          .withColumn("segment",
+            concat(lit("seg_"), pmod(col("user_id"), lit(4))))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users")))),
+      "J7" -> (() => beCheck(spark, sfDir, "J7",
+        "StreamingOps.statefulRunningCount", "stream_stateful_custom_be",
+        StreamingOps.streamStatefulCustomBe,
+        s => Util.t(s, sfDir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")))),
+      "J8" -> (() => beCheck(spark, sfDir, "J8",
+        "StreamingOps.streamStreamIntervalJoin",
+        "stream_stream_interval_join_be",
+        StreamingOps.streamStreamIntervalJoinBe,
+        s => {
+          val ev = Util.t(s, sfDir, "events")
+          val v = ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("view_id"), col("user_id"),
+              unix_micros(col("ts")).as("vus"))
+          val c = ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"),
+              col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+          v.join(c, col("user_id") === col("cu") &&
+              col("cus") >= col("vus") &&
+              col("cus") < col("vus") + lit(300000000L))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(col("cus") - col("vus")).cast("long").as("sum_gap_us"))
+        })),
+      "J9" -> (() => j9(spark, sfDir)),
+      "J10" -> (() => j10(spark, sfDir)),
+      "J14" -> (() => j14(spark, sfDir)),
+      "J15" -> (() => j15(spark, sfDir)),
+      "J20" -> (() => j20(spark, sfDir)),
+      "J21" -> (() => j21(spark, sfDir, full = false)),
+      "J22" -> (() => j21(spark, sfDir, full = true)),
+      "J24" -> (() => j24(spark, sfDir, mor = false)),
+      "J25" -> (() => j25(spark)),
+      "J26" -> (() => j26(spark, sfDir)),
+      "J27" -> (() => j27(spark, sfDir)),
+      "J28" -> (() => j28(spark, sfDir)),
+      "J29" -> (() => j29(spark, sfDir)),
+      "J30" -> (() => j24(spark, sfDir, mor = true)),
+      "J34" -> (() => j34(spark, sfDir)),
+      "J40" -> (() => j40(spark, sfDir)),
+      "A32" -> (() => a32(spark)))
+    checks.map { case (id, f) =>
+      val c = try f()
+      catch { case e: Throwable =>
+        System.err.println(s"[streaming] $id failed: ${e.getMessage}")
+        StreamCheck(id, "?", "?", 0L, matches = false,
+          s"check raised: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      c.copy(component = id + " " + c.component)
+    }
+  }
+
+  /** J4–J8: the registered `_be` rung (the op run to completion over
+    * the FULL fixture stream — RocksDB default, exactly what the
+    * oracle gate checks) against its batch formulation. */
+  private def beCheck(spark: SparkSession, sfDir: String, id: String,
+      impl: String, beName: String,
+      be: (SparkSession, String) => DataFrame,
+      twin: SparkSession => DataFrame): StreamCheck = {
+    val (n, ok) = setEq(be(spark, sfDir), twin(spark))
+    StreamCheck(impl, impl, s"batch formulation of $beName",
+      n, ok, "full fixture stream run to completion (RocksDB default)")
+  }
+
+  /** J9: foreachBatch idempotent sink — batch 1 re-delivered verbatim
+    * must leave the sink byte-equal to the exactly-once contents. */
+  private def j9(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    val out = tmpDir("graft_spin_j9_") + "/sink"
+    val rows = asEv(feed(spark, sfDir, 900))
+    val batches = chunk3(rows)
+    val writer = StreamingOps.idempotentBatchAppend(out) _
+    batches.zipWithIndex.foreach { case (b, i) => writer(b.toDF(), i.toLong) }
+    writer(batches(1).toDF(), 1L) // the at-least-once re-delivery
+    val got = spark.read.parquet(out)
+      .select("event_id").orderBy("event_id")
+    val want = rows.toDF().select("event_id").orderBy("event_id")
+    val (n, ok) = setEq(got, want)
+    StreamCheck("StreamingOps.idempotentBatchAppend",
+      "StreamingOps.idempotentBatchAppend",
+      "exactly-once sink contents == input corpus after batch re-delivery",
+      n, ok, s"${batches.size} batches + 1 re-delivered")
+  }
+
+  /** J10: timeout sessionization — all sessions force-closed by a
+    * far-future sentinel watermark sweep, compared to the batch
+    * 30-min-gap island law (ms-granular, the processor's arithmetic). */
+  private def j10(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = asEv(feed(spark, sfDir, 900))
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinelUser = -1L
+    def sent(id: Long, plusMs: Long) = SEv(id,
+      new java.sql.Timestamp(maxTs + plusMs), sentinelUser, "view")
+    val in = MemoryStream[SEv]
+    val q = StreamingOps.sessionizeWithTimeout(in.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("spin_j10")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val streamed = withQuery(q) {
+      chunk3(rows).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // two sweeps: the first advances the watermark past every real
+      // session's last + gap; the second triggers the timeout batch
+      in.addData(sent(-10, 86400000L)); q.processAllAvailable()
+      in.addData(sent(-11, 86400010L)); q.processAllAvailable()
+      spark.table("spin_j10").filter(col("user_id") =!= sentinelUser)
+        .localCheckpoint(true)
+    }
+    val gapMs = 30L * 60000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val batch = rows.toDF()
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")).cast("long") / lit(1000L))
+          .cast("long").as("ms"))
+      .withColumn("new_s",
+        when(lag(col("ms"), 1).over(w).isNull ||
+          col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (col("start_ms") / lit(1000L)).cast("long").as("session_start"),
+        col("n_events"),
+        ((col("last_ms") - col("start_ms")) * lit(1000L)).as("duration_us"))
+    val (n, ok) = setEq(streamed, batch)
+    StreamCheck("StreamingOps.sessionizeWithTimeout",
+      "StreamingOps.sessionizeWithTimeout",
+      "batch 30-min-gap island sessions (ms arithmetic)",
+      n, ok, "sentinel sweep closes every session; sentinel excluded")
+  }
+
+  /** J11/J14: streaming as-of enrichment vs the batch C10 lag law. */
+  private def j14(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = asEv(feed(spark, sfDir, 900))
+    val in = MemoryStream[SEv]
+    val q = StreamingOps.streamingAsOfEnrich(in.toDF())
+      .writeStream.format("memory").queryName("spin_j14")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val streamed = withQuery(q) {
+      chunk3(rows).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table("spin_j14").localCheckpoint(true)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = rows.toDF()
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_event_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_event_id"),
+        col("prev_event_type"), col("gap_us"))
+    val (n, ok) = setEq(streamed, batch)
+    StreamCheck("StreamingOps.streamingAsOfEnrich",
+      "StreamingOps.streamingAsOfEnrich",
+      "batch C10 lag window over the identical rows",
+      n, ok, "3 micro-batches, state carries mid-user")
+  }
+
+  /** J12/J15: CDC SCD1 upsert writer — two change batches + a replay,
+    * final state vs the last-change-per-key law. */
+  private def j15(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    val state = tmpDir("graft_spin_cdc_") + "/state"
+    val keys = Util.t(spark, sfDir, "customer")
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(300)
+      .collect().map(_.getLong(0)).toSeq
+    val b0 = keys.map(k => (k, s"v0_$k", k * 2))
+    val b1 = keys.filter(_ % 2 == 0).map(k => (k, s"v1_$k", k * 2 + 1)) ++
+      keys.take(50).map(k => (k + 1000000L, s"new_$k", k * 2 + 2))
+    val writer = StreamingOps.cdcUpsertBatch(state, Seq("id"), "seq") _
+    writer(b0.toDF("id", "v", "seq"), 0L)
+    writer(b1.toDF("id", "v", "seq"), 1L)
+    writer(b1.toDF("id", "v", "seq"), 1L) // replay must be a no-op
+    val got = spark.read.parquet(state).select("id", "v")
+    val want = (b0 ++ b1).groupBy(_._1).map { case (_, vs) =>
+      val (id, v, _) = vs.maxBy(_._3); (id, v)
+    }.toSeq.toDF("id", "v")
+    val (n, ok) = setEq(got, want)
+    StreamCheck("StreamingOps.cdcUpsertBatch",
+      "StreamingOps.cdcUpsertBatch",
+      "last-change-per-key SCD1 state after 2 batches + replay",
+      n, ok, s"${keys.size} keys, replay no-op included")
+  }
+
+  /** J20: streaming rolling z-score vs the batch anomaly law. */
+  private def j20(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = feed(spark, sfDir, 900)
+    val in = MemoryStream[SEvTV]
+    val q = StreamingOps.streamingAnomaly(in.toDF())
+      .writeStream.format("memory").queryName("spin_j20")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val streamed = withQuery(q) {
+      chunk3(rows).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table("spin_j20").localCheckpoint(true)
+    }
+    val batch = Events.anomalyScores(rows.toDF()
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus")))
+    val (n, ok) = setEq(streamed, batch.select(streamed.columns.map(col): _*))
+    StreamCheck("StreamingOps.streamingAnomaly",
+      "StreamingOps.streamingAnomaly",
+      "Events.anomalyScores (batch window law) on identical rows",
+      n, ok, "ring buffer split mid-user across 3 batches")
+  }
+
+  /** J21/J22: outer stream-stream interval joins — watermark sweeps
+    * force every unmatched row's NULL emission, then the whole output
+    * must equal the batch outer join with the same interval bound. */
+  private def j21(spark: SparkSession, sfDir: String,
+      full: Boolean): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = asEv(feed(spark, sfDir, 900))
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinelUser = -1L
+    def sent(id: Long, plusMs: Long, tpe: String) = SEv(id,
+      new java.sql.Timestamp(maxTs + plusMs), sentinelUser, tpe)
+    val views = MemoryStream[SEv]
+    val clicks = MemoryStream[SEv]
+    val joined =
+      if (full) StreamingOps.streamStreamFullOuterJoin(
+        views.toDF(), clicks.toDF())
+      else StreamingOps.streamStreamOuterJoin(views.toDF(), clicks.toDF())
+    val name = if (full) "spin_j22" else "spin_j21"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val vRows = rows.filter(_.event_type == "view")
+    val cRows = rows.filter(_.event_type == "click")
+    val streamed = withQuery(q) {
+      val vb = chunk3(vRows); val cb = chunk3(cRows)
+      for (i <- 0 until math.max(vb.length, cb.length)) {
+        if (i < vb.length) views.addData(vb(i): _*)
+        if (i < cb.length) clicks.addData(cb(i): _*)
+        q.processAllAvailable()
+      }
+      // sweep both watermarks far past every join window, twice
+      for (k <- 0 to 1) {
+        views.addData(sent(-20 - k, 86400000L + k * 10, "view"))
+        clicks.addData(sent(-30 - k, 86400000L + k * 10, "click"))
+        q.processAllAvailable()
+      }
+      val t = spark.table(name)
+      (if (full)
+        t.filter(coalesce(col("uid"), lit(-1L)) =!= sentinelUser)
+      else t.filter(col("user_id") =!= sentinelUser))
+        .localCheckpoint(true)
+    }
+    val v = vRows.toDF().select(col("event_id").as("view_id"),
+      col("user_id"), unix_micros(col("ts")).as("vus"))
+    val c = cRows.toDF().select(col("event_id").as("click_id"),
+      col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+    val cond = col("user_id") === col("cu") &&
+      col("cus") >= col("vus") && col("cus") < col("vus") + lit(300000000L)
+    val batch =
+      if (full) v.join(c, cond, "fullOuter")
+        .select(col("view_id"), col("click_id"),
+          coalesce(col("user_id"), col("cu")).as("uid"),
+          (col("cus") - col("vus")).as("gap_us"))
+      else v.join(c, cond, "leftOuter")
+        .select(col("view_id"), col("user_id"), col("click_id"),
+          (col("cus") - col("vus")).as("gap_us"))
+    val (n, ok) = setEq(streamed, batch)
+    StreamCheck(
+      if (full) "StreamingOps.streamStreamFullOuterJoin"
+      else "StreamingOps.streamStreamOuterJoin",
+      if (full) "StreamingOps.streamStreamFullOuterJoin"
+      else "StreamingOps.streamStreamOuterJoin",
+      s"batch ${if (full) "full" else "left"}-outer interval join",
+      n, ok, "watermark sweep forces all NULL-leg emissions")
+  }
+
+  /** J24/J30: CDC into the snapshot store (full-merge / merge-on-read)
+    * — version-per-batch content vs the batch merge law, replay
+    * no-op, and intermediate-version time travel. */
+  private def j24(spark: SparkSession, sfDir: String,
+      mor: Boolean): StreamCheck = {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val root = tmpDir(if (mor) "graft_spin_mor_" else "graft_spin_snap_") + "/t"
+    val keys = Util.t(spark, sfDir, "customer")
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(200)
+      .collect().map(_.getLong(0)).toSeq
+    val b0 = keys.map(k => (k, s"v0_$k", k * 2))
+    val b1 = keys.filter(_ % 3 == 0).map(k => (k, s"v1_$k", k * 2 + 1))
+    val writer =
+      if (mor) StreamingOps.cdcSnapshotMorBatch(root, "id", "seq") _
+      else StreamingOps.cdcSnapshotBatch(root, Seq("id"), "seq") _
+    writer(b0.toDF("id", "v", "seq"), 0L)
+    writer(b1.toDF("id", "v", "seq"), 1L)
+    writer(b1.toDF("id", "v", "seq"), 1L) // replay: version ledger no-op
+    val versionsOk = SnapshotStore.versions(spark, root) == Seq(1, 2)
+    val v1 = SnapshotStore.read(spark, root, Some(1)).select("id", "v")
+    val v2 = SnapshotStore.read(spark, root, Some(2)).select("id", "v")
+    val want1 = b0.map(t => (t._1, t._2)).toDF("id", "v")
+    val want2 = (b0 ++ b1).groupBy(_._1).map { case (_, vs) =>
+      val (id, v, _) = vs.maxBy(_._3); (id, v)
+    }.toSeq.toDF("id", "v")
+    val (n1, ok1) = setEq(v1, want1)
+    val (n2, ok2) = setEq(v2, want2)
+    val impl = if (mor) "StreamingOps.cdcSnapshotMorBatch"
+      else "StreamingOps.cdcSnapshotBatch"
+    StreamCheck(impl, impl,
+      "per-version batch-merge content + replay no-op + time travel",
+      n1 + n2, versionsOk && ok1 && ok2,
+      s"versions=${SnapshotStore.versions(spark, root)}" +
+        (if (mor) " (O(batch) MoR commits)" else ""))
+  }
+
+  /** J25: dedup-within-watermark — first occurrence per watermark
+    * epoch emits; the same id re-emits after its state expired. The
+    * twin is the analytic first-per-epoch law (an epoch here = one
+    * hour, far beyond the 10-minute delay). */
+  private def j25(spark: SparkSession): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[SEv]
+    val q = StreamingOps.streamingDedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("spin_j25")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val ids = (1L to 100L).toSeq
+    val got = withQuery(q) {
+      // epoch 1: every id twice inside the 10-min delay → 1 emit each
+      in.addData(ids.flatMap(i => Seq(
+        SEv(i, ts("2024-01-01 01:00:00"), i, "view"),
+        SEv(i, ts("2024-01-01 01:01:00"), i, "view"))): _*)
+      q.processAllAvailable()
+      // sweep: advances the watermark a full hour → every key expires
+      in.addData(SEv(9999L, ts("2024-01-01 03:00:00"), -1L, "view"))
+      q.processAllAvailable()
+      // epoch 2: the same ids long after expiry → re-emit each
+      in.addData(ids.map(i =>
+        SEv(i, ts("2024-01-01 03:05:00"), i, "view")): _*)
+      q.processAllAvailable()
+      spark.table("spin_j25").groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val ok = ids.forall(i => got.get(i).contains(2L)) &&
+      got.get(9999L).contains(1L) && got.size == ids.size + 1
+    StreamCheck("StreamingOps.streamingDedupWithinWatermark",
+      "StreamingOps.streamingDedupWithinWatermark",
+      "analytic first-per-epoch law (suppress in-delay, re-emit expired)",
+      got.values.sum, ok,
+      "100 ids x (dup inside delay, re-arrival after expiry)")
+  }
+
+  /** J26: AvailableNow backfill — terminates, bounds input at the
+    * start listing, and a checkpoint restart consumes only the delta. */
+  private def j26(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    val src = tmpDir("graft_spin_bf_")
+    val ckpt = tmpCheckpoint()
+    val rows = asEv(feed(spark, sfDir, 600))
+      .map(e => (e.event_id, e.user_id, e.event_type))
+    def drop(rs: Seq[(Long, Long, String)]): Unit =
+      rs.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    val parts = chunk3(rows)
+    drop(parts(0)); drop(parts(1))
+    StreamingOps.backfillAvailableNow(spark, src, ckpt, "spin_j26")
+    val n1 = spark.table("spin_j26").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want1 = (parts(0) ++ parts(1)).groupBy(_._3)
+      .map { case (t, vs) => t -> vs.size.toLong }
+    drop(parts(2)) // lands after termination — a restart's delta
+    StreamingOps.backfillAvailableNow(spark, src, ckpt, "spin_j26b")
+    val n2 = spark.table("spin_j26b").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want2 = rows.groupBy(_._3).map { case (t, vs) => t -> vs.size.toLong }
+    val ok = n1 == want1 && n2 == want2
+    StreamCheck("StreamingOps.backfillAvailableNow",
+      "StreamingOps.backfillAvailableNow",
+      "batch per-type counts (bounded at start; delta on restart)",
+      rows.size.toLong, ok,
+      s"run1=${n1.values.sum} rows, restart total=${n2.values.sum}")
+  }
+
+  /** J27: transformWithState running counts (RocksDB) vs batch
+    * per-user counts, PLUS the state-schema evolution law: a V2
+    * restart on the same checkpoint resumes old counts and the added
+    * variable initializes and tracks. */
+  private def j27(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the V2 marker rows are (-key, last_event) — a contract over
+      // POSITIVE keys (the processor's scaladoc); fixture user 0 would
+      // collide with its own marker, so it stays out of this feed
+      val rows = asEv(feed(spark, sfDir, 600)).filter(_.user_id > 0)
+      val batches = chunk3(rows)
+      val ckpt = tmpCheckpoint()
+      val collected =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val writer: (DataFrame, Long) => Unit = (df, _) =>
+        collected.synchronized {
+          collected ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          ()
+        }
+      val in = MemoryStream[SEv]
+      val q1 = StreamingOps.statefulRunningCountTws(in.toDF())
+        .writeStream.foreachBatch(writer)
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      withQuery(q1) {
+        batches.init.foreach { b =>
+          in.addData(b: _*); q1.processAllAvailable()
+        }
+      }
+      // evolution: restart the SAME checkpoint with the added variable
+      val q2 = StreamingOps.statefulRunningCountTwsV2(in.toDF())
+        .writeStream.foreachBatch(writer)
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      withQuery(q2) { in.addData(batches.last: _*); q2.processAllAvailable() }
+      val finalCounts = collected.synchronized {
+        collected.filter(_._1 >= 0).groupBy(_._1)
+          .map { case (u, vs) => u -> vs.map(_._2).max }
+      }
+      val want = rows.groupBy(_.user_id)
+        .map { case (u, vs) => u -> vs.size.toLong }
+      // the V2 marker rows (negated keys) prove the added state
+      // variable initialized and tracked post-restart
+      val v2Live = collected.synchronized(collected.exists(_._1 < 0))
+      val ok = finalCounts == want && v2Live
+      StreamCheck("StreamingOps.statefulRunningCountTws(+V2 evolution)",
+        "StreamingOps.statefulRunningCountTws",
+        "batch per-user counts; V2 schema-evolution restart live",
+        rows.size.toLong, ok,
+        s"${want.size} users, evolution restart on batch ${batches.size - 1}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** J28: maxFilesPerTrigger pacing — N files drain as N single-file
+    * batches whose counts sum to the batch read. */
+  private def j28(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    val src = tmpDir("graft_spin_bf2_")
+    val rows = asEv(feed(spark, sfDir, 600))
+      .map(e => (e.event_id, e.user_id, e.event_type))
+    val parts = chunk3(rows)
+    parts.foreach(p => p.toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(src))
+    val paced = StreamingOps.backfillAvailableNow(spark, src,
+      tmpCheckpoint(), "spin_j28a", maxFilesPerTrigger = Some(1))
+    val unpaced = StreamingOps.backfillAvailableNow(spark, src,
+      tmpCheckpoint(), "spin_j28b")
+    val ok = paced.length == parts.length &&
+      paced.sum == rows.size.toLong && unpaced == Seq(rows.size.toLong)
+    StreamCheck("StreamingOps.backfillAvailableNow(maxFilesPerTrigger=1)",
+      "StreamingOps.backfillAvailableNow",
+      "per-file batch pacing sums to the batch read",
+      rows.size.toLong, ok,
+      s"paced=$paced unpaced=$unpaced")
+  }
+
+  /** J29: observed per-batch metrics sum to the injected totals. */
+  private def j29(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = feed(spark, sfDir, 600)
+    val in = MemoryStream[SEvTV]
+    val q = StreamingOps.observedStreamCounts(in.toDF())
+      .writeStream.format("memory").queryName("spin_j29")
+      .outputMode("complete").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val metrics = withQuery(q) {
+      chunk3(rows).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("stream_qc")))
+    }
+    val nSum = metrics.map(_.getLong(0)).sum
+    val mass = metrics.map(m =>
+      Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)).sum
+    val wantMass = rows.map(r =>
+      new java.math.BigDecimal(r.value.toString)
+        .setScale(2, java.math.RoundingMode.HALF_UP))
+      .reduce(_.add(_)).doubleValue
+    val ok = nSum == rows.size.toLong && math.abs(mass - wantMass) < 1e-6 &&
+      metrics.forall(_.getLong(2) == 0L)
+    StreamCheck("StreamingOps.observedStreamCounts",
+      "StreamingOps.observedStreamCounts",
+      "per-batch observed metrics sum to batch totals",
+      rows.size.toLong, ok,
+      f"rows=$nSum mass=$mass%.2f want=$wantMass%.2f")
+  }
+
+  /** J34: streaming last-touch attribution vs the batch law. */
+  private def j34(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = feed(spark, sfDir, 900)
+    val in = MemoryStream[SEvTV]
+    val q = StreamingOps.streamingAttribution(in.toDF())
+      .writeStream.format("memory").queryName("spin_j34")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+      .start()
+    val streamed = withQuery(q) {
+      chunk3(rows).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table("spin_j34").localCheckpoint(true)
+    }
+    val batch = Events.attributionTouches(rows.toDF()
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("tus")))
+      .select(streamed.columns.map(col): _*)
+    val (n, ok) = setEq(streamed, batch)
+    StreamCheck("StreamingOps.streamingAttribution",
+      "StreamingOps.streamingAttribution",
+      "Events.attributionTouches (batch law) on identical rows",
+      n, ok, "session breaks cross micro-batch boundaries")
+  }
+
+  /** J40: transformWithState inter-event gaps vs the batch window. */
+  private def j40(spark: SparkSession, sfDir: String): StreamCheck = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = asEv(feed(spark, sfDir, 900))
+      val in = MemoryStream[SEv]
+      val q = StreamingOps.streamInterEventGaps(in.toDF())
+        .writeStream.format("memory").queryName("spin_j40")
+        .outputMode("append").option("checkpointLocation", tmpCheckpoint())
+        .start()
+      val streamed = withQuery(q) {
+        chunk3(rows).foreach { b =>
+          in.addData(b: _*); q.processAllAvailable()
+        }
+        spark.table("spin_j40").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+      }
+      val batch = Events.interEventGaps(rows.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(4))).toSet
+      val ok = streamed == batch
+      StreamCheck("StreamingOps.streamInterEventGaps",
+        "StreamingOps.streamInterEventGaps",
+        "Events.interEventGaps (batch window) on identical rows",
+        streamed.size.toLong, ok,
+        "gaps cross micro-batch boundaries via RocksDB state")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** A32: census DSv2 micro-batch stream — paced chunk consumption
+    * sums to the batch scan; a checkpoint restart admits nothing. */
+  private def a32(spark: SparkSession): StreamCheck = {
+    import graft.sources.CensusFixture
+    val ckpt = tmpCheckpoint()
+    def start(name: String) = spark.readStream
+      .format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("expect", CensusFixture.Expect.mkString(","))
+      .option("maxChunksPerTrigger", "5")
+      .load()
+      .groupBy(col("state")).count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    val q = start("spin_a32")
+    val (streamed, dataBatches) = withQuery(q) {
+      q.processAllAvailable()
+      (spark.table("spin_a32").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        q.recentProgress.count(_.numInputRows > 0))
+    }
+    val batch = spark.read.format("graft.sources.CensusSource")
+      .option("path", CensusFixture.path)
+      .option("expect", CensusFixture.Expect.mkString(","))
+      .load().groupBy(col("state")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q2 = start("spin_a32r")
+    val restartClean = withQuery(q2) {
+      q2.processAllAvailable()
+      q2.recentProgress.forall(_.numInputRows == 0)
+    }
+    val ok = streamed == batch && dataBatches > 1 && restartClean
+    StreamCheck("CensusSource MICRO_BATCH_READ",
+      "sources.CensusSource (CensusMicroBatchStream)",
+      "batch census scan per-state counts; restart admits nothing",
+      streamed.values.sum, ok,
+      s"paced into $dataBatches data batches at 5 chunks/trigger")
+  }
+}

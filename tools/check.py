@@ -92,7 +92,11 @@ def main():
             src = f"{p}/*.parquet" if p.is_dir() else str(p)
             con.execute(
                 f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')")
-    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # a streaming-only Verify run (filter "__streaming__") writes no
+    # oracle_sql.json — gate only the sections that are present
+    oracle_path = Path(out_dir) / "oracle_sql.json"
+    oracle = json.loads(oracle_path.read_text()) if oracle_path.exists() \
+        else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -156,8 +160,25 @@ def main():
                 else:
                     n_pin_fail += 1
         print(f"== pinned: {n_pin_pass} pass, {n_pin_fail} fail ==")
+    # streaming batch-equivalence records (emitted by graft.Verify since
+    # round 20): the 22 spec-only streaming/source components re-proven
+    # Verify-side — a mismatch fails the gate like an oracle miss.
+    n_str_pass = n_str_fail = 0
+    streaming_path = Path(out_dir) / "streaming.json"
+    if streaming_path.exists() and not only:
+        streaming = json.loads(streaming_path.read_text())
+        for cid, c in sorted(streaming.items()):
+            ok = c["match"]
+            tag = "STREAM-PASS" if ok else "STREAM-FAIL"
+            print(f"{tag} {cid}: {c['impl']} == {c['twin']} "
+                  f"({c['rows_compared']} rows) [{c['note']}]")
+            if ok:
+                n_str_pass += 1
+            else:
+                n_str_fail += 1
+        print(f"== streaming: {n_str_pass} pass, {n_str_fail} fail ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if (n_fail or n_pin_fail) else 0)
+    sys.exit(1 if (n_fail or n_pin_fail or n_str_fail) else 0)
 
 
 if __name__ == "__main__":
