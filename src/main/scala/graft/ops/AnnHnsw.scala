@@ -203,7 +203,7 @@ object AnnHnsw {
   def ensureIndex(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, sourceDir: String, tag: String = ""): String =
     FixtureCache.ensure(spark,
-      s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v5$tag",
+      s"hnsw_graph_m${AnnNsw.M}_l${MaxLevel}_v6$tag",
       sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
       val model = AnnIvf.codebook(df, vecCol, AnnIvf.FitSampleFraction)
       val assigned = model.transform(df.withColumn("fv",
@@ -233,9 +233,12 @@ object AnnHnsw {
           .localCheckpoint(true)
         layers = layers.unionByName(upperAdj.withColumn("layer", lit(l)))
       }
-      writeLayers(layers, s"$tmp/layers")
+      writeLayers(layers,
+        assigned.select(col(idCol), col(vecCol)), s"$tmp/layers")
       assigned.filter(col("lvl") >= MaxLevel)
         .agg(min(col(idCol)).as("entry"))
+        .join(assigned.select(col(idCol).as("entry"),
+          col(vecCol).as("entryvec")), Seq("entry"))
         .write.mode("overwrite").parquet(s"$tmp/entry")
     }
 
@@ -245,9 +248,21 @@ object AnnHnsw {
     * read of ONE layer directory's beam buckets — directory pruning
     * instead of a full index scan per hop. The unpartitioned form read
     * the whole file hops × probes times; at a 100-TB index that is the
-    * difference between a point lookup and a table scan. */
-  private def writeLayers(layers: DataFrame, path: String): Unit =
+    * difference between a point lookup and a table scan.
+    *
+    * v6 layout (r19 verdict #2): each edge also carries its
+    * DESTINATION VECTOR (`vecs` = the corpus (id, vec) relation), so
+    * one pruned read serves a whole probe hop — expansion ids and the
+    * data to score them. M×dim floats per node of index weight, the
+    * locality trade every serving-path HNSW makes; the upper layers
+    * (1/16-decay membership) stay collectable for the driver-resident
+    * descent ([[searchTopK]]). */
+  private def writeLayers(layers: DataFrame, vecs: DataFrame,
+      path: String): Unit =
     layers
+      .join(vecs.select(col(vecs.columns.head).as("dst"),
+        col(vecs.columns(1)).as("dstvec")), Seq("dst"))
+      .select(col("layer"), col("src"), col("dst"), col("dstvec"))
       .withColumn("bkt",
         pmod(col("src"), lit(AnnNsw.ProbeBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy("layer", "bkt")
@@ -332,18 +347,23 @@ object AnnHnsw {
   def ensureInsertedIndex(spark: SparkSession, base: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String,
       sourceDir: String): String =
-    FixtureCache.ensure(spark, s"hnsw_incr_m${AnnNsw.M}_l${MaxLevel}_v2",
+    FixtureCache.ensure(spark, s"hnsw_incr_m${AnnNsw.M}_l${MaxLevel}_v3",
       sourceDir, Seq(s"$sourceDir.parquet")) { tmp =>
       val baseDir =
         ensureIndex(spark, base, idCol, vecCol, sourceDir, tag = "_incrbase")
-      // drop the layout's bkt partition column — insertBatch works on
+      // drop the layout's bkt/dstvec columns — insertBatch works on
       // the logical (layer, src, dst) relation
       val (layers, entry) = insertBatch(spark,
         spark.read.parquet(s"$baseDir/layers")
           .select(col("layer"), col("src"), col("dst")),
         base, batch, idCol, vecCol)
-      writeLayers(layers, s"$tmp/layers")
-      entry.write.mode("overwrite").parquet(s"$tmp/entry")
+      val vecs = base.select(col(idCol), col(vecCol))
+        .unionByName(batch.select(col(idCol), col(vecCol)))
+      writeLayers(layers, vecs, s"$tmp/layers")
+      entry
+        .join(vecs.select(col(idCol).as("entry"),
+          col(vecCol).as("entryvec")), Seq("entry"))
+        .write.mode("overwrite").parquet(s"$tmp/entry")
     }
 
   /** SET-ORIENTED multi-query hierarchical search — the BATCH-probe
@@ -408,49 +428,88 @@ object AnnHnsw {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** In-process cache of each committed index's DRIVER-RESIDENT upper
+    * structure (r19 verdict #2): the entry point (id + vector) and the
+    * layers ≥ 1 adjacency with destination vectors. The upper layers
+    * are small by construction — the 1/16-decay level rule puts ~1/16
+    * of the corpus at level ≥ 1 with M edges each — and a point probe
+    * walked them one Spark job per hop before; resident, the whole
+    * upper descent costs ZERO jobs and only layer-0 expansion stays
+    * distributed. FixtureCache dirs are content-keyed, so keying by
+    * path can never serve a stale index. */
+  private val upperCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Array[Float], Map[(Int, Long), Seq[Long]],
+        Map[Long, Array[Float]])]()
+
+  private[ops] def cachedUpper(spark: SparkSession, indexDir: String)
+      : (Long, Array[Float], Map[(Int, Long), Seq[Long]],
+        Map[Long, Array[Float]]) =
+    upperCache.computeIfAbsent(indexDir, _ => {
+      val e = spark.read.parquet(s"$indexDir/entry").collect().head
+      val rows = spark.read.parquet(s"$indexDir/layers")
+        .filter(col("layer") >= 1)
+        .select(col("layer"), col("src"), col("dst"), col("dstvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Float](3).toArray))
+      val adj = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, es) => k -> es.map(_._3).toSeq }
+      val vecs = rows.map(r => r._3 -> r._4).toMap
+      (e.getLong(0), e.getSeq[Float](1).toArray, adj, vecs)
+    })
+
   /** Greedy hierarchical search: descend the upper layers with a
     * narrow beam, then run the wide layer-0 beam. Returns top-k
-    * (idCol, score), 6-dp rounded, fully tie-broken. */
+    * (idCol, score), 6-dp rounded, fully tie-broken.
+    *
+    * Probe job count (r19 verdict #2, pinned in `AnnNswSpec`): the
+    * upper descent runs entirely on the driver-resident structure
+    * ([[cachedUpper]] — 0 jobs warm), each layer-0 hop is ONE pruned
+    * read of the beam's bucket directories (the rows carry dstvec, so
+    * scoring is the driver-side [[AnnLsh.cosineDriver]] mirror — no
+    * corpus-lookup job), and the returned frame's own collect is the
+    * only other job: a warm probe issues ≤ 1 + layer-0 hops jobs. */
   def searchTopK(spark: SparkSession, indexDir: String, nodes: DataFrame,
       idCol: String, vecCol: String, qVec: Seq[Float], k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val layers = spark.read.parquet(s"$indexDir/layers")
+    val layers = AnnNsw.cachedRead(spark, s"$indexDir/layers")
     val qLit = array(qVec.map(lit).toIndexedSeq: _*)
     val scoreCol = AnnLsh.cosine(col(vecCol).cast("array<double>"),
       qLit.cast("array<double>"))
-
-    def scoreIds(ids: Seq[Long]): Map[Long, Double] =
-      if (ids.isEmpty) Map.empty
-      else nodes.filter(col(idCol).isin(ids: _*))
-        .select(col(idCol), scoreCol.as("s"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-
-    def expand(layer: Int, beam: Seq[Long],
-        scored: Map[Long, Double]): Seq[Long] =
-      // layer + bucket literals prune to one layer directory's beam
-      // buckets before the row-level src filter (see writeLayers)
-      layers.filter(col("layer") === layer
-          && col("bkt").isin(beam.map(AnnNsw.bucketOf).distinct: _*)
-          && col("src").isin(beam: _*))
-        .select(col("dst")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-        .filterNot(scored.contains)
+    val qArr = qVec.toArray
+    val (entry, entryVec, upperAdj, upperVecs) = cachedUpper(spark, indexDir)
 
     def top(scored: Map[Long, Double], width: Int): Seq[Long] =
       scored.toSeq.sortBy { case (id, s) => (-s, id) }
         .take(width).map(_._1)
 
-    val entry = spark.read.parquet(s"$indexDir/entry")
-      .collect().head.getLong(0)
-    var scored: Map[Long, Double] = scoreIds(Seq(entry))
+    var scored: Map[Long, Double] =
+      Map(entry -> AnnLsh.cosineDriver(entryVec, qArr))
     var beam: Seq[Long] = top(scored, UpperBeam)
     for (l <- MaxLevel to 1 by -1; _ <- 1 to UpperHops) {
-      scored = scored ++ scoreIds(expand(l, beam, scored))
+      // driver-resident upper hop: zero Spark jobs
+      val expand = beam.flatMap(src => upperAdj.getOrElse((l, src), Nil))
+        .distinct.filterNot(scored.contains)
+      scored = scored ++ expand.map(id =>
+        id -> AnnLsh.cosineDriver(upperVecs(id), qArr))
       beam = top(scored, UpperBeam)
     }
     beam = top(scored, AnnNsw.Beam)
     for (_ <- 1 to AnnNsw.Hops) {
-      scored = scored ++ scoreIds(expand(0, beam, scored))
+      // ONE job per layer-0 hop: layer + bucket literals prune to one
+      // layer directory's beam buckets, and the returned dstvec rows
+      // score driver-side (see writeLayers)
+      val expand = layers.filter(col("layer") === 0
+          && col("bkt").isin(beam.map(AnnNsw.bucketOf).distinct: _*)
+          && col("src").isin(beam: _*))
+        .select(col("dst"), col("dstvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .toMap
+        .filterNot { case (id, _) => scored.contains(id) }
+      scored = scored ++ expand.map { case (id, v) =>
+        id -> AnnLsh.cosineDriver(v.toArray, qArr) }
       beam = top(scored, AnnNsw.Beam)
     }
     val answer = excludeId.fold(beam)(q => beam.filterNot(_ == q))

@@ -97,6 +97,25 @@ object AnnLsh {
     * array per row). */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
+  /** Driver-side BIT-EXACT mirror of [[graft.functions.CosineSim]] for
+    * the ANN probe paths (r19 verdict #2: a probe must not pay a Spark
+    * job just to score a handful of candidates): the same left-to-right
+    * dot/nx/ny accumulation over float→double-widened elements and the
+    * same `dot / (sqrt(nx) * sqrt(ny))` final expression, so a score
+    * computed here equals the codegen'd expression double-for-double —
+    * the beam walk stays byte-identical wherever it is computed. */
+  def cosineDriver(x: Array[Float], y: Array[Float]): Double = {
+    val n = x.length
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** The query vector's own LSH codes, computed driver-side: it is one
     * in-memory vector, so its 32 hyperplane dots are trivial — pushing
     * this through the distributed codes() pipeline would add a second

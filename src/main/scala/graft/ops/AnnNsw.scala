@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   * [[Beam]], repeat [[Hops]] times, answer with the top-k of the final
   * beam. The traversal is inherently sequential (HNSW's too — this is
   * a point-serving query, not a scan): the driver holds only the
-  * O(Beam) frontier ids and scores per hop; every data touch is a
-  * Spark job over the parquet graph/corpus with an `IN`-list predicate
-  * that pushes down to the scan (bounded ≤ Beam×M ids — point lookups,
-  * the shape a bucketed/sorted layout turns into row-group skips at
-  * 100 TB). The corpus vectors are read ONLY for scored candidates,
-  * never scanned.
+  * O(Beam) frontier ids and scores per hop, and each hop costs ONE
+  * Spark job (r19 verdict #2): the adjacency rows carry their
+  * destination VECTORS ([[ensureGraph]] denormalizes dstvec at build —
+  * M×dim floats per node, the locality trade every serving-path HNSW
+  * makes so a hop is one block fetch), so a hop's single pruned
+  * `IN`-list read returns both the frontier expansion and everything
+  * needed to score it; scoring runs driver-side as the bit-exact
+  * mirror of the codegen'd [[graft.functions.CosineSim]] loop
+  * ([[AnnLsh.cosineDriver]]). Entry points (with their vectors) are
+  * collected once per committed graph and cached in-process, so a
+  * warm probe issues exactly [[Hops]] jobs plus the final answer's
+  * own collect — never a job per scoring step.
   *
   * Registered rows-only (`sim_nsw_topk`): the graph depends on the
   * seeded k-means cells — not portable SQL. Mechanics (out-degree law,
@@ -96,7 +102,7 @@ object AnnNsw {
     * `<dir>/entries`. */
   def ensureGraph(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, sourceDir: String): String =
-    FixtureCache.ensure(spark, s"nsw_graph_m${M}_v2", sourceDir,
+    FixtureCache.ensure(spark, s"nsw_graph_m${M}_v3", sourceDir,
       Seq(s"$sourceDir.parquet")) { tmp =>
       val model = AnnIvf.codebook(df, vecCol, AnnIvf.FitSampleFraction)
       val assigned = model.transform(df.withColumn("fv",
@@ -104,49 +110,89 @@ object AnnNsw {
         .select(col(idCol), col(vecCol), col("cell"))
       val (adjacency, entries) = buildGraph(assigned, idCol, vecCol)
       // src-bucketed layout: each search hop prunes to the beam's own
-      // bucket directories (see [[ProbeBuckets]])
+      // bucket directories (see [[ProbeBuckets]]). The v3 layout
+      // DENORMALIZES the destination vector onto each edge (M×dim
+      // floats per node) so one pruned read serves a whole hop —
+      // expansion ids AND the data to score them (r19 verdict #2).
       adjacency
+        .join(assigned.select(col(idCol).as("dst"),
+          col(vecCol).as("dstvec")), Seq("dst"))
+        .select(col("src"), col("dst"), col("dstvec"))
         .withColumn("bkt", pmod(col("src"), lit(ProbeBuckets)).cast("int"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$tmp/adjacency")
-      entries.write.mode("overwrite").parquet(s"$tmp/entries")
+      // entries carry their vectors too: probe start-up is one tiny
+      // cached read, never a corpus lookup
+      entries
+        .join(assigned.select(col(idCol).as("entry"),
+          col(vecCol).as("entryvec")), Seq("entry"))
+        .write.mode("overwrite").parquet(s"$tmp/entries")
     }
 
+  /** In-process cache of each committed graph's entry points (id +
+    * vector): FixtureCache dirs are content-keyed, so keying by the
+    * directory path can never serve a stale graph. */
+  private val entriesCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(Long, Array[Float])]]()
+
+  private[ops] def cachedEntries(spark: SparkSession,
+      graphDir: String): Seq[(Long, Array[Float])] =
+    entriesCache.computeIfAbsent(graphDir, _ =>
+      spark.read.parquet(s"$graphDir/entries")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq)
+
+  /** Per-(session, dir) handle cache for committed parquet reads on
+    * the probe path: `spark.read.parquet` on a bucketed directory
+    * re-runs parallel file LISTING as its own Spark job once the leaf
+    * count passes the discovery threshold — a per-probe job that has
+    * nothing to do with the probe. The committed dirs are immutable
+    * (content-keyed FixtureCache), so the resolved file index is
+    * reusable for the session's lifetime. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[ops] def cachedRead(spark: SparkSession, dir: String): DataFrame =
+    dfCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir",
+      _ => spark.read.parquet(dir))
+
   /** Greedy beam search over a committed graph. `nodes` is the corpus
-    * (idCol, vecCol) — vectors are fetched only for scored candidate
-    * ids. Returns the top-k as (idCol, score) with the [[AnnIvf]]
-    * 6-dp rounding, fully tie-broken. */
+    * (idCol, vecCol) — touched only by the returned answer frame; the
+    * walk itself reads the dstvec-carrying adjacency (one pruned job
+    * per hop) and scores driver-side. Returns the top-k as
+    * (idCol, score) with the [[AnnIvf]] 6-dp rounding, fully
+    * tie-broken. */
   def searchTopK(spark: SparkSession, graphDir: String, nodes: DataFrame,
       idCol: String, vecCol: String, qVec: Seq[Float], k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val adjacency = spark.read.parquet(s"$graphDir/adjacency")
+    val adjacency = cachedRead(spark, s"$graphDir/adjacency")
     val qLit = array(qVec.map(lit).toIndexedSeq: _*)
     val scoreCol = AnnLsh.cosine(col(vecCol).cast("array<double>"),
       qLit.cast("array<double>"))
+    val qArr = qVec.toArray
 
-    /** Exact-cosine scores for a bounded id list — one pushed-down
-      * point-lookup scan, O(ids) rows back to the driver. */
-    def scoreIds(ids: Seq[Long]): Map[Long, Double] =
-      if (ids.isEmpty) Map.empty
-      else nodes.filter(col(idCol).isin(ids: _*))
-        .select(col(idCol), scoreCol.as("s"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-
-    val entries = spark.read.parquet(s"$graphDir/entries")
-      .collect().map(_.getLong(0)).toSeq
-    var scored: Map[Long, Double] = scoreIds(entries)
+    var scored: Map[Long, Double] = cachedEntries(spark, graphDir)
+      .map { case (id, v) => id -> AnnLsh.cosineDriver(v, qArr) }.toMap
     var beam: Seq[Long] = scored.toSeq
       .sortBy { case (id, s) => (-s, id) }.take(Beam).map(_._1)
     for (_ <- 1 to Hops) {
-      // bucket literals first: partition pruning cuts the directories
-      // read to the beam's buckets BEFORE the row-level src filter
+      // ONE job per hop: bucket literals prune the directories read to
+      // the beam's buckets before the row-level src filter, and the
+      // returned rows carry the destination vectors, so the expansion
+      // scores driver-side via the bit-exact CosineSim mirror — no
+      // second corpus-lookup job (r19 verdict #2)
       val bkts = beam.map(bucketOf).distinct
       val expand = adjacency
         .filter(col("bkt").isin(bkts: _*) && col("src").isin(beam: _*))
-        .select(col("dst")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-        .filterNot(scored.contains)
-      scored = scored ++ scoreIds(expand)
+        .select(col("dst"), col("dstvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .toMap // dedup multi-src destinations
+        .filterNot { case (id, _) => scored.contains(id) }
+      scored = scored ++ expand.map { case (id, v) =>
+        id -> AnnLsh.cosineDriver(v.toArray, qArr) }
       beam = scored.toSeq.sortBy { case (id, s) => (-s, id) }
         .take(Beam).map(_._1)
     }

@@ -90,6 +90,7 @@ class AnnNswSpec extends SparkTestBase {
     val dir = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding",
       tmpSource(df))
     val layers = spark.read.parquet(s"$dir/layers")
+      .select(col("src"), col("dst"), col("layer").cast("int").as("layer"))
     def lvl(id: Long): Int =
       if (id % 256 == 0) 2 else if (id % 16 == 0) 1 else 0
     layers.collect().foreach { r =>
@@ -152,8 +153,10 @@ class AnnNswSpec extends SparkTestBase {
     val dir = AnnHnsw.ensureIndex(spark, base, "vec_id", "embedding",
       tmpSource(base))
     val baseLayers = spark.read.parquet(s"$dir/layers")
+      .select(col("layer"), col("src"), col("dst"))
     def snap(l: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
-      l.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      l.select(col("src"), col("dst"), col("layer").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // law 1: EMPTY batch is the identity — the top rebuild is
     // deterministic over identical membership and every other layer
     // carries over verbatim
@@ -197,6 +200,49 @@ class AnnNswSpec extends SparkTestBase {
       assert(s1.exists { case (s, d, _) => s == a && newIds.contains(d) },
         s"node $a lost an edge without adopting any new neighbor")
     assert(e1.head().getLong(0) == 0L)
+  }
+
+  test("probe job bound: warm NSW/HNSW point probes issue <= 1 + " +
+      "layer-0 hops Spark jobs (r19 verdict #2)") {
+    import graft.ops.{AnnHnsw, AnnNsw}
+    // the r19 defect: searchTopK launched one filter+collect job per
+    // beam hop per structure touched (~15 jobs per HNSW probe). The
+    // bound now: upper descent driver-resident (0 jobs warm), one
+    // pruned dstvec-carrying read per layer-0 hop, plus the returned
+    // frame's own collect.
+    val vs = randomVecs(500, 97)
+    val pairs = vs.zipWithIndex.map { case (v, i) => i.toLong -> v }
+    val df = vecsDf(pairs)
+    val src = tmpSource(df)
+    val dirN = AnnNsw.ensureGraph(spark, df, "vec_id", "embedding", src)
+    val dirH = AnnHnsw.ensureIndex(spark, df, "vec_id", "embedding", src)
+    val q = vs(1)
+    def probeN(): Unit = { AnnNsw.searchTopK(spark, dirN, df, "vec_id",
+      "embedding", q, 5).collect(); () }
+    def probeH(): Unit = { AnnHnsw.searchTopK(spark, dirH, df, "vec_id",
+      "embedding", q, 5).collect(); () }
+    probeN(); probeH() // warm: entry/upper structures go resident
+    def jobsOf(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status tracker feeds from the async listener bus — poll
+      // until the count is stable
+      var n = -1; var same = 0
+      while (same < 3) {
+        val m = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(tag).length
+        if (m == n) same += 1 else { same = 0; n = m }
+        Thread.sleep(100)
+      }
+      n
+    }
+    val nJobs = jobsOf("nsw_probe")(probeN())
+    val hJobs = jobsOf("hnsw_probe")(probeH())
+    assert(nJobs <= 1 + AnnNsw.Hops,
+      s"NSW warm probe ran $nJobs jobs (bound ${1 + AnnNsw.Hops})")
+    assert(hJobs <= 1 + AnnNsw.Hops,
+      s"HNSW warm probe ran $hJobs jobs (bound ${1 + AnnNsw.Hops}) — " +
+        "the upper descent must stay driver-resident")
   }
 
   test("HNSW: a planted scaled copy of the query is hit #1 and the " +
