@@ -133,9 +133,21 @@ object Bench {
     // needs the old wall-clock envelope
     val Reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
       .getOrElse(DefaultReps).max(1)
+    // Initial shuffle width: `spark.sql.shuffle.partitions` is a
+    // CEILING under AQE (coalescing only merges; nothing re-splits an
+    // oversized partition except skew-join handling), so the sf100
+    // decade rung needs a wider initial width or single tasks carry
+    // multi-GB sort/hash working sets and exhaust execution memory —
+    // graph_clustering_coeff/graph_kcore OOMed at width 32 at sf100
+    // and pass at 256. Default stays = cores (the sf<=10 sweet spot);
+    // the sf100 rung sets SPARK_GRAFT_SHUFFLE_PARTITIONS=256 (the
+    // 100-TB discipline: size the INITIAL width for the data, let AQE
+    // coalesce the tail).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -1167,34 +1167,67 @@ object LlmData {
     * Jaccard ≥ 0.5 threshold, the best duplicate score and its
     * (min-id tie-broken) existing partner, and the novelty verdict —
     * the accept/reject row an ingest pipeline emits per arriving doc.
-    * Shapes: one bucket probe join (bucket-keyed, capped), the shared
-    * doc-id melt verification (one join, never doc×doc), two
-    * partial-agg passes; the new-batch frame is batch-sized. */
+    *
+    * Verify-path scratch discipline (r19 verdict #5 — the sf10 reps
+    * spread 27–72 s because the old array melt's shuffle scratch
+    * competed with itself): the pair verification never collects
+    * shingle ARRAYS. One distinct (doc_id, shingle) relation feeds
+    * (1) a single per-doc pass for the bucket AND the set size —
+    * doc-cardinality scalars, and (2) the intersection as
+    * per-(pair, shingle) COUNTS (a row appears once per member that
+    * contains it, so count = 2 ⇔ intersection member) — constant-size
+    * aggregation state instead of per-pair array buffers, so the
+    * exact-verify join shuffles narrow rows and spills smoothly.
+    * n_union re-derives from the per-doc sizes (|A| + |B| − n_int),
+    * arithmetic over INTs exactly as the array form computed it.
+    * Shapes: one bucket probe join (bucket-keyed, capped), one
+    * pair-membership join + two count aggregations, two
+    * dimension-cardinality size joins; the new-batch frame is
+    * batch-sized. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val rows = MinHash.shingleRows(docs, "doc_id", "text")
+    val sh = MinHash.shingleRows(docs, "doc_id", "text")
+      .select(col("doc_id"), col("shingle")).distinct()
     val isNew = col("doc_id") % 10 === 0
-    val buckets = rows.groupBy(col("doc_id"))
-      .agg(min(col("shingle")).as("bucket"))
+    // bucket (min shingle) and set size in ONE doc-cardinality pass
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(min(col("shingle")).as("bucket"),
+        count(lit(1)).cast("int").as("sz"))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val oldIdx = buckets.filter(!isNew)
+    val oldIdx = perDoc.filter(!isNew)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Buckets.MaxBucket)
       .select(col("bucket"), col("doc_id").as("doc_a"))
-    // normalize orientation BEFORE the melt: pairShingleSides assigns
-    // sh_a/sh_b by sorted doc_id, so its contract is doc_a < doc_b;
-    // old/new sides are re-derived after scoring from the batch
-    // predicate (safe: the two sides are disjoint by construction)
-    val cand = buckets.filter(isNew)
+    // normalize orientation up front (doc_a < doc_b); old/new sides are
+    // re-derived after scoring from the batch predicate (safe: the two
+    // sides are disjoint by construction)
+    val cand = perDoc.filter(isNew)
       .select(col("bucket"), col("doc_id").as("doc_b"))
       .join(oldIdx, Seq("bucket"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    val scored = pairShingleSides(cand,
-        MinHash.shingleSets(rows, "doc_id").drop("bucket"))
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union",
-        size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
+      .localCheckpoint(true)
+    // |A ∩ B| as counts: melt each pair to its members, attach the
+    // members' distinct shingle rows, count per (pair, shingle) —
+    // count 2 = both sides contain it. Inner join back to cand is
+    // lossless: bucket-mates share at least their bucket shingle.
+    val nInt = cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sh, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_int"))
+    val scored = cand
+      .join(nInt, Seq("doc_a", "doc_b"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_int"))
       .select(
         when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b"))
           .as("doc_new"),
