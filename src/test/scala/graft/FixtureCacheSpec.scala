@@ -113,4 +113,66 @@ class FixtureCacheSpec extends SparkTestBase {
       assert(builds.get == 1, "object lock must serialize to one build")
     } finally pool.shutdown()
   }
+
+  test("TWO JVMs racing the same family commit exactly one dir; the " +
+      "loser serves the winner's copy (r19 verdict #7)") {
+    // fork-per-query bench made the cross-PROCESS race the COMMON
+    // path: two children that both miss the marker build privately and
+    // race the atomic staging rename. Real subprocesses (the actual
+    // FixtureCache code via FixtureCacheRaceProbe), entry aligned by a
+    // ready/go barrier so both are provably inside ensure() before
+    // either commits; builds sleep 4s to hold the window open.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val (fx, _) = mkFixture()
+    val cacheRoot = Files.createTempDirectory("graft_fc_race_root_").toString
+    val sync = Files.createTempDirectory("graft_fc_race_sync_").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
+    def launch(id: String): (Process, String) = {
+      val out = s"$sync/out_$id"
+      val cmd = (Seq(javaBin, "-Xmx2g") ++ opens ++ Seq("-cp", cp,
+        "graft.FixtureCacheRaceProbe", cacheRoot, sync, id,
+        "spec_race", fx, "4000", out)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$sync/log_$id"))
+      (pb.start(), out)
+    }
+    val (p1, out1) = launch("A")
+    val (p2, out2) = launch("B")
+    // barrier: release only once BOTH probes are sitting at the gate
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while ((!Files.exists(Paths.get(sync, "ready_A")) ||
+        !Files.exists(Paths.get(sync, "ready_B"))) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(Files.exists(Paths.get(sync, "ready_A")) &&
+      Files.exists(Paths.get(sync, "ready_B")),
+      s"probes never reached the barrier — see $sync/log_A, $sync/log_B")
+    Files.writeString(Paths.get(sync, "go"), "go")
+    assert(p1.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(10, java.util.concurrent.TimeUnit.SECONDS),
+      "race probes did not finish")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0,
+      s"probe failed — see $sync/log_A, $sync/log_B")
+    val Seq(r1, r2) = Seq(out1, out2).map { f =>
+      val Array(dir, payload) = Files.readString(Paths.get(f)).split("\n")
+      (dir, payload)
+    }
+    // both callers were served THE SAME committed dir…
+    assert(r1._1 == r2._1, s"probes served different dirs: $r1 vs $r2")
+    // …whose payload is exactly one probe's intact build (no mixture)
+    assert(r1._2 == r2._2 && Set("A", "B").contains(r1._2))
+    assert(Files.exists(Paths.get(r1._1, FixtureCache.Marker)))
+    // exactly ONE committed dir for the family; the loser's staging
+    // dir was deleted, never committed
+    val fam = new java.io.File(cacheRoot).listFiles()
+      .filter(_.getName.startsWith("graft_spec_race_"))
+    assert(fam.length == 1,
+      s"expected one committed dir, found ${fam.map(_.getName).toSeq}")
+    assert(!fam.head.getName.contains(".tmp_"))
+  }
 }
