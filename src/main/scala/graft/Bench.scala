@@ -145,13 +145,24 @@ object Bench {
     // coalesce the tail).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CHECKPOINT_DIR routes every iterative op's lineage
+    // cut through RELIABLE Dataset.checkpoint (Util.IterCheckpoint)
+    // instead of localCheckpoint: local checkpoint blocks live in the
+    // block manager and PIN the protected storage half of the unified
+    // pool — at sf100 the graph family's checkpointed edge/degree
+    // frames squeezed execution memory until aggregation could not
+    // acquire its minimum page (AGGREGATE_OUT_OF_MEMORY). On-disk
+    // checkpoints are also the only cluster-correct posture (executor
+    // loss survivable); the sf<=10 rungs keep the faster local form.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => builder.config(ops.Util.CheckpointDirConf, d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table once (file listing, footer reads, codegen
     // JIT of the scan path) so the alphabetically-first query doesn't
