@@ -1169,65 +1169,50 @@ object LlmData {
     * the accept/reject row an ingest pipeline emits per arriving doc.
     *
     * Verify-path scratch discipline (r19 verdict #5 — the sf10 reps
-    * spread 27–72 s because the old array melt's shuffle scratch
-    * competed with itself): the pair verification never collects
-    * shingle ARRAYS. One distinct (doc_id, shingle) relation feeds
-    * (1) a single per-doc pass for the bucket AND the set size —
-    * doc-cardinality scalars, and (2) the intersection as
-    * per-(pair, shingle) COUNTS (a row appears once per member that
-    * contains it, so count = 2 ⇔ intersection member) — constant-size
-    * aggregation state instead of per-pair array buffers, so the
-    * exact-verify join shuffles narrow rows and spills smoothly.
-    * n_union re-derives from the per-doc sizes (|A| + |B| − n_int),
-    * arithmetic over INTs exactly as the array form computed it.
-    * Shapes: one bucket probe join (bucket-keyed, capped), one
-    * pair-membership join + two count aggregations, two
-    * dimension-cardinality size joins; the new-batch frame is
-    * batch-sized. */
+    * spread 27–72 s because the verify melt's shuffle scratch competed
+    * with itself): the pair verification runs over SIGNATURE-HASHED
+    * shingle sets — each distinct shingle becomes its xxhash64 LONG
+    * before the per-doc `collect_set`, so the per-pair melt ships
+    * 8-byte elements instead of ~25-byte trigram strings (~3× less
+    * shuffle+spill for the identical plan shape). |A∩B|/|A∪B| over the
+    * hashed sets equal the string-set values exactly unless two
+    * distinct trigrams of one pair's union collide in 64 bits
+    * (~1e-13 per pair; the oracle gate re-verifies the exact values at
+    * both driver scales). The bucket stays the min STRING shingle —
+    * hashing must never change WHICH candidates pair up. A no-array
+    * reformulation (per-(pair, shingle) counts) was measured 3× slower
+    * at sf10 — two wide shuffles of the same melt rows cost more than
+    * one hashed array aggregation — and discarded.
+    * Shapes: one bucket probe join (bucket-keyed, capped), the shared
+    * doc-id melt verification (one join, never doc×doc), two
+    * partial-agg passes; the new-batch frame is batch-sized. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val sh = MinHash.shingleRows(docs, "doc_id", "text")
-      .select(col("doc_id"), col("shingle")).distinct()
+    val rows = MinHash.shingleRows(docs, "doc_id", "text")
     val isNew = col("doc_id") % 10 === 0
-    // bucket (min shingle) and set size in ONE doc-cardinality pass
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(min(col("shingle")).as("bucket"),
-        count(lit(1)).cast("int").as("sz"))
-      .localCheckpoint(true)
+    val buckets = rows.groupBy(col("doc_id"))
+      .agg(min(col("shingle")).as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val oldIdx = perDoc.filter(!isNew)
+    val oldIdx = buckets.filter(!isNew)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Buckets.MaxBucket)
       .select(col("bucket"), col("doc_id").as("doc_a"))
-    // normalize orientation up front (doc_a < doc_b); old/new sides are
-    // re-derived after scoring from the batch predicate (safe: the two
-    // sides are disjoint by construction)
-    val cand = perDoc.filter(isNew)
+    // normalize orientation BEFORE the melt: the melt assigns sh_a/sh_b
+    // by sorted doc_id, so its contract is doc_a < doc_b; old/new sides
+    // are re-derived after scoring from the batch predicate (safe: the
+    // two sides are disjoint by construction)
+    val cand = buckets.filter(isNew)
       .select(col("bucket"), col("doc_id").as("doc_b"))
       .join(oldIdx, Seq("bucket"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .localCheckpoint(true)
-    // |A ∩ B| as counts: melt each pair to its members, attach the
-    // members' distinct shingle rows, count per (pair, shingle) —
-    // count 2 = both sides contain it. Inner join back to cand is
-    // lossless: bucket-mates share at least their bucket shingle.
-    val nInt = cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sh, Seq("doc_id"))
-      .groupBy(col("doc_a"), col("doc_b"), col("shingle"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") === 2)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).cast("int").as("n_int"))
-    val scored = cand
-      .join(nInt, Seq("doc_a", "doc_b"))
-      .join(perDoc.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-        Seq("doc_a"))
-      .join(perDoc.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-        Seq("doc_b"))
-      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_int"))
+    val hashedSets = rows
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("shingles"))
+    val scored = pairShingleSides(cand, hashedSets)
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_int"))
       .select(
         when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b"))
           .as("doc_new"),
