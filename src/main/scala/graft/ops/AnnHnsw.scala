@@ -384,7 +384,11 @@ object AnnHnsw {
   def searchTopKBatch(spark: SparkSession, indexDir: String,
       nodes: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
-    val layers = spark.read.parquet(s"$indexDir/layers")
+    // committed dirs are immutable (content-keyed FixtureCache), so the
+    // resolved file index is reusable — a fresh spark.read.parquet on
+    // the (layer, bkt)-partitioned dir re-runs parallel file LISTING as
+    // its own Spark job on every probe (the AnnNsw.cachedRead rationale)
+    val layers = AnnNsw.cachedRead(spark, s"$indexDir/layers")
     val corp = nodes.select(col(idCol).as("cand"), col(vecCol).as("__vb"))
     val q = queries.select(col("qid"), col("qvec"))
     def score(pairs: DataFrame): DataFrame =
@@ -408,7 +412,7 @@ object AnnHnsw {
           "left_anti")
       pool.unionByName(score(expand)).localCheckpoint(true)
     }
-    val entryDf = broadcast(spark.read.parquet(s"$indexDir/entry")
+    val entryDf = broadcast(AnnNsw.cachedRead(spark, s"$indexDir/entry")
       .select(col("entry").as("cand")))
     var pool = score(q.select(col("qid")).crossJoin(entryDf))
       .localCheckpoint(true)

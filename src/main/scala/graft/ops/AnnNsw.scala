@@ -67,21 +67,64 @@ object AnnNsw {
   def bucketOf(id: Long): Int =
     (((id % ProbeBuckets) + ProbeBuckets) % ProbeBuckets).toInt
 
+  /** Per-cell sub-bucket cap for the layer-0 kNN seed (r20 verdict #1:
+    * the one proven 100-TB scale-killer). Within-cell pairwise over the
+    * FIXED [[AnnIvf.K]]-cell codebook is quadratic in cell population —
+    * Σ(n/K)²·K pairs, ~2.5e11 scored pairs (~7 TB shuffle) at sf100 —
+    * so each seed round now splits a cell's members into
+    * ⌈n_cell / Layer0BucketCap⌉ sub-buckets by a deterministic
+    * per-round hash and goes pairwise only within (cell, bucket):
+    * round volume ≤ n · Layer0BucketCap, LINEAR in the corpus.
+    * [[Layer0Rounds]] independent bucketings (different hash seed)
+    * restore cross-bucket reach, the [[AnnHnsw.buildTopLayer]]
+    * cap-and-rounds shape applied at layer 0. When every cell fits one
+    * bucket — true at every committed fixture scale (sf0.1 has
+    * ~125 members/cell) — pmod(·, 1) = 0 collapses each round to
+    * EXACTLY the old within-cell pairwise and the union's distinct
+    * reproduces the old pair set bit-for-bit, so fixture graphs (and
+    * every pinned recall/out-degree/determinism law) are unchanged. */
+  val Layer0BucketCap = 512
+  /** Independent bucketing rounds for the layer-0 seed. */
+  val Layer0Rounds = 2
+
+  /** The bounded layer-0 candidate generator: per round, pairwise
+    * within (cell, sub-bucket), scored with exact cosine; rounds
+    * unioned and deduped on the (src, dst, score) triple (scores are
+    * deterministic, so distinct is exact). Volume law — at most
+    * Σ_cells n_c · [[Layer0BucketCap]] · [[Layer0Rounds]] scored rows,
+    * never n² — is pinned in `AnnNswSpec`. */
+  def candidateScores(assigned: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val nb = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .select(col("cell"),
+        expr(s"(__cn + ${Layer0BucketCap - 1}) DIV $Layer0BucketCap")
+          .as("__nb"))
+    val withNb = assigned.join(broadcast(nb), Seq("cell"))
+    (0 until Layer0Rounds).map { r =>
+      val bucketed = withNb.select(col("cell"),
+        pmod(xxhash64(col(idCol), lit(r)), col("__nb")).as("bk"),
+        col(idCol), col(vecCol))
+      val a = bucketed.select(col("cell"), col("bk"),
+        col(idCol).as("src"), col(vecCol).as("va"))
+      val b = bucketed.select(col("cell"), col("bk"),
+        col(idCol).as("dst"), col(vecCol).as("vb"))
+      a.join(b, Seq("cell", "bk"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          AnnLsh.cosine(col("va").cast("array<double>"),
+            col("vb").cast("array<double>")).as("score"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** Build the proximity graph + entry points from an IVF cell
-    * assignment. One within-cell self-join (cell-bounded candidate
-    * volume), one per-node top-M window, one per-cell min — all
+    * assignment. Bounded sub-cell candidate rounds
+    * ([[candidateScores]] — n·cap·rounds volume, never within-cell
+    * quadratic), one per-node top-M window, one per-cell min — all
     * partial-agg / windowed shapes, no all-pairs anywhere. */
   def buildGraph(assigned: DataFrame, idCol: String,
       vecCol: String): (DataFrame, DataFrame) = {
-    val a = assigned.select(col("cell"), col(idCol).as("src"),
-      col(vecCol).as("va"))
-    val b = assigned.select(col("cell"), col(idCol).as("dst"),
-      col(vecCol).as("vb"))
-    val scored = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        AnnLsh.cosine(col("va").cast("array<double>"),
-          col("vb").cast("array<double>")).as("score"))
+    val scored = candidateScores(assigned, idCol, vecCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst"))
@@ -154,9 +197,22 @@ object AnnNsw {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[ops] def cachedRead(spark: SparkSession, dir: String): DataFrame =
+    // keyed by a per-session-instance UUID (weakly held) —
+    // identityHashCode could collide between a dead and a live session
+    // and serve a DataFrame bound to a stopped session (r20 advice)
     dfCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir",
+      s"${sessionToken(spark)}|$dir",
       _ => spark.read.parquet(dir))
+
+  /** Collision-free per-session token: each SparkSession INSTANCE gets
+    * one UUID, held weakly so stopped sessions never pin memory. */
+  private val sessionTokens =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionToken(spark: SparkSession): String =
+    sessionTokens.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
 
   /** Greedy beam search over a committed graph. `nodes` is the corpus
     * (idCol, vecCol) — touched only by the returned answer frame; the

@@ -153,6 +153,21 @@ object Joins {
     * parity, while output is 25 rows at ANY scale and nothing
     * quadratic ever exists, even transiently. This is the C45
     * discipline applied to C8's own question (VERDICT r18 item 1). */
+  /** Balance-range segment count for [[joinThetaAgg]]'s running
+    * windows (r21 optimization): the per-nation window is ONE task per
+    * nation — 25 tasks total, each sorting n/25 rows, the
+    * single-partition tail behind C47's 15.2× sf100 decade
+    * (BENCH_sf100_fork.json). Segmenting by VALUE RANGE turns it into
+    * nations × segments parallel window tasks plus a tiny
+    * (nations × segments)-row prefix frame — the classic segmented
+    * prefix-sum. Equal balances always share a segment (the segment is
+    * a function of the value), so "earlier segment" means STRICTLY
+    * smaller balance and the supplier-before-equal-customer tie rule
+    * stays segment-local; every per-supplier running statistic
+    * recomposes EXACTLY (sum of longs, max/min selection over the
+    * same doubles), keeping the oracle hash unchanged at every scale. */
+  val ThetaAggSegments = 32
+
   def joinThetaAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val s = t(spark, sfDir, "supplier")
       .select(col("s_nationkey").as("nk"), col("s_acctbal").as("bal"),
@@ -160,17 +175,46 @@ object Joins {
     val c = t(spark, sfDir, "customer")
       .select(col("c_nationkey").as("nk"), col("c_acctbal").as("bal"),
         lit(1).as("is_cust"))
+    // seg is derived from the VALUE (TPC-H acctbal spans
+    // [-999.99, 9999.99]; out-of-range values still map monotonically),
+    // so segment order refines balance order
+    val merged = s.unionByName(c)
+      .withColumn("seg",
+        floor((col("bal") + lit(1000.0))
+          / lit(11000.0 / ThetaAggSegments)).cast("int"))
     // is_cust ASC at equal balance ⇒ a supplier row's frame never
     // includes an equal-balance customer (strict inequality for free)
-    val w = Window.partitionBy(col("nk"))
+    val w = Window.partitionBy(col("nk"), col("seg"))
       .orderBy(col("bal"), col("is_cust"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perSupplier = s.unionByName(c)
-      .select(col("nk"), col("bal"), col("is_cust"),
-        sum(col("is_cust")).over(w).as("cust_below"),
+    // per-(nation, segment) customer summary, then running prefixes
+    // over the STRICTLY EARLIER segments — nations × segments rows,
+    // broadcast back onto the fact-side window pass
+    val wSeg = Window.partitionBy(col("nk")).orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = merged.groupBy(col("nk"), col("seg"))
+      .agg(sum(col("is_cust")).cast("long").as("c_n"),
+        max(when(col("is_cust") === 1, col("bal"))).as("c_max"),
+        min(when(col("is_cust") === 1, col("bal"))).as("c_min"))
+      .select(col("nk"), col("seg"),
+        coalesce(sum(col("c_n")).over(wSeg), lit(0L)).as("pfx_n"),
+        max(col("c_max")).over(wSeg).as("pfx_max"),
+        min(col("c_min")).over(wSeg).as("pfx_min"))
+    val perSupplier = merged
+      .select(col("nk"), col("seg"), col("bal"), col("is_cust"),
+        sum(col("is_cust")).over(w).as("seg_below"),
         max(when(col("is_cust") === 1, col("bal"))).over(w)
-          .as("cust_max_below"),
+          .as("seg_max_below"),
         min(when(col("is_cust") === 1, col("bal"))).over(w)
+          .as("seg_min_below"))
+      .join(broadcast(prefixes), Seq("nk", "seg"))
+      .select(col("nk"), col("bal"), col("is_cust"),
+        (col("seg_below") + col("pfx_n")).as("cust_below"),
+        // Spark greatest/least skip NULLs: a segment-local or prefix
+        // side with no customers yet drops out of the selection
+        greatest(col("seg_max_below"), col("pfx_max"))
+          .as("cust_max_below"),
+        least(col("seg_min_below"), col("pfx_min"))
           .as("cust_min_below"))
       .filter(col("is_cust") === 0 && col("cust_below") > 0)
     perSupplier

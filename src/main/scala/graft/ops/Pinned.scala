@@ -351,7 +351,10 @@ object Pinned {
       val target = p * n
       val viol = math.max(0.0, math.max(lo - target, target - hi)) / n
       viol - (0.001 + 1.0 / n)
-    }).max
+    // maxOption: an empty groups map (filtered/empty fixture) must
+    // fail the pin with an explicit cause, not throw
+    // UnsupportedOperationException into the catch-all (r20 advice)
+    }).maxOption.getOrElse(Double.PositiveInfinity)
     Seq(leMetric("agg_approx_percentile",
       "max_rank_error_minus_group_bound", worstAdj, 0.0))
   }

@@ -40,11 +40,23 @@ case class StreamCheck(component: String, impl: String, twin: String,
   * expiry, J26/J28 file pacing, J15/J24/J30 CDC ledgers). */
 object StreamingPinned {
 
-  private def tmpCheckpoint(): String =
-    java.nio.file.Files.createTempDirectory("graft_spin_ckpt_").toString
+  /** One per-run temp root for every checkpoint/sink/state dir the
+    * battery creates, recursively deleted when [[all]] returns —
+    * repeated gate runs used to leave 20+ RocksDB/checkpoint dirs per
+    * run under /tmp (r20 advice). */
+  private val runRoot = new ThreadLocal[java.nio.file.Path]()
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpUnderRoot(prefix: String): String =
+    Option(runRoot.get()) match {
+      case Some(root) =>
+        java.nio.file.Files.createTempDirectory(root, prefix).toString
+      case None => // called outside [[all]]: old standalone behavior
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
+  private def tmpCheckpoint(): String = tmpUnderRoot("graft_spin_ckpt_")
+
+  private def tmpDir(prefix: String): String = tmpUnderRoot(prefix)
 
   private def withQuery[A](q: StreamingQuery)(body: => A): A =
     try body finally q.stop()
@@ -86,8 +98,21 @@ object StreamingPinned {
   def all(spark: SparkSession, sfDir: String): Seq[StreamCheck] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = java.nio.file.Files.createTempDirectory("graft_spin_run_")
+    runRoot.set(root)
     try allChecks(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      runRoot.remove()
+      // best-effort recursive delete of the battery's scratch
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   private def allChecks(spark: SparkSession, sfDir: String): Seq[StreamCheck] = {

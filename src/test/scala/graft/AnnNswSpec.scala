@@ -265,4 +265,41 @@ class AnnNswSpec extends SparkTestBase {
     assert(a.forall(_._1 != 0L))
   }
 
+  test("layer-0 seed volume is O(n * cap * rounds), never within-cell " +
+      "quadratic (r20 verdict #1)") {
+    import graft.ops.AnnNsw.{Layer0BucketCap, Layer0Rounds}
+    // one mega-cell, population > cap: the r20 scale-killer shape (a
+    // FIXED 16-cell codebook makes cell population n/16, so the old
+    // within-cell pairwise scored ~2.5e11 pairs at sf100)
+    val n = 3 * Layer0BucketCap / 2 // 768: ceil(n/cap) = 2 sub-buckets
+    val rnd = new scala.util.Random(51)
+    val mega = vecsDf((0 until n).map(i =>
+      i.toLong -> Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .withColumn("cell", lit(0))
+    val scored = graft.ops.AnnNsw.candidateScores(mega, "vec_id",
+      "embedding")
+    val cnt = scored.count()
+    assert(cnt <= n.toLong * Layer0BucketCap * Layer0Rounds,
+      s"seed volume $cnt exceeds the n*cap*rounds bound " +
+        s"${n.toLong * Layer0BucketCap * Layer0Rounds}")
+    assert(cnt < n.toLong * (n - 1),
+      s"seed volume $cnt reached the quadratic within-cell bound — " +
+        "the sub-cell bucketing is not splitting")
+    // the graph built over the bounded seed still obeys its laws
+    val (adj, _) = graft.ops.AnnNsw.buildGraph(mega, "vec_id", "embedding")
+    val maxDeg = adj.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= AnnNsw.M)
+    // when a cell fits one bucket, the seed is EXACTLY the old
+    // within-cell pairwise — the fixture-identity guarantee
+    val small = vecsDf((0 until 96).map(i =>
+      i.toLong -> Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .withColumn("cell", pmod(col("vec_id"), lit(3)).cast("int"))
+    val smallCnt = graft.ops.AnnNsw.candidateScores(small, "vec_id",
+      "embedding").count()
+    assert(smallCnt == 96L * 31, // 3 cells x 32*31 ordered pairs
+      s"single-bucket cells must reproduce full within-cell pairwise, " +
+        s"got $smallCnt")
+  }
+
 }

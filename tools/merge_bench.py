@@ -22,8 +22,15 @@ def main() -> None:
     for path in ins:
         with open(path) as f:
             d = json.loads(f.readline())
+        this_meta = {k: d.get(k) for k in ("unit", "sf", "fork", "reps")}
         if meta is None:
-            meta = {k: d.get(k) for k in ("unit", "sf", "fork", "reps")}
+            meta = this_meta
+        elif this_meta != meta:
+            # mixed scale factors / rep counts would merge into a
+            # mislabeled artifact stamped with the first input's
+            # metadata (r20 advice)
+            sys.exit(f"metadata mismatch: {path} has {this_meta}, "
+                     f"first input had {meta}")
         for q, v in d["queries"].items():
             if v >= 0:
                 queries[q] = v
@@ -42,9 +49,14 @@ def main() -> None:
         "fork": meta.get("fork", 0), "rep_outliers": {},
         "queries": qs, "failed": sorted(failed),
         "value": sum(queries.values()),
-        "value_min": sum(queries.values()),
         "reps": meta.get("reps", 1), "wall_sec": wall,
     }
+    # value_min == value only holds at reps=1 (per-query min == its
+    # only rep); at reps>1 the children's minima are not in the merged
+    # inputs, so emitting value_min would overstate it — omit instead
+    # (r20 advice, medium)
+    if meta.get("reps", 1) == 1:
+        art["value_min"] = art["value"]
     with open(out, "w") as f:
         json.dump(art, f, separators=(",", ":"))
         f.write("\n")
