@@ -39,6 +39,42 @@ object Bench {
     * (~20 s) per query, so this is the sf>=1 rung tool, not the sf0.1
     * suite default. The merged artifact matches the normal shape with
     * an extra `"fork":1` field. */
+  /** Parse one fork-mode child artifact (r21: factored out of
+    * [[forkMain]] so `BenchForkSpec` can feed it synthetic child
+    * outputs — the r19-advice parser bugs were exactly here and the
+    * fix was untested string scraping until this seam existed).
+    * Returns (median sec, per-rep min sec, warm-up sec):
+    *
+    *  - A child that catches a per-rep exception still exits 0 but
+    *    reports `"<name>":-1.0` and lists the query in its own
+    *    "failed" array — exit code alone is NOT a pass signal (r19
+    *    advice, high: the old `.filter(_ => exit == 0)` let a
+    *    child-reported failure land in `ok` and subtract 1.0 s from
+    *    `value`).
+    *  - The number regex accepts scientific notation: Scala renders
+    *    doubles < 1e-3 as e.g. 4.9E-4, and a mantissa-only capture
+    *    would have reported 4.9 s for a sub-millisecond query.
+    *  - The child's value_min = min over its reps (single query), so
+    *    the parent's sum matches normal mode's Σ per-query minima —
+    *    the old value_min=value made cross-mode value_min comparisons
+    *    apples-to-oranges (r19 advice). A missing/negative value_min
+    *    falls back to the median, never to a failure. */
+  private[graft] def parseChildArtifact(name: String, line: String,
+      exit: Int): (Option[Double], Option[Double], Double) = {
+    val num = """(-?[0-9]+(?:\.[0-9]+)?(?:[Ee][-+]?[0-9]+)?)"""
+    val childFailed = (""""failed":\[([^\]]*)\]""".r)
+      .findFirstMatchIn(line).exists(_.group(1).trim.nonEmpty)
+    val sec = (s""""${java.util.regex.Pattern.quote(name)}":$num""".r)
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+      .filter(v => exit == 0 && v >= 0 && !childFailed)
+    val secMin = (s""""value_min":$num""".r).findFirstMatchIn(line)
+      .map(_.group(1).toDouble).filter(v => sec.isDefined && v >= 0)
+      .orElse(sec)
+    val warm = (s""""warmup_sec":$num""".r).findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    (sec, secMin, warm)
+  }
+
   private def forkMain(): Unit = {
     import scala.jdk.CollectionConverters._
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -67,33 +103,11 @@ object Bench {
       val line = scala.util.Try(
         java.nio.file.Files.readAllLines(out).asScala.mkString(" "))
         .getOrElse("")
-      // A child that catches a per-rep exception still exits 0 but
-      // reports "<name>":-1.0 and lists the query in its own "failed"
-      // array — exit code alone is NOT a pass signal (r19 advice,
-      // high: the old `.filter(_ => exit == 0)` let a child-reported
-      // failure land in `ok` and subtract 1.0 s from `value`). The
-      // number regex also accepts scientific notation: Scala renders
-      // doubles < 1e-3 as e.g. 4.9E-4, and a mantissa-only capture
-      // would have reported 4.9 s for a sub-millisecond query.
-      val num = """(-?[0-9]+(?:\.[0-9]+)?(?:[Ee][-+]?[0-9]+)?)"""
-      val childFailed = (""""failed":\[([^\]]*)\]""".r)
-        .findFirstMatchIn(line).exists(_.group(1).trim.nonEmpty)
-      val sec = (s""""${java.util.regex.Pattern.quote(name)}":$num""".r)
-        .findFirstMatchIn(line).map(_.group(1).toDouble)
-        .filter(v => exit == 0 && v >= 0 && !childFailed)
-      // child's value_min = min over its reps (single query), so the
-      // parent's sum of these matches normal mode's Σ per-query minima
-      // — the old value_min=value made cross-mode value_min
-      // comparisons apples-to-oranges (r19 advice).
-      val secMin = (s""""value_min":$num""".r).findFirstMatchIn(line)
-        .map(_.group(1).toDouble).filter(v => sec.isDefined && v >= 0)
-        .orElse(sec)
-      val warm = (s""""warmup_sec":$num""".r).findFirstMatchIn(line)
-        .map(_.group(1).toDouble).getOrElse(0.0)
+      val (sec, secMin, warm) = parseChildArtifact(name, line, exit)
       java.nio.file.Files.deleteIfExists(out)
       if (sec.isEmpty)
         System.err.println(s"[bench] fork $name FAILED (exit $exit, " +
-          s"childFailed $childFailed, log $log)")
+          s"log $log)")
       else java.nio.file.Files.deleteIfExists(log)
       (name, sec, warm, secMin)
     }

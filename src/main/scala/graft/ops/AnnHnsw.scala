@@ -389,11 +389,18 @@ object AnnHnsw {
     // the (layer, bkt)-partitioned dir re-runs parallel file LISTING as
     // its own Spark job on every probe (the AnnNsw.cachedRead rationale)
     val layers = AnnNsw.cachedRead(spark, s"$indexDir/layers")
-    val corp = nodes.select(col(idCol).as("cand"), col(vecCol).as("__vb"))
     val q = queries.select(col("qid"), col("qvec"))
+    // scoring reads the candidate vector from the EDGE ROW (the
+    // committed layout carries dstvec on every edge precisely so a
+    // probe hop never has to go back to the corpus — the r19
+    // point-probe design): one join with the query side instead of a
+    // second join against the full corpus per hop. Values are
+    // bit-identical (dstvec is the corpus vector, joined in at
+    // writeLayers); at scale this removes the per-hop corpus shuffle —
+    // the index storage already pays for the vectors (guide §2.3:
+    // shuffle keys+payload once, not once per hop).
     def score(pairs: DataFrame): DataFrame =
       pairs.join(q, Seq("qid"))
-        .join(corp, Seq("cand"))
         .select(col("qid"), col("cand"),
           AnnLsh.cosine(col("qvec").cast("array<double>"),
             col("__vb").cast("array<double>")).as("score"))
@@ -403,17 +410,33 @@ object AnnHnsw {
       pool.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= width).drop("rk")
     }
+    // checkpoint cadence (r21 examined): the pool is referenced three
+    // times per hop (frontier reselection, the visited-set anti-join,
+    // the union), so it cannot stay lazy across the whole walk. A
+    // measured every-2nd-hop cadence cut the walk's job count 78 → 70
+    // but inflated the lazy 2-hop plans' task binaries to multi-MiB
+    // (DAGScheduler large-task-binary warnings) and amplified this
+    // sandbox's stall spikes on the batch rows — reverted to the
+    // checkpoint-every-hop posture.
     def hop(pool: DataFrame, frontier: DataFrame, layer: Int): DataFrame = {
       val adjL = layers.filter(col("layer") === layer)
-        .select(col("src").as("cand"), col("dst"))
+        .select(col("src").as("cand"), col("dst"), col("dstvec"))
+      // dedup by (qid, cand) with the vector carried via first():
+      // dstvec is functionally determined by cand in the committed
+      // layout (every duplicate row carries the identical array), so
+      // the row set is exactly the old (qid, cand) distinct with the
+      // vector attached — and the group keys stay scalar, no array
+      // hashing in the exchange
       val expand = frontier.join(adjL, Seq("cand"))
-        .select(col("qid"), col("dst").as("cand")).distinct()
+        .select(col("qid"), col("dst").as("cand"), col("dstvec"))
+        .groupBy(col("qid"), col("cand"))
+        .agg(first(col("dstvec")).as("__vb"))
         .join(pool.select(col("qid"), col("cand")), Seq("qid", "cand"),
           "left_anti")
       pool.unionByName(score(expand)).localCheckpoint(true)
     }
     val entryDf = broadcast(AnnNsw.cachedRead(spark, s"$indexDir/entry")
-      .select(col("entry").as("cand")))
+      .select(col("entry").as("cand"), col("entryvec").as("__vb")))
     var pool = score(q.select(col("qid")).crossJoin(entryDf))
       .localCheckpoint(true)
     for (l <- MaxLevel to 1 by -1; _ <- 1 to UpperHops)

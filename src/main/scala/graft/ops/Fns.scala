@@ -44,6 +44,10 @@ object Fns {
   /** H3: date battery over orders (dayofweek: Spark is Sunday=1). */
   def fnDate(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
+      // sort below, date battery above (r21: the fn_try_arith
+      // range-sampling rationale; o_orderkey unique)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("d"),
         year(col("o_orderdate")).as("yr"),
@@ -55,14 +59,16 @@ object Fns {
         date_add(col("o_orderdate").cast("date"), 7).as("plus7"),
         last_day(col("o_orderdate").cast("date")).as("ld"),
         dayofweek(col("o_orderdate")).as("dow"))
-      .orderBy(col("o_orderkey"))
 
   /** H10: calendar battery — add_months, quarter, ISO week, day-of-year,
     * year-trunc, month formatting, and a make_date reconstruction
     * round-trip. */
   def fnDate2(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
+      // sort below, calendar battery above (r21: the fn_try_arith
+      // range-sampling rationale; o_orderkey unique)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         add_months(col("d"), 3).as("plus3m"),
         quarter(col("d")).as("qtr"),
@@ -71,7 +77,6 @@ object Fns {
         trunc(col("d"), "year").as("ystart"),
         date_format(col("d"), "yyyy-MM").as("ym"),
         make_date(year(col("d")), month(col("d")), dayofmonth(col("d"))).as("remade"))
-      .orderBy(col("o_orderkey"))
 
   /** H4: math battery over part. Irrational results (ln) are rounded to
     * 4 dp — libm implementations agree far beyond that. */
@@ -93,6 +98,11 @@ object Fns {
   /** H5: CASE WHEN bands + null functions over orders. */
   def fnCondNull(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
+      // sort below, band projection above (r21: the fn_try_arith
+      // range-sampling rationale; o_orderkey unique)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         when(col("o_totalprice") < 50000.0d, "low")
           .when(col("o_totalprice") < 150000.0d, "mid")
@@ -101,7 +111,6 @@ object Fns {
           .as("status_or_open"),
         when(col("o_orderpriority").isNotNull, lit("has"))
           .otherwise(lit("none")).as("prio_flag"))
-      .orderBy(col("o_orderkey"))
 
   /** H6: JSON — extract a field from the reference-R16-style props map,
     * rebuild a JSON string from a struct. */
@@ -110,9 +119,12 @@ object Fns {
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k").isNotNull)
+      // sort below the JSON rebuild (r21: the fn_try_arith
+      // range-sampling rationale — the extract must stay below for the
+      // filter, but to_json moves above; event_id unique)
+      .orderBy(col("event_id"))
       .select(col("event_id"), col("k"),
         to_json(struct(col("event_type"), col("k"))).as("j"))
-      .orderBy(col("event_id"))
 
   /** H7: array battery over tokenized part names. */
   def fnArray(spark: SparkSession, sfDir: String): DataFrame =
@@ -133,6 +145,10 @@ object Fns {
     * query oracle-checkable via DuckDB's json_object. */
   def fnMap(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
+      // sort below, map battery above (r21: the fn_try_arith
+      // range-sampling rationale; event_id unique)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         map_from_arrays(
           array(lit("x-ratelimit-remaining"), lit("content-type"), lit("etype")),
@@ -142,7 +158,6 @@ object Fns {
         array_join(array_sort(map_keys(col("headers"))), ",").as("keys_sorted"),
         to_json(map_filter(col("headers"), (k, _) => k.startsWith("x-ratelimit")))
           .as("ratelimit_json"))
-      .orderBy(col("event_id"))
 
   /** H9: bitwise battery over keys — AND/OR/XOR/NOT and shifts, the
     * primitives behind bitmap indexes and the SimHash/LSH band ops. */
@@ -256,6 +271,10 @@ object Fns {
     * fixture-constant CASE mirrors. */
   def fnVariant(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
+      // sort below, variant battery above (r21: the fn_try_arith
+      // range-sampling rationale; event_id unique)
+      .select(col("event_id"), col("props"))
+      .orderBy(col("event_id"))
       .withColumn("v", parse_json(col("props")))
       .select(col("event_id"),
         try_variant_get(col("v"), "$.k", "int").as("k"),
@@ -271,7 +290,6 @@ object Fns {
         when(col("event_id") % 100 === 0,
           try_parse_json(concat(lit("{"), col("props"))).isNull)
           .as("bad_is_null"))
-      .orderBy(col("event_id"))
 
   /** H11: URL dissection. ONE `parse_url` call per row (the QUERY-key
     * extraction, the piece worth a real URL parser); host/path/query/
@@ -282,6 +300,12 @@ object Fns {
     * line item at 100 TB — round-14 advice). */
   def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
+      // declared sort below, url dissection above (r21: the range
+      // sampling pass otherwise re-runs the whole string battery —
+      // the fn_try_arith rationale; o_orderkey is unique so the row
+      // order is unchanged)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
       .withColumn("url", concat(
         lit("https://www.shop"), (col("o_orderkey") % 5).cast("string"),
         lit(".example.com/cat/"), (col("o_custkey") % 7).cast("string"),
@@ -300,7 +324,6 @@ object Fns {
         expr("substr(url, length(pre_q) + 2)").as("query"),
         expr("parse_url(url, 'QUERY', 'id')").as("q_id"),
         col("proto"))
-      .orderBy(col("o_orderkey"))
 
   /** H19: higher-order array lambdas — transform / filter / aggregate
     * / exists / forall over the tokenized part name, the SQL-surface
@@ -365,6 +388,10 @@ object Fns {
     * `AT TIME ZONE 'UTC' AT TIME ZONE <zone>` double-hop. */
   def fnTimezone(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
+      // sort below, timezone battery above (r21: the fn_try_arith
+      // range-sampling rationale; event_id unique)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         col("ts"),
         from_utc_timestamp(col("ts"), "America/New_York").as("ny"),
@@ -375,7 +402,6 @@ object Fns {
         hour(col("tky")).as("tokyo_hour"),
         ((unix_timestamp(col("ny")) - expr("unix_micros(ts) DIV 1000000"))
           / 60).cast("int").as("ny_offset_min"))
-      .orderBy(col("event_id"))
 
   /** H15: the try_* ANSI-safe arithmetic surface — Spark 4 runs ANSI
     * mode by default, where division by zero, numeric overflow, and
@@ -463,6 +489,16 @@ object Fns {
         concat(when(col("o_orderkey") % 3 === 0, lit("x"))
             .otherwise(lit("")),
           (col("o_orderkey") % 100).cast("string")).as("s"))
+      // declared output sort FIRST, heavy try_* projection ABOVE it
+      // (r21, guide §1.2/§7.2): a global ORDER BY plans a range
+      // exchange whose partitioner SAMPLES its child — with the
+      // expensive expressions below the sort, every try_/split call
+      // ran twice (once in the sampling pass, once for real: two
+      // ~700 ms stages at sf0.1). The sort key is the unique raw
+      // o_orderkey, so projecting after the sort preserves the exact
+      // row order, evaluates each expression once, and the exchange
+      // carries 3 narrow columns instead of the computed five.
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         expr("try_divide(CAST(o_orderkey AS DOUBLE), CAST(d AS DOUBLE))")
           .as("q"),
@@ -477,7 +513,6 @@ object Fns {
                |             o_orderkey % 2) END""".stripMargin)
           .as("ov"),
         expr("try_element_at(split(s, 'x'), 2)").as("second_part"))
-      .orderBy(col("o_orderkey"))
 
   /** H14: the Spark 4 SQL UDF surface — `CREATE TEMPORARY FUNCTION …
     * RETURNS … RETURN <expr>` (SQL-defined, not Scala-closure): the

@@ -766,6 +766,10 @@ object Graphs {
       // normalization total and the score frame both derive from the
       // checkpointed sum, so the edge join runs once, not twice, and
       // the tiny crossJoin-normalize stays lazy (bounded lineage).
+      // (r21 examined: making this lazy and relying on exchange reuse
+      // between the two consumers does NOT work — column pruning gives
+      // the normalization subtree a narrower exchange, nothing reuses,
+      // and the measured job count went 43 → 45 with wall time +10 %.)
       val sa = edgesC.join(h, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h").cast(DL)).as("s"))
         .iterCheckpoint()

@@ -182,10 +182,13 @@ object LlmData {
     * canonical-form hash robust to token order (bag-of-words identity). */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
+      // sort below, fingerprint above (r21: the fn_try_arith
+      // range-sampling rationale; doc_id unique)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"),
         sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "),
           256).as("fp"))
-      .orderBy(col("doc_id"))
 
   /** K37: text normalization + normalized-exact dedup accounting — the
     * canonicalization pass a dedup pipeline runs BEFORE exact hashing
@@ -294,13 +297,19 @@ object LlmData {
   def textSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val DL = DecimalType(28, 9)
     val toks = ensureTokens(spark, sfDir).select(col("doc_id"), col("tok"))
-    val total = toks.count() // one scalar job: corpus token mass
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctok"))
+    // corpus token mass stays IN the dataflow as a 1-row broadcast
+    // (Σ ctok over the vocab — the same long the old driver-side
+    // toks.count() collected, same double division): r21 removes one
+    // full pass over the token relation plus the driver round-trip
+    val totalF = broadcast(vocab.agg(
+      sum(col("ctok")).cast("double").as("__total")))
     toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .join(vocab, Seq("tok"))
+      .crossJoin(totalF)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_toks"),
-        sum(round(col("c") * log(col("ctok").cast("double") / total), 9)
+        sum(round(col("c") * log(col("ctok").cast("double") / col("__total")), 9)
           .cast(DL)).as("slp"))
       .select(col("doc_id"), col("n_toks"),
         round(-col("slp").cast("double") / col("n_toks"), 6).as("surprisal"))
@@ -407,6 +416,11 @@ object LlmData {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val injected = t(spark, sfDir, "documents")
+      // sort below, regex battery above (r21: the fn_try_arith
+      // range-sampling rationale — the sampling pass otherwise runs
+      // every regex twice; doc_id unique)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .withColumn("text2", concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -422,7 +436,6 @@ object LlmData {
         sha2(regexp_replace(
           regexp_replace(col("text2"), emailRe, "<EMAIL>"),
           ipRe, "<IP>"), 256).as("scrub_sha"))
-      .orderBy(col("doc_id"))
   }
 
   /** K49: charset / codepoint quality screen — the C4-style encoding
@@ -441,6 +454,10 @@ object LlmData {
     * codegen'd projection, no shuffle before the output sort. */
   def textCharset(spark: SparkSession, sfDir: String): DataFrame = {
     val injected = t(spark, sfDir, "documents")
+      // sort below, regex counters above (r21: the fn_try_arith
+      // range-sampling rationale; doc_id unique)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .withColumn("t2", concat(col("text"),
         when(col("doc_id") % 5 === 0,
           lit(" naïve café résumé")).otherwise(lit("")),
@@ -456,7 +473,6 @@ object LlmData {
         ctrl.cast("long").as("n_ctrl"),
         when(n > 0, dbl(dec(n - nonAscii) / n)).as("ascii_ratio"),
         when(n > 0, dbl(dec(digits) / n)).as("digit_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   /** K51: readability scoring — the Flesch reading-ease heuristic
@@ -485,6 +501,10 @@ object LlmData {
     val nSyll = size(regexp_extract_all(lower(col("text")),
       lit("[aeiouy]+"), lit(0))).cast("long")
     t(spark, sfDir, "documents")
+      // sort below, counting regexes above (r21: the fn_try_arith
+      // range-sampling rationale; doc_id unique)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), nSent.as("n_sentences"), nWords.as("n_words"),
         nSyll.as("n_syllables"))
       .select(col("doc_id"), col("n_sentences"), col("n_words"),
@@ -496,7 +516,6 @@ object LlmData {
             - lit(84.6) * (col("n_syllables").cast("double")
               / col("n_words").cast("double")), 4))
           .otherwise(lit(null).cast("double")).as("flesch"))
-      .orderBy(col("doc_id"))
   }
 
   /** K27: repetition-based quality filtering — the Gopher repetition
@@ -1994,20 +2013,38 @@ object LlmData {
       window: Int = 16): DataFrame = {
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // span hash kept BINARY (unhex of the hex sha2): h is internal —
+    // only ever grouped/joined on, never output — and the binary form
+    // halves its exchange bytes (64-char hex → 32 bytes; guide §2.3)
     val spans = docs
       .filter(size(col("toks")) >= window)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("toks")) - window)).as("p"),
         col("toks"))
       .select(col("doc_id"),
-        sha2(array_join(slice(col("toks"), col("p") + 1, lit(window)), " "), 256)
+        unhex(sha2(array_join(slice(col("toks"), col("p") + 1, lit(window)), " "), 256))
           .as("h"))
-    val dup = spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    // ONE pass over the expensive explode+sha2 spans (r21 optimization):
+    // the old shape computed `spans` twice — once under the
+    // countDistinct dup-hash aggregate and once as the join probe side
+    // (the dup side broadcasts, so no exchange ever lined up for reuse
+    // on the probe side; and with separate subtrees column pruning
+    // makes them non-identical, so ReuseExchange can never fire).
+    // Pre-aggregate to (h, doc_id, c) and derive the duplicated-hash
+    // test as a WINDOW over h on that same frame: nd per h = row count
+    // of g per h (≡ countDistinct doc_id), and per-doc dup spans =
+    // Σ c over its duplicated hashes (≡ count of its span rows with a
+    // duplicated hash). Values identical, oracle hash unchanged; the
+    // Generate+sha2 pass and the documents scan run once instead of
+    // twice. Skew posture unchanged: a universally-shared span
+    // concentrates its (h, doc) rows in one window partition exactly
+    // as it concentrated them in one countDistinct group before.
+    val g = spans.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = g
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("nd") >= 2)
-      .select(col("h"))
-    val perDoc = spans.join(dup, Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup"))
     docs
       .select(col("doc_id"),
         greatest(size(col("toks")) - (window - 1), lit(0)).as("n_spans"))
@@ -2840,6 +2877,10 @@ object LlmData {
     * shuffle before the output sort. */
   def textCodeDetect(spark: SparkSession, sfDir: String): DataFrame = {
     val injected = t(spark, sfDir, "documents")
+      // sort below, regex counters above (r21: the fn_try_arith
+      // range-sampling rationale; doc_id unique)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .withColumn("t2", concat(col("text"),
         when(col("doc_id") % 7 === 0,
           lit(" int f(x){return a[i]<=y&&b!=0;}")).otherwise(lit("")),

@@ -866,10 +866,22 @@ object StreamingOps {
     // `default`/`hdfs` restores Spark's built-in provider, any other
     // value is a literal provider class (bogus class must FAIL the
     // run — the liveness law in StreamingSpec).
+    val changelogConf =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = spark.conf.getOption(changelogConf)
     spark.conf.getOption(StateStoreConf).filter(_.nonEmpty)
       .orElse(Some("rocksdb")).foreach {
         case v if v.equalsIgnoreCase("rocksdb") =>
           spark.conf.set(ProviderClassConf, RocksDbProvider)
+          // incremental commits (r21 optimization, guide §1.2 "per-task
+          // work"): the default RocksDB commit uploads a FULL snapshot
+          // of every store's SST set each micro-batch — at 100 TB of
+          // streaming state that is the dominant per-batch cost, and
+          // changelog checkpointing (write the batch's delta, snapshot
+          // in the background maintenance thread) is the documented
+          // production posture for it. Storage-layer only: query
+          // results and the state-metric pins are unaffected.
+          spark.conf.set(changelogConf, "true")
         case v if v.equalsIgnoreCase("default")
             || v.equalsIgnoreCase("hdfs") => () // Spark's built-in
         case v => spark.conf.set(ProviderClassConf, v)
@@ -899,6 +911,10 @@ object StreamingOps {
       prevProvider match {
         case Some(p) => spark.conf.set(ProviderClassConf, p)
         case None => spark.conf.unset(ProviderClassConf)
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(changelogConf, p)
+        case None => spark.conf.unset(changelogConf)
       }
       spark.catalog.dropTempView(name)
       deleteRecursively(ckpt)
